@@ -1,0 +1,153 @@
+"""Dataflow graph: the engine's pipeline-composition API (reference §3.1).
+
+Reference model: ``bonobo.Graph(Select(...), InsertOrUpdate(...))`` builds a
+DAG of nodes that run on threads connected by FIFO queues
+(``tests/test_integration.py:173-175, 190-193``). The graph IS the IR; there
+is no analysis or rewriting.
+
+Spark-first redesign: a chain of nodes composes **lazily** into a DataFrame
+expression — the logical plan is the IR, Catalyst analyzes/rewrites it, and
+nothing executes until a sink (or the caller) triggers an action. Thread
+boundaries become Catalyst exchange boundaries; a node is one of:
+
+- **source**: ``(spark, services) -> DataFrame`` (e.g. ``Select``), or a
+  plain Python generator/iterable of rows (parity with arbitrary-callable
+  bonobo sources like ``tests/test_integration.py:130-134``) which becomes
+  ``spark.createDataFrame``;
+- **transform**: ``DataFrame -> DataFrame`` (arbitrary relational logic);
+- **sink**: an object with ``.write(df, spark, services) -> DataFrame``
+  (e.g. ``InsertOrUpdate``); the returned DataFrame flows on so chains can
+  continue past a sink, mirroring the reference's re-emission of written
+  rows downstream (``writers.py:72, 94``).
+
+Multiple chains per graph are supported (``graph.add_chain``); ``run``
+executes every chain and returns the terminal DataFrames.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import ServiceRegistry
+
+
+class NodeExecutionContext:
+    """Execution-time context handed to context-aware nodes.
+
+    Parity with bonobo's ``@use_context`` nodes (``readers.py:6``,
+    ``writers.py:15``): carries the session, resolved services, and the
+    output-field override hook (``set_output_fields`` renames the stream's
+    columns, the analog of ``readers.py:73-74``).
+    """
+
+    def __init__(self, spark: SparkSession, services: ServiceRegistry) -> None:
+        self.spark = spark
+        self.services = services
+        self._output_fields: list[str] | None = None
+
+    def set_output_fields(self, fields: Iterable[str]) -> None:
+        self._output_fields = list(fields)
+
+    def apply_output_fields(self, df: DataFrame) -> DataFrame:
+        if self._output_fields:
+            df = df.toDF(*self._output_fields)
+        return df
+
+
+class Graph:
+    """A DAG of chains. ``Graph(a, b, c)`` is one chain a -> b -> c."""
+
+    def __init__(self, *nodes: Any) -> None:
+        self.chains: list[list[Any]] = []
+        if nodes:
+            self.add_chain(*nodes)
+
+    def add_chain(self, *nodes: Any, _input: Any = None) -> "Graph":
+        chain = list(nodes)
+        if _input is not None:
+            chain.insert(0, _input)
+        self.chains.append(chain)
+        return self
+
+    def __len__(self) -> int:
+        return sum(len(c) for c in self.chains)
+
+
+def _materialize_source(
+    node: Any, spark: SparkSession, services: ServiceRegistry, ctx: NodeExecutionContext
+) -> DataFrame:
+    if isinstance(node, DataFrame):
+        return node
+    if callable(node):
+        sig = None
+        try:
+            sig = inspect.signature(node)
+        except (TypeError, ValueError):
+            pass
+        if sig is not None and len(sig.parameters) == 0:
+            node = node()  # zero-arg generator/factory -> rows or DataFrame
+        else:
+            try:
+                return node(spark, services)
+            except TypeError:
+                return node(spark)
+    if isinstance(node, DataFrame):
+        return node
+    # Iterable of rows (tuples/dicts/Rows) -> DataFrame; schema from data.
+    rows = list(node)
+    df = spark.createDataFrame(rows)
+    return ctx.apply_output_fields(df)
+
+
+def _apply_node(
+    node: Any,
+    df: DataFrame,
+    spark: SparkSession,
+    services: ServiceRegistry,
+    ctx: NodeExecutionContext,
+) -> DataFrame:
+    write = getattr(node, "write", None)
+    if callable(write):  # sink
+        return write(df, spark, services)
+    if callable(node):
+        try:
+            return node(df)
+        except TypeError:
+            return node(df, ctx)
+    raise TypeError(f"node {node!r} is neither callable nor a sink")
+
+
+def run(
+    graph: Graph | Any,
+    spark: SparkSession | None = None,
+    services: dict[str, Any] | ServiceRegistry | None = None,
+) -> list[DataFrame]:
+    """Execute every chain; returns the terminal DataFrame of each chain.
+
+    Parity with ``bonobo.run(graph, services=...)``
+    (``tests/test_integration.py:171-175``): services are resolved by name.
+    Truthiness of the returned list mirrors the reference's truthy return on
+    success (asserted at ``tests/test_integration.py:175``).
+    """
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    registry = (
+        services if isinstance(services, ServiceRegistry) else ServiceRegistry(services or {})
+    )
+    if not isinstance(graph, Graph):
+        graph = Graph(graph)
+
+    results: list[DataFrame] = []
+    for chain in graph.chains:
+        ctx = NodeExecutionContext(spark, registry)
+        head, *rest = chain
+        df = _materialize_source(head, spark, registry, ctx)
+        for node in rest:
+            df = _apply_node(node, df, spark, registry, ctx)
+        results.append(df)
+    return results

@@ -1,0 +1,14 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each submodule registers :class:`QuerySpec` entries (Spark callable +
+optional DuckDB oracle SQL). ``__spark_entry__.py`` exposes this registry to
+the driver's correctness gate.
+"""
+
+from .base import REGISTRY, QuerySpec, query
+
+# Import for registration side effects.
+from . import relational  # noqa: E402,F401
+from . import datapipe  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,86 @@
+"""Query registry plumbing + cross-engine determinism helpers.
+
+The driver compares every registered Spark query against its DuckDB oracle
+by row-count + schema + order-insensitive value hash (columns sorted by
+name). Floating-point aggregation order differs between engines, so query
+authors here follow a strict determinism policy:
+
+- **Money/quantity sums**: cast the (exactly 2-decimal) double inputs to
+  ``DECIMAL(18,2)`` and sum exactly; cast the final sum back to DOUBLE.
+  Identical bits in both engines.
+- **Averages/ratios**: exact decimal sums cast to double, then one IEEE
+  double division — deterministic in both engines.
+- **Genuinely inexact reductions** (e.g. cosine over float vectors): compute
+  in double, round to a precision far coarser than the reordering error
+  (1e-6 vs ~1e-15), and rank with the *rounded* value plus a unique
+  tie-break key.
+- **Dates/timestamps in output**: format to strings — removes engine/pandas
+  dtype ambiguity from the hash.
+- **Counts**: BIGINT in both engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    #: free-form labels: 'relational', 'dedup', 'similarity', 'text', ...
+    tags: tuple[str, ...] = ()
+    #: queries included in bench.py's headline timing set
+    bench: bool = False
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, tags=tags, bench=bench, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Determinism helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+def dec2(col: str | Column) -> Column:
+    """Exact 2-decimal fixed-point view of a money/qty double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Exact decimal sum exposed as double (bit-identical across engines)."""
+    return F.sum(dec2(col)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """sum(decimal)::double / count — one IEEE division, deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec2(c)).cast("double") / F.count(c)).alias(alias)
+
+
+def fmt_date(col: str | Column, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd").alias(alias)

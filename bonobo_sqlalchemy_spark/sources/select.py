@@ -1,0 +1,102 @@
+"""``Select`` — the engine's source operator (reference O1).
+
+Reference semantics (``bonobo_sqlalchemy/readers.py:6-77``): run arbitrary
+SQL against a backend, stream result rows with field names, support a total
+row cap (``limit``) and a page size (``pack_size``). The reference paginates
+with ``LIMIT n OFFSET m`` round-trips (with a documented
+inconsistency-under-concurrent-writes caveat, ``readers.py:17-28``).
+
+Spark-first redesign:
+
+- The query text is evaluated by Spark SQL over registered views (file
+  catalog) or pushed to an RDBMS via the JDBC source — no page loop. A
+  partitioned JDBC read (``partitionColumn/lowerBound/upperBound/
+  numPartitions``) replaces LIMIT/OFFSET pagination and is both faster and
+  snapshot-consistent per partition; ``pack_size`` maps to JDBC
+  ``fetchsize`` (rows per network round-trip), ``limit`` maps to
+  ``df.limit(n)`` which Catalyst folds into the scan (CollectLimit /
+  pushed LIMIT for JDBC).
+- Field names come from plan analysis instead of first-row inference
+  (``readers.py:73-74``); the schema is known before execution.
+
+The operator is a callable node usable in a :class:`~..plans.graph.Graph`:
+it takes the session context and yields a DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import DEFAULT_ENGINE_SERVICE, JdbcService, PathService, ServiceRegistry
+
+
+class Select:
+    """Source node: SQL text -> DataFrame.
+
+    Parameters mirror the reference (``readers.py:45-49``):
+
+    - ``query``: arbitrary SQL (default ``SELECT 1``). Trailing whitespace
+      and ``;`` are stripped (parity with ``readers.py:52``).
+    - ``pack_size``: rows per fetch round-trip — only meaningful for JDBC
+      backends, where it becomes ``fetchsize``. Ignored for Spark-native
+      catalogs (columnar scans have no row round-trips).
+    - ``limit``: total row cap (``df.limit``).
+    - ``engine``: service name resolved from the run's services
+      (``'sqlalchemy.engine'`` by default, as in ``readers.py:49``).
+    """
+
+    def __init__(
+        self,
+        query: str = "SELECT 1",
+        *,
+        pack_size: int = 1000,
+        limit: int | None = None,
+        engine: str = DEFAULT_ENGINE_SERVICE,
+    ) -> None:
+        self.query = query
+        self.pack_size = pack_size
+        self.limit = limit
+        self.engine = engine
+
+    def _normalized_query(self) -> str:
+        return self.query.strip(" \n;")
+
+    def __call__(
+        self, spark: SparkSession, services: ServiceRegistry | dict[str, Any] | None = None
+    ) -> DataFrame:
+        services = (
+            services
+            if isinstance(services, ServiceRegistry)
+            else ServiceRegistry(services or {})
+        )
+        query = self._normalized_query()
+        service = services.resolve(self.engine) if self.engine in services else None
+
+        if isinstance(service, JdbcService):
+            reader = (
+                spark.read.format("jdbc")
+                .option("url", service.url)
+                .option("query", query)
+                .option("fetchsize", str(self.pack_size))
+            )
+            for k, v in service.properties.items():
+                reader = reader.option(k, v)
+            df = reader.load()
+        elif isinstance(service, PathService):
+            # Register the path catalog's tables then evaluate with Spark SQL.
+            from .files import register_views
+
+            register_views(spark, service.root)
+            df = spark.sql(query)
+        else:
+            # Spark-native: evaluate over whatever views are registered.
+            df = spark.sql(query)
+
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        return df
+
+    def __repr__(self) -> str:
+        return f"Select({self.query!r}, limit={self.limit})"
