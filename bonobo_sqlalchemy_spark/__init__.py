@@ -16,7 +16,7 @@ from .errors import (
     UnrecoverableError,
     UnrecoverableOperationalError,
 )
-from .plans.graph import Graph, run
+from .plans.graph import Graph, Producer, producer, run
 from .registry import (
     DbapiService,
     JdbcService,
@@ -34,6 +34,8 @@ __all__ = [
     "InsertOrUpdate",
     # engine surface
     "Graph",
+    "Producer",
+    "producer",
     "run",
     "get_spark",
     "load_table",

@@ -1,0 +1,3 @@
+from .upsert import InsertOrUpdate
+
+__all__ = ["InsertOrUpdate"]

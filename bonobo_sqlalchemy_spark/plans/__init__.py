@@ -1,3 +1,3 @@
-from .graph import Graph, NodeExecutionContext, run
+from .graph import Graph, NodeExecutionContext, Producer, producer, run
 
-__all__ = ["Graph", "NodeExecutionContext", "run"]
+__all__ = ["Graph", "NodeExecutionContext", "Producer", "producer", "run"]

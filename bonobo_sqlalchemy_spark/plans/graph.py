@@ -57,6 +57,33 @@ class NodeExecutionContext:
         return df
 
 
+class Producer:
+    """A generator/iterable source with declared output field names.
+
+    Parity with bonobo sources that call ``context.set_output_fields``
+    (``readers.py:73-74``) or rely on the stream's declared schema: bare
+    tuples from a Python generator have no names, so a sink keyed on column
+    names (e.g. ``InsertOrUpdate``'s discriminant) needs them declared.
+
+    Usage: ``Graph(producer(extract, fields=("id", "value")), sink)`` or
+    yield dicts/Rows from the generator and skip the declaration.
+    """
+
+    def __init__(self, fn, fields: Iterable[str] | None = None) -> None:
+        self.fn = fn
+        self.fields = tuple(fields) if fields else None
+
+    def __call__(self):
+        return self.fn() if callable(self.fn) else self.fn
+
+
+def producer(fn=None, *, fields: Iterable[str] | None = None):
+    """Wrap a zero-arg generator (or iterable) with declared field names."""
+    if fn is None:
+        return lambda f: Producer(f, fields)
+    return Producer(fn, fields)
+
+
 class Graph:
     """A DAG of chains. ``Graph(a, b, c)`` is one chain a -> b -> c."""
 
@@ -81,7 +108,11 @@ def _materialize_source(
 ) -> DataFrame:
     if isinstance(node, DataFrame):
         return node
-    if callable(node):
+    if isinstance(node, Producer):
+        if node.fields:
+            ctx.set_output_fields(node.fields)
+        node = node()
+    elif callable(node):
         sig = None
         try:
             sig = inspect.signature(node)
