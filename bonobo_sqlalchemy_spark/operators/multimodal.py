@@ -1,0 +1,91 @@
+"""Multimodal column plumbing (SURVEY §2.4): binary payloads with typed
+metadata, processed through Arrow-batched ``mapInPandas``.
+
+Design: media lives as an opaque ``binary`` column plus a metadata struct
+(mime type, byte length, content hash). Decode / feature-extraction runs as
+Pandas-batched Python (the only place Python touches the data) with an
+explicit output schema — the Spark-side contract (schema, partitioning,
+batch shape) is real and tested.
+
+The actual image/audio decode is STUBBED: the container ships no media
+libraries, so :func:`decode_image` raises ``NotImplementedError`` and the
+pipeline uses :func:`fake_features` — a deterministic featurizer over the
+raw bytes — to exercise the identical plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the feature-extraction stage (stable driver contract).
+FEATURE_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, content_md5 string, "
+    "sig string, bytes_per_char double, feat_mod double"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder entry point — requires an image library (PIL/cv2) that
+    is intentionally not vendored here."""
+    raise NotImplementedError(
+        "image decode requires a media library not present in this build; "
+        "wire PIL/cv2 here on a full cluster image"
+    )
+
+
+def fake_features(payload: bytes, n_chars: int) -> tuple[str, str, float, float]:
+    """Deterministic stand-in featurizer: md5 + byte statistics.
+
+    Matches the DuckDB-expressible oracle definition exactly: md5 hex,
+    first-8-hex signature, bytes-per-char ratio, n_bytes mod 256 / 255.
+    Ratios are single IEEE divisions of exact ints — no rounding, so the
+    bits match any engine computing the same division.
+    """
+    md5 = hashlib.md5(payload).hexdigest()
+    bpc = len(payload) / max(n_chars, 1)
+    mod = (len(payload) % 256) / 255.0
+    return md5, md5[:8], bpc, mod
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testdata adapter: treat the UTF-8 text bytes as the media payload
+    (real pipelines read the payload from object storage instead)."""
+    return (
+        df.withColumn("payload", F.col(text_col).cast("binary"))
+        .withColumn("n_chars_", F.length(text_col).cast("bigint"))
+        .withColumn("mime", F.lit("application/octet-stream"))
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    `mapInPandas` keeps the batch shape columnar end-to-end; partitioning is
+    inherited from the upstream scan (no shuffle introduced).
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                fake_features(bytes(p), int(c))
+                for p, c in zip(pdf["payload"], pdf["n_chars_"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "content_md5": [f[0] for f in feats],
+                    "sig": [f[1] for f in feats],
+                    "bytes_per_char": [f[2] for f in feats],
+                    "feat_mod": [f[3] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

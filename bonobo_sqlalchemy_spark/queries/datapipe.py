@@ -1,5 +1,303 @@
-"""Training-data pipeline operators (SURVEY.md §2.4): dedup, similarity,
-text analysis, multimodal. Populated module-by-module; each query follows
-the determinism policy in base.py."""
+"""Training-data pipeline queries (SURVEY §2.4): dedup, similarity search,
+text analysis, multimodal — each a `queries()` entry with a DuckDB oracle
+where SQL-expressible (sketch-based ops are rows-only by design).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..sources.files import load_table
+from .base import query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           round(least(CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1))
+                   * 0.3
+                 + least(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+                         + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+                         + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+                         + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS DOUBLE)
+                         / greatest(CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 1.0), 1.0)
+                   * 0.2,
+                 6) AS quality
+    FROM documents
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: char/token/punct counts + composite
+    quality score. All JVM built-ins; one narrow projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        T.n_tokens("text").alias("n_tokens"),
+        T.punct_count("text").alias("n_punct"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (alnum runs + isolated punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n]"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        T.n_tokens("text").alias("n_ws_tokens"),
+    )
+
+
+def _lang_cnt_sql(markers: tuple[str, ...]) -> str:
+    padded = "' ' || lower(text) || ' '"
+    parts = [
+        f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}"
+        for m in markers
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def _lang_id_oracle() -> str:
+    cnts = {lang: _lang_cnt_sql(m) for lang, m in T.LANG_MARKERS.items()}
+    langs = list(cnts)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{cnts[lang]} > {cnts[o]}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    score_cols = ", ".join(f"{sql} AS score_{lang}" for lang, sql in cnts.items())
+    return f"SELECT doc_id, lang AS labeled_lang, {case} AS pred_lang, {score_cols} FROM documents"
+
+
+@query("text_lang_id", oracle=_lang_id_oracle(), tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language ID (strict argmax, 'und' on ties) with the
+    per-language scores exposed for inspection."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id("text").alias("pred_lang"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS normalized_fingerprint
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw + normalized content fingerprints (md5 matches across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("fingerprint"),
+        T.fingerprint_md5(T.normalized("text")).alias("normalized_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint, COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, min-id survivor."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM d
+    ), x AS (
+      SELECT doc_id, lang, unnest(sh) AS g FROM s
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+      FROM x a JOIN x b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM s)
+    SELECT id1, id2,
+           round(common / (s1.n + s2.n - common), 6) AS jaccard
+    FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE round(common / (s1.n + s2.n - common), 6) >= 0.5
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join),
+    blocked by language."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), block_col="lang", n=3, threshold=0.5
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("dedup", "sketch"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard.
+    Sketch-based: rows-only check (no portable SQL equivalent); its recall
+    against `dedup_ngram_jaccard` is asserted in tests."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8, threshold=0.5
+    )
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup", "sketch"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming <= 12) blocked by language."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=12)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    j AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS va, b.embedding AS vb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), u AS (
+      SELECT id1, id2, unnest(va) AS x, unnest(vb) AS y FROM j
+    ), p AS (
+      SELECT id1, id2,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM u GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(dot / sqrt(na * nb), 6) AS cosine
+    FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) blocked by label — the
+    block stands in for an LSH bucket at corpus scale."""
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    j AS (
+      SELECT query_id, e.vec_id AS neighbor_id, qv, e.embedding AS cv
+      FROM q JOIN embeddings e ON e.vec_id <> query_id
+    ), u AS (
+      SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM j
+    ), p AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM u GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, neighbor_id, round(dot / sqrt(na * nb), 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / sqrt(na * nb), 6) DESC, neighbor_id) AS rn
+      FROM p
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 8 query vectors (broadcast the
+    queries; one corpus pass, no corpus shuffle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+@query("sim_lsh_topk", oracle=None, tags=("similarity", "sketch"))
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-5 (bucket join + exact
+    re-rank; ~80% top-5 recall on this corpus at (4 bits, 16 tables)).
+    Recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, bits_per_table=4, n_tables=16)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           substr(md5(text), 1, 8) AS sig,
+           CAST(octet_length(encode(text)) AS DOUBLE) / greatest(length(text), 1) AS bytes_per_char,
+           CAST(octet_length(encode(text)) % 256 AS DOUBLE) / 255.0 AS feat_mod
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow-batched mapInPandas
+    (the real multimodal plumbing; decode itself is stubbed — see
+    operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(d))

@@ -1,0 +1,99 @@
+"""Datapipe operator tests: sketch-based ops (no SQL oracle) are checked
+against their exact counterparts — recall of LSH candidates vs brute force —
+plus multimodal plumbing contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bonobo_sqlalchemy_spark.operators import dedup as D
+from bonobo_sqlalchemy_spark.operators import multimodal as M
+from bonobo_sqlalchemy_spark.operators import similarity as S
+from bonobo_sqlalchemy_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").cache()
+
+
+def test_minhash_recall_of_high_similarity_pairs(spark, docs):
+    """Every exact-Jaccard pair >= 0.6 must be found by MinHash+LSH at
+    threshold 0.5 (banding S-curve: recall ~1 well above the midpoint)."""
+    exact = {
+        (r.id1, r.id2)
+        for r in D.ngram_jaccard_pairs(docs, block_col=None, threshold=0.6).collect()
+    }
+    approx = {
+        (r.id1, r.id2) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_minhash_pairs_verified_no_false_positives(docs):
+    """Verification step bounds reported jaccard: everything returned must
+    really have jaccard >= threshold (candidates are exact-verified)."""
+    for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect():
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_close_pairs_have_similar_text(docs):
+    pairs = D.simhash_pairs(docs, max_hamming=4).limit(5).collect()
+    # hamming<=4 of 64 bits implies strong token overlap; sanity only
+    for r in pairs:
+        assert r.id1 < r.id2
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embs):
+    queries = embs.where(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(embs, queries, k=5, bits_per_table=4, n_tables=16).collect()
+    }
+    # (4, 16)-LSH measured ~80% top-5 recall on this corpus; assert a
+    # comfortable floor (deterministic planes -> stable across runs).
+    assert len(exact & approx) >= len(exact) * 0.6
+
+
+def test_survivors_drops_higher_ids(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = D.survivors(docs, pairs)
+    losers = {r.id2 for r in pairs.collect()}
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids.isdisjoint(losers)
+    assert kept_ids | losers == {r.doc_id for r in docs.collect()}
+
+
+def test_multimodal_schema_and_determinism(spark, docs):
+    out = M.extract_features(M.attach_binary_payload(docs.limit(20)))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(out.columns) == {
+        "doc_id", "mime", "n_bytes", "content_md5", "sig", "bytes_per_char", "feat_mod"
+    }
+    again = {r.doc_id: r for r in M.extract_features(M.attach_binary_payload(docs.limit(20))).collect()}
+    assert rows.keys() == again.keys()
+    for k in rows:
+        assert rows[k] == again[k]  # deterministic featurizer
+
+
+def test_multimodal_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+
+
+def test_exact_dedup_group_sizes_sum_to_corpus(docs):
+    out = D.exact_dedup(docs)
+    total = out.agg(F.sum("group_size")).collect()[0][0]
+    assert total == docs.count()
