@@ -10,5 +10,6 @@ from .base import REGISTRY, QuerySpec, query
 # Import for registration side effects.
 from . import relational  # noqa: E402,F401
 from . import datapipe  # noqa: E402,F401
+from . import streamq  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

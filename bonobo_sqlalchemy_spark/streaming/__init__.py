@@ -1,0 +1,15 @@
+from .windows import (
+    read_events_stream,
+    session_aggregate,
+    sliding_avg,
+    stream_to_upsert,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_avg",
+    "session_aggregate",
+    "stream_to_upsert",
+]

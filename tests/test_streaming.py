@@ -1,0 +1,129 @@
+"""Structured Streaming tests: streaming results must agree with their
+batch twins; foreachBatch landing reuses the upsert sink idempotently."""
+
+from __future__ import annotations
+
+import sqlite3
+from functools import partial
+
+import pytest
+from pyspark.sql import functions as F
+
+from bonobo_sqlalchemy_spark import DbapiService, InsertOrUpdate
+from bonobo_sqlalchemy_spark.sources.files import load_table
+from bonobo_sqlalchemy_spark.streaming import (
+    read_events_stream,
+    session_aggregate,
+    sliding_avg,
+    stream_to_upsert,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_small):
+    return f"{sf_small}/events.parquet"
+
+
+def _run_to_memory(spark, stream_df, name, mode="complete", timeout=300):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.table(name)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_small, events_path):
+    got = _run_to_memory(
+        spark, tumbling_counts(read_events_stream(spark, events_path)), "t_tumble"
+    ).collect()
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_stream_sliding_window_counts(spark, events_path):
+    got = _run_to_memory(
+        spark,
+        sliding_avg(read_events_stream(spark, events_path), "1 hour", "30 minutes"),
+        "t_slide",
+    )
+    rows = got.collect()
+    assert rows
+    # every event lands in exactly width/slide = 2 sliding windows
+    total = sum(r.n_events for r in rows)
+    assert total > 0 and total % 2 == 0
+
+
+def test_stream_session_agg_covers_all_events(spark, sf_small, events_path):
+    got = _run_to_memory(
+        spark,
+        session_aggregate(read_events_stream(spark, events_path), gap="30 minutes"),
+        "t_sess",
+    )
+    rows = got.collect()
+    n_events = load_table(spark, sf_small, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    # sessions are per-user disjoint intervals
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_stream_to_upsert_idempotent(spark, sf_small, events_path, tmp_path):
+    dbfile = str(tmp_path / "stream.db")
+    con = sqlite3.connect(dbfile)
+    con.execute(
+        "CREATE TABLE hourly (window_start VARCHAR, event_type VARCHAR, "
+        "n_events INTEGER, total_value DOUBLE, PRIMARY KEY (window_start, event_type))"
+    )
+    con.commit(); con.close()
+    services = {"sqlalchemy.engine": DbapiService(partial(sqlite3.connect, dbfile))}
+    sink = InsertOrUpdate("hourly", discriminant=("window_start", "event_type"))
+
+    def state():
+        con = sqlite3.connect(dbfile)
+        try:
+            return sorted(
+                con.execute(
+                    "SELECT window_start, event_type, n_events, total_value FROM hourly"
+                ).fetchall()
+            )
+        finally:
+            con.close()
+
+    states = []
+    for i in range(2):  # full replay twice: target state must be identical
+        q = stream_to_upsert(
+            tumbling_counts(read_events_stream(spark, events_path)),
+            sink,
+            spark,
+            services,
+            checkpoint=str(tmp_path / f"ckpt{i}"),
+        )
+        q.awaitTermination(300)
+        states.append(state())
+
+    assert states[0] == states[1]  # idempotent under redelivery
+    total = sum(r[2] for r in states[1])
+    assert total == load_table(spark, sf_small, "events").count()
