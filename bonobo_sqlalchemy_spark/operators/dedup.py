@@ -59,35 +59,48 @@ def ngram_jaccard_pairs(
     the quadratic blowup is bounded per posting list — at scale, drop
     ultra-frequent shingles first (stop-shingle filtering).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        T.word_ngrams(text_col, n).alias("sh"),
+    # Repartition the raw text BEFORE shingling: a single-file corpus scans
+    # as one task, and the shingle projection is the expensive part — the
+    # exchange of raw rows is cheap, the shingling then runs core-parallel.
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.col(text_col).alias("txt"),
+        )
+        .repartition(F.col("id"))
+        .select("id", "blk", T.word_ngrams("txt", n).alias("sh"))
     )
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
-    ex = base.select("id", "blk", F.explode("sh").alias("g"))
+    # Shingle set sizes ride along through the explode (they are functionally
+    # dependent on the doc id, so they can join the pair-group keys for
+    # free) — this removes two size-lookup joins and their re-shingling
+    # passes. Both self-join sides share one canonical exploded plan, so
+    # Spark reuses the exchange: the corpus is shingled once.
+    ex = base.select(
+        "id", "blk", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+    )
     a, b = ex.alias("a"), ex.alias("b")
-    common = (
+    pairs = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     return (
-        common.join(s1, F.col("id1") == F.col("s1.id"))
-        .join(s2, F.col("id2") == F.col("s2.id"))
-        .select(
+        pairs.select(
             "id1",
             "id2",
             F.round(
-                F.col("common")
-                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common")),
-                6,
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -111,33 +124,61 @@ def minhash_lsh_pairs(
     (4 rows per band) the S-curve midpoint sits near 0.5 similarity.
     """
     rows = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("id"), T.word_ngrams(text_col, n).alias("sh")
-    ).where(F.size("sh") > 0)
-    sig = base.select(
-        "id", "sh", H.lsh_band_keys(H.minhash_signature("sh", num_perm), bands, rows).alias("bk")
+    # Same single-file parallelization as ngram_jaccard_pairs: exchange raw
+    # text first, shingle core-parallel after.
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .repartition(F.col("id"))
+        .select("id", T.word_ngrams("txt", n).alias("sh"))
+        .where(F.size("sh") > 0)
     )
-    buckets = sig.select("id", "sh", F.explode("bk").alias("bucket"))
+
+    # Signature via explode + hash-aggregate, NOT per-row array lambdas:
+    # nested higher-order functions run interpreted (~8us/element measured —
+    # 67s for 5k docs), while explode -> xxhash64 -> 32 MIN aggregates stays
+    # inside whole-stage codegen (<1s for the same work). This is also the
+    # scale-out shape: one shuffle on id, partial MIN map-side.
+    ex = base.select("id", F.explode("sh").alias("g"))
+    h = ex.select("id", (F.abs(F.xxhash64("g")) % F.lit(1 << 31)).alias("h"))
+    params = H._perm_params(num_perm)
+    sig = h.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(H._MERSENNE_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(bnd)),
+                *[F.col(f"m{bnd * rows + r}").cast("string") for r in range(rows)],
+            )
+            for bnd in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_keys).alias("bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
-        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    # Exact-Jaccard verification of candidates only.
+    s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (
-        cand.select(
-            "id1", "id2", F.round(inter / union, 6).alias("jaccard")
-        ).where(F.col("jaccard") >= threshold)
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -149,11 +190,31 @@ def simhash_pairs(
     max_hamming: int = 12,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit sketch, hamming <= t, within a block."""
-    base = df.select(
+    # SimHash via explode + 64 codegen'd SUM aggregates (per-bit votes) —
+    # same rationale as the MinHash path: interpreted array lambdas are
+    # ~100x slower than whole-stage-codegen hash aggregation.
+    ex = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        H.simhash64(T.words(text_col)).alias("sig"),
+        F.explode(T.words(text_col)).alias("tok"),
+    ).select("id", "blk", F.xxhash64("tok").alias("h"))
+    votes = ex.groupBy("id", "blk").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
     )
+    sig_expr = None
+    for bit in range(64):
+        term = F.when(
+            F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    base = votes.select("id", "blk", sig_expr.alias("sig"))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
