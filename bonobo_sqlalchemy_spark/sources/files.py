@@ -66,7 +66,7 @@ def register_views(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)  # handles events' nanos timestamps
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: these assertions encode the 100 TB posture —
+filters reach the parquet scan, scans prune columns, dimension joins
+broadcast, global top-k avoids full sorts, and nothing degenerates into a
+cartesian product. A regression here is a scale bug even when sf0.001
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from bonobo_sqlalchemy_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns reach the scan, not all 11
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+    assert "l_quantity" in rs and "l_returnflag" in rs
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters: ")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_region_revenue", "q10_returned_items"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q_topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_aggregates_are_partial(spark):
+    """Map-side partial aggregation: two HashAggregate phases around the
+    exchange, so the shuffle moves group states, not raw rows."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    for name in ("q_semi_join", "q_anti_join"):
+        plan = plan_of(spark, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+NO_CARTESIAN_EXEMPT = {
+    # brute-force ANN baseline intentionally broadcasts 8 query rows against
+    # the corpus via a (tiny) nested-loop join
+    "sim_cosine_topk",
+}
+
+
+def test_no_accidental_cartesian_products(spark):
+    offenders = []
+    for name in REGISTRY:
+        if name in NO_CARTESIAN_EXEMPT or name == "stream_tumbling_counts":
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception:
+            continue  # execution-time queries checked elsewhere
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_exchange_reuse_or_single_scan_in_self_joins(spark):
+    """The jaccard self-join must not scan+shingle the corpus more than
+    twice (one per side at worst; ReusedExchange when canonicalization
+    allows)."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert plan.count("FileScan parquet") <= 2
