@@ -45,6 +45,82 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization + probed exact re-rank.
+
+    Cells are defined by K fixed centroids (deterministically the first K
+    corpus vectors by id — a real deployment would train k-means offline and
+    broadcast the codebook the same way). Assignment is a join-aggregate
+    matrix multiply (posexplode components x broadcast codebook -> SUM per
+    (vector, cell)) so it stays in whole-stage codegen; each query probes
+    its ``n_probe`` nearest cells and re-ranks exactly inside them. The
+    corpus never cross-joins the queries — candidate count is
+    ~n_probe/n_cells of the corpus per query.
+    """
+    spark = corpus.sparkSession
+    cents = (
+        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )  # K small vectors on the driver: the broadcast codebook
+    codebook = [
+        (ci, pos, float(x))
+        for ci, row in enumerate(cents)
+        for pos, x in enumerate(row[0])
+    ]
+    cdf = spark.createDataFrame(codebook, "cell int, pos int, c double")
+
+    def cell_dots(df: DataFrame, out_id: str) -> DataFrame:
+        comp = df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("pos", "x")
+        )
+        return (
+            comp.join(F.broadcast(cdf), "pos")
+            .groupBy(out_id, "cell")
+            .agg(F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"))
+        )
+
+    w_assign = W.partitionBy("cid").orderBy(F.col("dot").desc(), F.col("cell"))
+    corpus_cells = (
+        cell_dots(corpus, "cid")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(F.col("cid").alias("neighbor_id"), "cell")
+    )
+    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    query_cells = (
+        cell_dots(queries, "qid")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("qid").alias("query_id"), "cell")
+    )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", V.cosine_rounded("qv", "cv").alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

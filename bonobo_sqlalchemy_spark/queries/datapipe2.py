@@ -1,0 +1,127 @@
+"""Datapipe batch 2: corpus vocabulary stats, TF-IDF, dedup survivors,
+IVF-style ANN — completing the training-data operator inventory."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources.files import load_table
+from .base import query
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT token, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rn
+      FROM counts
+    )
+    SELECT token, freq, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 50
+    """,
+    tags=("text",),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (explode -> two-phase
+    count -> global top-k; the rank tie-breaks on the token for
+    determinism)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 50)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           CAST(tf AS BIGINT) AS tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf >= 5
+    """,
+    tags=("text",),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token), tf >= 5: classic two-aggregate + broadcast
+    join shape; document frequency is the smaller side and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; the corpus row count is cheap driver-side
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .where(F.col("tf") >= 5)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM d
+    ), x AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+      FROM x a JOIN x b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+    losers AS (
+      SELECT DISTINCT id2 FROM pairs
+      JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE round(common / (s1.n + s2.n - common), 6) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id2 FROM losers)
+    """,
+    tags=("dedup",),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: corpus minus the higher id of every near-dup pair
+    (greedy keep-lowest survivor policy, deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
+    return D.survivors(docs, pairs).select("doc_id", "lang", "source")
+
+
+@query("sim_ivf_topk", oracle=None, tags=("similarity", "sketch"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to the nearest of K fixed
+    centroids (deterministic: the first K corpus vectors by id), search only
+    the query's nearest `n_probe` cells, exact re-rank inside. Rows-only
+    (recall vs brute force asserted in tests)."""
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4)

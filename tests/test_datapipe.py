@@ -67,6 +67,22 @@ def test_lsh_topk_recall_vs_bruteforce(spark, embs):
     assert len(exact & approx) >= len(exact) * 0.6
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, embs):
+    queries = embs.where(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(embs, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    # probing 4/16 cells scans ~25% of the corpus; near-uniform directions
+    # cap recall — require a sane floor and full result shape
+    assert len(approx) == len(exact) == 40
+    assert len(exact & approx) >= len(exact) * 0.3
+
+
 def test_survivors_drops_higher_ids(spark, docs):
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     kept = D.survivors(docs, pairs)

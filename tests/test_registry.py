@@ -1,0 +1,46 @@
+"""Service registry + JDBC config unit tests (no database needed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bonobo_sqlalchemy_spark.errors import MissingServiceError
+from bonobo_sqlalchemy_spark.registry import (
+    JdbcService,
+    PathService,
+    ServiceRegistry,
+    create_postgresql_jdbc,
+)
+
+
+def test_missing_service_raises_with_known_names():
+    reg = ServiceRegistry({"a": 1})
+    with pytest.raises(MissingServiceError) as ei:
+        reg.resolve("sqlalchemy.engine")
+    assert "sqlalchemy.engine" in str(ei.value) and "'a'" in str(ei.value)
+
+
+def test_postgres_jdbc_kwargs_over_env_over_defaults(monkeypatch):
+    # precedence parity with the reference DSN builder (util.py:20-35)
+    monkeypatch.setenv("POSTGRES_HOST", "envhost")
+    monkeypatch.setenv("POSTGRES_USER", "envuser")
+    svc = create_postgresql_jdbc(host="kwhost", name="mydb")
+    assert svc.url == "jdbc:postgresql://kwhost:5432/mydb?client_encoding=utf8"
+    assert svc.properties["user"] == "envuser"  # env wins over default
+    assert svc.properties["driver"] == "org.postgresql.Driver"
+
+
+def test_postgres_jdbc_custom_env_prefix(monkeypatch):
+    monkeypatch.setenv("WAREHOUSE_PORT", "5544")
+    svc = create_postgresql_jdbc(env="WAREHOUSE", options="")
+    assert svc.url == "jdbc:postgresql://localhost:5544/postgres"
+
+
+def test_jdbc_reader_options_merge_properties():
+    svc = JdbcService("jdbc:postgresql://h/db", {"user": "u", "password": "p"})
+    opts = svc.reader_options()
+    assert opts == {"url": "jdbc:postgresql://h/db", "user": "u", "password": "p"}
+
+
+def test_path_service_table_path():
+    assert PathService("/data", "parquet").table_path("t") == "/data/t.parquet"
