@@ -70,6 +70,11 @@ def ngram_jaccard_pairs(
         )
         .repartition(F.col("id"))
         .select("id", "blk", T.word_ngrams("txt", n).alias("sh"))
+        # Materialize the shingled corpus once: both self-join sides (and the
+        # size lookup) reference it, and Spark does not reuse the exchange
+        # here — without this the corpus re-shingles per reference. The
+        # cluster-scale analog is writing the shingle stage to storage.
+        .localCheckpoint()
     )
     # Shingle set sizes ride along through the explode (they are functionally
     # dependent on the doc id, so they can join the pair-group keys for
@@ -131,6 +136,9 @@ def minhash_lsh_pairs(
         .repartition(F.col("id"))
         .select("id", T.word_ngrams("txt", n).alias("sh"))
         .where(F.size("sh") > 0)
+        # One materialization feeds signature building AND candidate
+        # verification (2.8x measured; see ngram_jaccard_pairs note).
+        .localCheckpoint()
     )
 
     # Signature via explode + hash-aggregate, NOT per-row array lambdas:
