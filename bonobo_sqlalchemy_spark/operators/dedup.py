@@ -197,7 +197,17 @@ def simhash_pairs(
     block_col: str | None = "lang",
     max_hamming: int = 12,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sketch, hamming <= t, within a block."""
+    """SimHash near-dup pairs: 64-bit sketch, hamming <= t, within a block.
+
+    Candidate generation uses bit-band blocking instead of an all-pairs
+    join: the 64 signature bits split into ``max_hamming + 1`` bands, so by
+    pigeonhole any pair within ``max_hamming`` differing bits agrees on at
+    least one whole band — zero false negatives, and candidates shuffle on
+    band values instead of exploding quadratically per block. (On a corpus
+    where near-everything is near-duplicate — like the small-vocab test
+    fixture — banding degenerates to all pairs plus band overhead; its win
+    is on realistic corpora where similar pairs are sparse.)
+    """
     # SimHash via explode + 64 codegen'd SUM aggregates (per-bit votes) —
     # same rationale as the MinHash path: interpreted array lambdas are
     # ~100x slower than whole-stage-codegen hash aggregation.
@@ -222,18 +232,39 @@ def simhash_pairs(
             F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)
         ).otherwise(F.lit(0).cast("bigint"))
         sig_expr = term if sig_expr is None else sig_expr + term
-    base = votes.select("id", "blk", sig_expr.alias("sig"))
-    a, b = base.alias("a"), base.alias("b")
+    base = votes.select("id", "blk", sig_expr.alias("sig")).localCheckpoint()
+
+    # Bit-band blocking: n_bands = max_hamming + 1 contiguous bit ranges.
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftright(F.col("sig"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .cast("string"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    buckets = base.select("id", "blk", "sig", F.explode(band_keys).alias("band"))
+    a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
             H.hamming64(F.col("a.sig"), F.col("b.sig")).cast("bigint").alias("hamming"),
         )
+        .dropDuplicates(["id1", "id2"])
         .where(F.col("hamming") <= max_hamming)
     )
 
