@@ -22,6 +22,7 @@ from .registry import (
     JdbcService,
     PathService,
     ServiceRegistry,
+    create_postgresql_engine,
     create_postgresql_jdbc,
 )
 from .session import get_spark
@@ -45,6 +46,7 @@ __all__ = [
     "DbapiService",
     "PathService",
     "create_postgresql_jdbc",
+    "create_postgresql_engine",
     "Operation",
     "SELECT",
     "INSERT",

@@ -118,3 +118,9 @@ def create_postgresql_jdbc(
             "driver": "org.postgresql.Driver",
         },
     )
+
+
+#: Drop-in name parity with the reference public helper
+#: (``bonobo_sqlalchemy.create_postgresql_engine``); returns the engine's
+#: JDBC service instead of a SQLAlchemy engine.
+create_postgresql_engine = create_postgresql_jdbc
