@@ -115,6 +115,45 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.survivors(docs, pairs).select("doc_id", "lang", "source")
 
 
+@query(
+    "emb_vector_stats",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label, unnest(embedding) AS x FROM embeddings
+    ), norms AS (
+      SELECT vec_id, label,
+             round(sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 9) AS nrm
+      FROM u GROUP BY 1, 2
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           round(SUM(nrm) / COUNT(*), 6) AS avg_norm,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    tags=("similarity", "stats"),
+)
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics (array analytics surface).
+
+    Norms round to 9dp before averaging so the per-vector reordering error
+    (~1e-15) can't leak through the sum of thousands of norms into the
+    6dp-rounded average.
+    """
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "label", F.round(F.sqrt(V.norm_sq("embedding")), 9).alias("nrm")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
 @query("sim_ivf_topk", oracle=None, tags=("similarity", "sketch"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors to the nearest of K fixed
