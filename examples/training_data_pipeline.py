@@ -1,0 +1,74 @@
+"""End-to-end training-data curation pipeline — the engine's north-star
+composition: ingest -> exact dedup -> near-dup removal -> quality filter ->
+text metrics -> partitioned corpus write.
+
+Every stage is one of the engine's operators; nothing collects to the
+driver until the final summary. At 100 TB the same program runs with the
+paths pointed at object storage and the partition count raised — the plan
+shapes (hash-agg dedup, inverted-index Jaccard, partitioned write) are the
+scale-out shapes already.
+
+Run: python examples/training_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+import bonobo_sqlalchemy_spark as bss
+from bonobo_sqlalchemy_spark.functions import text as T
+from bonobo_sqlalchemy_spark.operators import dedup as D
+from bonobo_sqlalchemy_spark.sources.files import load_table
+from bonobo_sqlalchemy_spark.sources.sinks import read_partitioned, write_partitioned
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp() + "/corpus"
+    spark = bss.get_spark(app_name="training-data-pipeline")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep one doc per identical content fingerprint
+    survivors_exact = D.exact_dedup(docs).select("doc_id")
+    docs = docs.join(survivors_exact, "doc_id", "left_semi")
+    n1 = docs.count()
+
+    # 2. fuzzy dedup: drop the higher id of every near-duplicate pair
+    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
+    docs = D.survivors(docs, pairs)
+    n2 = docs.count()
+
+    # 3. quality gate + text metrics (all JVM-side column functions)
+    scored = docs.select(
+        "*",
+        T.quality_score("text").alias("quality"),
+        T.n_tokens("text").alias("n_tokens"),
+        T.fingerprint_md5("text").alias("fingerprint"),
+    )
+    curated = scored.where((F.col("quality") >= 0.55) & (F.col("n_tokens") >= 10))
+    n3 = curated.count()
+
+    # 4. partitioned corpus write (lang directories -> pruned reads later)
+    write_partitioned(curated, out, ["lang"])
+
+    back = read_partitioned(spark, out)
+    print(
+        f"ingested={n0} after_exact_dedup={n1} after_near_dedup={n2} "
+        f"after_quality_gate={n3} written={back.count()} -> {out}"
+    )
+    back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    ).orderBy("lang").show()
+
+
+if __name__ == "__main__":
+    main()
