@@ -1,3 +1,30 @@
+from .dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    survivors,
+)
+from .multimodal import attach_binary_payload, extract_features
+from .scale import bucketed_join, salted_join, write_bucketed
+from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .upsert import InsertOrUpdate
 
-__all__ = ["InsertOrUpdate"]
+__all__ = [
+    "InsertOrUpdate",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "survivors",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "attach_binary_payload",
+    "extract_features",
+    "salted_join",
+    "write_bucketed",
+    "bucketed_join",
+]

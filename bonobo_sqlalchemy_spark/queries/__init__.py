@@ -11,6 +11,7 @@ from .base import REGISTRY, QuerySpec, query
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 from . import datapipe  # noqa: E402,F401
 from . import datapipe2  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
