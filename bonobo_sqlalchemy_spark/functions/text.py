@@ -119,6 +119,28 @@ def lang_id(text: str | Column) -> Column:
     return result.otherwise(expr)
 
 
+def split_bucket(key: str | Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n) bucket from a key — for reproducible train/val
+    splits that survive reshuffles, engine changes, and reruns.
+
+    Built from md5 so any SQL engine computes the identical assignment:
+    two hex chars -> ascii arithmetic (portable; no engine-specific
+    hex-to-int needed). 16 bits of entropy is plenty for split ratios.
+    """
+    h = F.md5(col_(key).cast("string").cast("binary"))
+    return (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        % n_buckets
+    ).cast("bigint")
+
+
+def train_val_split(key: str | Column, train_pct: int = 90) -> Column:
+    """'train' / 'val' label, deterministic per key (see split_bucket)."""
+    return F.when(split_bucket(key) < train_pct, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+
+
 def quality_score(text: str | Column) -> Column:
     """Composite quality in [0,1]: length saturation + non-punct + stopword
     presence. All terms are IEEE double ops on exact ints -> deterministic."""

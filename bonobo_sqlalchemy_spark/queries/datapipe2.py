@@ -116,6 +116,30 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_train_val_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT doc_id, lang, split FROM tagged
+    """,
+    tags=("text", "split"),
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val assignment per doc_id: hash-stable
+    across engines, reruns, and repartitions (the reproducibility property
+    a training pipeline needs — no rand(), no order dependence)."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.train_val_split("doc_id").alias("split"))
+
+
+@query(
     "emb_vector_stats",
     oracle="""
     WITH u AS (
