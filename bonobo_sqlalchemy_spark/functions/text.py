@@ -41,7 +41,12 @@ def n_tokens(text: str | Column) -> Column:
 
 
 def word_ngrams(text: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined) as an array column.
+
+    Note: the ``transform`` lambda runs interpreted (~8µs/element), so for
+    corpus-scale shingling prefer the codegen explode pipeline in
+    ``operators.dedup._exploded_shingles``; this column form is for small
+    per-row uses."""
     w = words(text)
     count = F.size(w)
     idx = F.when(count >= n, F.sequence(F.lit(0), count - F.lit(n))).otherwise(
@@ -123,14 +128,15 @@ def split_bucket(key: str | Column, n_buckets: int = 100) -> Column:
     """Deterministic [0, n) bucket from a key — for reproducible train/val
     splits that survive reshuffles, engine changes, and reruns.
 
-    Built from md5 so any SQL engine computes the identical assignment:
-    two hex chars -> ascii arithmetic (portable; no engine-specific
-    hex-to-int needed). 16 bits of entropy is plenty for split ratios.
+    Built from md5 so any SQL engine computes the identical assignment: the
+    first four hex chars parse as a 16-bit integer (Spark ``conv(h,16,10)``,
+    DuckDB ``CAST('0x'||substr(h,1,4) AS INT)``), giving 65536 uniform
+    values — so bucket weights differ by at most 1/655 of each other, and
+    every bucket below 65536 is reachable.
     """
     h = F.md5(col_(key).cast("string").cast("binary"))
     return (
-        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
-        % n_buckets
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_buckets
     ).cast("bigint")
 
 

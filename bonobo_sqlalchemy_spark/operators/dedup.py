@@ -43,6 +43,75 @@ def exact_dedup(
     )
 
 
+def _exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Distinct ``(id, blk, g)`` word-n-gram shingle rows, fully codegen.
+
+    Shingling via explode of the n-gram start positions + ``slice`` +
+    ``concat_ws`` stays inside whole-stage codegen; the array-lambda form
+    (``transform`` over a ``sequence``) runs interpreted at ~8µs/element and
+    dominated the round-1 dedup bench. Docs with fewer than ``n`` words have
+    an empty shingle set and are dropped (they can never pair).
+    """
+    blk = [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]
+    w = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *blk,
+            F.split(F.trim(F.col(text_col)), " +").alias("w"),
+        )
+        .where(F.size("w") >= n)
+        # One exchange by id up front (a rebalance — ids are unique). Every
+        # per-document step after it — shingle explode, the dedupe to
+        # distinct shingles, shingle-set sizes, the MinHash signature agg —
+        # requires only clustering by id, which hashpartitioning(id)
+        # satisfies, so the whole per-doc pipeline runs shuffle-free and
+        # core-parallel even when the corpus arrives as one fat scan task.
+        .repartition("id")
+    )
+    pos = w.select(
+        "id",
+        "blk",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.size("w") - F.lit(n))).alias("i"),
+    )
+    # The repartition exchange is the canonical shared subtree: every
+    # consumer (self-join sides, signature agg) reuses its shuffle output
+    # (AQE exchange reuse), so the corpus is scanned and split once; the
+    # narrow explode+dedupe re-runs per consumer but is cheap codegen. At
+    # cluster scale, persist this frame instead if consumers outnumber the
+    # exchange-reuse coverage.
+    return pos.select(
+        "id", "blk", F.concat_ws(" ", F.slice("w", F.col("i") + 1, n)).alias("g")
+    ).dropDuplicates(["id", "blk", "g"])
+
+
+def _cap_shingles(ex: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Stop-shingle filtering: drop shingles appearing in more than
+    ``max_shingle_df`` documents (per block) from the shingle universe.
+
+    Semantics match stop-word removal: sizes and similarities are computed
+    over the *filtered* sets, so results stay self-consistent. At 100 TB an
+    ultra-hot shingle otherwise floods one reducer's posting list with a
+    quadratic pair blowup; the document-frequency agg is one cheap pass and
+    the hot set is tiny, so the anti-join broadcasts.
+    """
+    if max_shingle_df is None:
+        return ex
+    hot = (
+        ex.groupBy("blk", "g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") > max_shingle_df)
+        .select("blk", "g")
+    )
+    return ex.join(F.broadcast(hot), ["blk", "g"], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -50,40 +119,25 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs (id1 < id2, sim >= t).
 
     Inverted-index plan: explode distinct shingles, self-join on shingle
     (+ optional blocking key), count common shingles per pair, then
     |A∪B| = |A| + |B| - common. The join shuffles on the shingle value, so
-    the quadratic blowup is bounded per posting list — at scale, drop
-    ultra-frequent shingles first (stop-shingle filtering).
+    the quadratic blowup is bounded per posting list; ``max_shingle_df``
+    drops ultra-frequent shingles first (stop-shingle filtering, see
+    `_cap_shingles`) so no posting list exceeds that bound.
     """
-    # Repartition the raw text BEFORE shingling: a single-file corpus scans
-    # as one task, and the shingle projection is the expensive part — the
-    # exchange of raw rows is cheap, the shingling then runs core-parallel.
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-            F.col(text_col).alias("txt"),
-        )
-        .repartition(F.col("id"))
-        .select("id", "blk", T.word_ngrams("txt", n).alias("sh"))
-        # Materialize the shingled corpus once: both self-join sides (and the
-        # size lookup) reference it, and Spark does not reuse the exchange
-        # here — without this the corpus re-shingles per reference. The
-        # cluster-scale analog is writing the shingle stage to storage.
-        .localCheckpoint()
+    ex = _cap_shingles(
+        _exploded_shingles(df, text_col, id_col, n, block_col), max_shingle_df
     )
-    # Shingle set sizes ride along through the explode (they are functionally
-    # dependent on the doc id, so they can join the pair-group keys for
-    # free) — this removes two size-lookup joins and their re-shingling
-    # passes. Both self-join sides share one canonical exploded plan, so
-    # Spark reuses the exchange: the corpus is shingled once.
-    ex = base.select(
-        "id", "blk", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
-    )
+    # Shingle-set sizes ride along on every exploded row via a count window
+    # over the id-partitioning (no exchange, no third consumer of the
+    # shingle stage — the self-join sides are the only two readers, and the
+    # second side reuses the first's exchange).
+    ex = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id")))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
@@ -120,6 +174,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs, verified with exact Jaccard.
 
@@ -127,29 +182,30 @@ def minhash_lsh_pairs(
     band-bucket join (shuffle on band key — no all-pairs). Verification
     computes exact Jaccard on the candidates only. With 32 perms / 8 bands
     (4 rows per band) the S-curve midpoint sits near 0.5 similarity.
+    ``max_shingle_df`` applies stop-shingle filtering (see `_cap_shingles`).
     """
     rows = num_perm // bands
-    # Same single-file parallelization as ngram_jaccard_pairs: exchange raw
-    # text first, shingle core-parallel after.
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-        .repartition(F.col("id"))
-        .select("id", T.word_ngrams("txt", n).alias("sh"))
-        .where(F.size("sh") > 0)
-        # One materialization feeds signature building AND candidate
-        # verification (2.8x measured; see ngram_jaccard_pairs note).
-        .localCheckpoint()
-    )
+    # Shared exploded distinct-shingle plan (codegen; see _exploded_shingles).
+    # Duplicate shingles wouldn't change the MIN aggregates, but the distinct
+    # form is required anyway for exact-Jaccard verification, and every
+    # consumer below aliases the same plan so ReuseExchange shingles the
+    # corpus exactly once.
+    ex = _cap_shingles(
+        _exploded_shingles(df, text_col, id_col, n, None), max_shingle_df
+    ).drop("blk")
 
     # Signature via explode + hash-aggregate, NOT per-row array lambdas:
     # nested higher-order functions run interpreted (~8us/element measured —
-    # 67s for 5k docs), while explode -> xxhash64 -> 32 MIN aggregates stays
-    # inside whole-stage codegen (<1s for the same work). This is also the
+    # 67s for 5k docs), while xxhash64 -> 32 MIN aggregates stays inside
+    # whole-stage codegen (<1s for the same work). This is also the
     # scale-out shape: one shuffle on id, partial MIN map-side.
-    ex = base.select("id", F.explode("sh").alias("g"))
     h = ex.select("id", (F.abs(F.xxhash64("g")) % F.lit(1 << 31)).alias("h"))
     params = H._perm_params(num_perm)
+    # n_sh (distinct-shingle count) folds into the same hash-aggregate as the
+    # MIN signature lanes — the verification's size lookup rides the signature
+    # shuffle for free instead of re-aggregating the exploded corpus.
     sig = h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(H._MERSENNE_P)).alias(
                 f"m{i}"
@@ -177,15 +233,32 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    # Exact-Jaccard verification of candidates only.
-    s1 = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
+    # Exact-Jaccard verification of candidates only, over the exploded form:
+    # count common shingles per candidate pair (two co-partitioned joins —
+    # never materializes shingle arrays), then |A∪B| = n1 + n2 - common.
+    # Pairs with zero common shingles drop out of the join; their Jaccard is
+    # 0 < threshold, so nothing is lost.
+    sizes = sig.select("id", "n_sh")
+    e1 = ex.select(F.col("id").alias("id1"), "g")
+    e2 = ex.select(F.col("id").alias("id2"), "g")
+    common = (
+        cand.join(e1, "id1")
+        .join(e2, ["id2", "g"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
     return (
-        cand.join(s1, "id1")
+        common.join(s1, "id1")
         .join(s2, "id2")
-        .select("id1", "id2", F.round(inter / union, 6).alias("jaccard"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -275,23 +348,61 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.4,
+    bits_per_table: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Cosine near-dup pairs within a blocking key (id1 < id2, sim >= t)."""
+    """Cosine near-dup pairs (id1 < id2, sim >= t) via hyperplane-LSH blocking.
+
+    Candidate generation is multi-table random-hyperplane LSH: ``n_tables``
+    independent ``bits_per_table``-bit sign signatures per vector; two
+    vectors are candidates if they share ANY table's bucket (and the
+    optional ``block_col``, kept as a secondary key). Candidates shuffle on
+    the bucket value — never an all-pairs join within a block, so a huge or
+    skewed block stays linear, not quadratic. Survivors are verified with
+    the exact rounded cosine.
+
+    Recall is the standard (b, L) S-curve ``1 - (1 - p^b)^L`` with
+    ``p = 1 - θ/π``: ≈1.0 for true near-dups (cosine ≥ 0.9) at the
+    (4, 16) default; borderline-threshold pairs are probabilistically
+    pruned, which is the documented LSH trade.
+    """
+    planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
+    tables = [
+        planes[t * bits_per_table : (t + 1) * bits_per_table]
+        for t in range(n_tables)
+    ]
+    keys = F.array(
+        *[
+            F.concat_ws(":", F.lit(str(t)), V.hyperplane_signature(F.col("v"), tbl))
+            for t, tbl in enumerate(tables)
+        ]
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.col(vec_col).alias("v"),
-    )
+    ).select("id", "blk", "v", F.explode(keys).alias("bucket"))
     a, b = base.alias("a"), base.alias("b")
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            V.cosine_rounded(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.select(
+            "id1", "id2", V.cosine_rounded(F.col("va"), F.col("vb")).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
     )

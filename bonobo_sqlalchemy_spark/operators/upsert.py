@@ -312,6 +312,15 @@ class InsertOrUpdate:
                                     errors.get("UPDATE:" + repr(k), 0) + 1
                                 )
                                 continue
+                            if update_sql is None:
+                                # Every non-key column is insert-only: there
+                                # is nothing to SET. The reference's UPDATE
+                                # would fail per-row and be channelled
+                                # downstream (writers.py:92-95) — surface a
+                                # dead-letter record instead of silence.
+                                ek = "UPDATE-noop:" + repr(k)
+                                errors[ek] = errors.get(ek, 0) + 1
+                                continue
                             upd_rows.append(
                                 tuple(r[cols.index(c)] for c in upd_cols)
                                 + tuple(r[i] for i in key_idx)
@@ -379,31 +388,101 @@ class InsertOrUpdate:
     def _fetch_back_dbapi(
         self, df: DataFrame, spark: SparkSession, service: DbapiService
     ) -> DataFrame:
-        """O2i: join written rows back to the target for generated columns."""
+        """O2i: join written rows back to the target for generated columns.
+
+        Distributed: every partition issues chunked keyed ``SELECT ...
+        WHERE key IN (...)`` against the target, reading only the
+        discriminant + fetch columns for its own keys — the target table is
+        never materialized on the driver (a scale-killer for big targets).
+        A LIMIT-100 driver probe supplies the fetched columns' Spark types;
+        if the target has duplicate discriminant values the first match
+        wins (the reference's per-row ``SELECT ... LIMIT 1`` semantics,
+        ``writers.py:166-171``).
+        """
         import pandas as pd
+        from pyspark.sql.types import StructType
+
+        keys = list(self.discriminant)
+        want = sorted({*self.fetch_columns.values()} | set(keys))
+        cols_sql = ", ".join(_quote(c) for c in want)
+        q_table = _quote(self.table_name)
 
         conn = service.connect()
         try:
-            want = sorted({*self.fetch_columns.values(), *self.discriminant})
-            cols_sql = ", ".join(_quote(c) for c in want)
-            target_pdf = pd.read_sql_query(  # driver-side; JDBC-parallel at scale
-                f"SELECT {cols_sql} FROM {_quote(self.table_name)}", conn
-            )
+            cur = conn.cursor()
+            cur.execute(f"SELECT {cols_sql} FROM {q_table} LIMIT 100")
+            sample = pd.DataFrame(cur.fetchall(), columns=want)
         finally:
             conn.close()
-        tgt = spark.createDataFrame(target_pdf)
-        if tgt.count() == 0 and df.count() > 0:
+        if sample.empty:
+            if df.isEmpty():
+                return df
             raise FetchBackError("Could not find matching row after load.")
-        joined = df.join(tgt, on=list(self.discriminant), how="left")
-        out = joined.select(
-            *[df[c] for c in df.columns],
-            *[
-                tgt[col].alias(alias)
-                for alias, col in self.fetch_columns.items()
-                if col in tgt.columns and alias not in df.columns
-            ],
-        )
-        return out
+        probe_types = {
+            f.name: f.dataType for f in spark.createDataFrame(sample).schema.fields
+        }
+
+        add = [
+            (alias, col)
+            for alias, col in sorted(self.fetch_columns.items())
+            if col in want and alias not in df.columns
+        ]
+        out_schema = StructType(list(df.schema.fields))
+        for alias, col in add:
+            out_schema.add(alias, probe_types[col], True)
+
+        connect = service.connect
+        paramstyle = service.paramstyle
+
+        def fetch_partition(batches):
+            conn = connect()
+            ph = _placeholder(paramstyle)
+            cur = conn.cursor()
+            try:
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    keyvals = [
+                        tuple(r)
+                        for r in pdf[keys]
+                        .drop_duplicates()
+                        .itertuples(index=False, name=None)
+                    ]
+                    rows: list[tuple] = []
+                    for kchunk in _chunked(keyvals, 500):
+                        if len(keys) == 1:
+                            phs = ", ".join([ph] * len(kchunk))
+                            sql = (
+                                f"SELECT {cols_sql} FROM {q_table} "
+                                f"WHERE {_quote(keys[0])} IN ({phs})"
+                            )
+                            cur.execute(sql, [k[0] for k in kchunk])
+                        else:
+                            cond = " OR ".join(
+                                ["(" + " AND ".join(f"{_quote(k)} = {ph}" for k in keys) + ")"]
+                                * len(kchunk)
+                            )
+                            sql = f"SELECT {cols_sql} FROM {q_table} WHERE {cond}"
+                            cur.execute(sql, [v for k in kchunk for v in k])
+                        rows.extend(tuple(r) for r in cur.fetchall())
+                    tgt = pd.DataFrame(rows, columns=want).drop_duplicates(
+                        subset=keys, keep="first"
+                    )
+                    merged = pdf.merge(tgt, how="left", on=keys, suffixes=("", "__t"))
+                    out = pdf.copy()
+                    for alias, col in add:
+                        if col in keys:
+                            src = col
+                        elif col in pdf.columns:
+                            src = col + "__t"
+                        else:
+                            src = col
+                        out[alias] = merged[src].values
+                    yield out
+            finally:
+                conn.close()
+
+        return df.mapInPandas(fetch_partition, schema=out_schema)
 
     # ------------------------------------------------------------------
     # Parquet-directory backend (lakehouse MERGE emulation)
@@ -476,8 +555,17 @@ class InsertOrUpdate:
         n_ins, n_upd = inserted.count(), updated.count()
         tmp = path + ".__merge_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
+        # Swap keeping the old table recoverable: rename it aside first, so
+        # a crash between the two renames leaves the previous version on
+        # disk (at `old`) instead of no table at all. This parquet backend
+        # is still non-transactional for concurrent readers — the real
+        # target for this operator is an atomic `MERGE INTO` on
+        # Delta/Iceberg (single-writer assumption documented in COVERAGE.md).
+        old = path + ".__merge_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
         shutil.move(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         self.last_stats = {"insert": n_ins, "update": n_upd}
         out = prepared
         if self.fetch_columns:

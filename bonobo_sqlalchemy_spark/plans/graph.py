@@ -144,10 +144,21 @@ def _apply_node(
     if callable(write):  # sink
         return write(df, spark, services)
     if callable(node):
+        # Arity by signature inspection (like _materialize_source), not by
+        # catch-and-retry: a genuine TypeError raised *inside* a one-arg
+        # transform must propagate, not be masked by a confusing second
+        # call with (df, ctx).
         try:
-            return node(df)
-        except TypeError:
-            return node(df, ctx)
+            sig = inspect.signature(node)
+            n_required = sum(
+                1
+                for p in sig.parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                and p.default is p.empty
+            )
+        except (TypeError, ValueError):
+            n_required = 1
+        return node(df, ctx) if n_required >= 2 else node(df)
     raise TypeError(f"node {node!r} is neither callable nor a sink")
 
 

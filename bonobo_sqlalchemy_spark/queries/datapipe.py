@@ -195,36 +195,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "sketch"))
+@query("dedup_simhash", oracle=None, tags=("dedup", "sketch"), bench=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming <= 12) blocked by language."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=12)
 
 
+def _emb_lsh_oracle(
+    threshold: float = 0.4,
+    bits_per_table: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of `embedding_near_dup_pairs`: the identical seeded
+    hyperplanes are inlined as array literals (repr round-trips the doubles
+    bit-exactly), zipped-unnest dot products give the same sign bits, and
+    the exact-cosine verification reuses the engine's determinism policy."""
+    from ..functions import vectors as V
+
+    planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
+    rows = []
+    for t in range(n_tables):
+        for j in range(bits_per_table):
+            arr = ", ".join(repr(w) for w in planes[t * bits_per_table + j])
+            rows.append(f"({t}, {j}, [{arr}])")
+    values = ",\n".join(rows)
+    return f"""
+    WITH p(tbl, bit, w) AS (VALUES {values}),
+    e AS (SELECT vec_id, label, embedding FROM embeddings),
+    u AS (SELECT vec_id, label, tbl, bit, unnest(embedding) AS x, unnest(w) AS y FROM e, p),
+    dots AS (SELECT vec_id, label, tbl, bit, SUM(CAST(x AS DOUBLE) * y) AS d FROM u GROUP BY 1, 2, 3, 4),
+    sig AS (SELECT vec_id, label, tbl,
+                   string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS bucket
+            FROM dots GROUP BY 1, 2, 3),
+    cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+             FROM sig a JOIN sig b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id),
+    j AS (SELECT id1, id2, e1.embedding AS va, e2.embedding AS vb
+          FROM cand JOIN e e1 ON id1 = e1.vec_id JOIN e e2 ON id2 = e2.vec_id),
+    u2 AS (SELECT id1, id2, unnest(va) AS x, unnest(vb) AS y FROM j),
+    p2 AS (SELECT id1, id2,
+                  SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                  SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           FROM u2 GROUP BY 1, 2)
+    SELECT id1, id2, round(dot / sqrt(na * nb), 6) AS cosine
+    FROM p2 WHERE round(dot / sqrt(na * nb), 6) >= {threshold}
+    """
+
+
 @query(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-    j AS (
-      SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS va, b.embedding AS vb
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    ), u AS (
-      SELECT id1, id2, unnest(va) AS x, unnest(vb) AS y FROM j
-    ), p AS (
-      SELECT id1, id2,
-             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-      FROM u GROUP BY 1, 2
-    )
-    SELECT id1, id2, round(dot / sqrt(na * nb), 6) AS cosine
-    FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.4
-    """,
+    oracle=_emb_lsh_oracle(),
     tags=("dedup", "similarity"),
+    bench=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4) blocked by label — the
-    block stands in for an LSH bucket at corpus scale."""
+    """Embedding near-dup pairs (cosine >= 0.4): multi-table hyperplane-LSH
+    bucket blocking (label as secondary key) + exact cosine verification —
+    linear in the corpus even for huge or skewed label blocks."""
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
@@ -268,7 +298,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, e.where(F.col("vec_id") < 8), k=5)
 
 
-@query("sim_lsh_topk", oracle=None, tags=("similarity", "sketch"))
+@query("sim_lsh_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-5 (bucket join + exact
     re-rank; ~80% top-5 recall on this corpus at (4 bits, 16 tables)).

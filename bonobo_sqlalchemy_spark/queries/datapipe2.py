@@ -58,24 +58,28 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE tf >= 5
     """,
     tags=("text",),
+    bench=True,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, token), tf >= 5: classic two-aggregate + broadcast
-    join shape; document frequency is the smaller side and broadcasts."""
+    join shape; document frequency is the smaller side and broadcasts. The
+    corpus size joins in as a broadcast 1-row aggregate (like the oracle's
+    scalar subquery) — no separate driver-side count job."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; the corpus row count is cheap driver-side
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     return (
         tf.join(F.broadcast(df), "token")
         .where(F.col("tf") >= 5)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
             F.col("tf").cast("bigint").alias("tf"),
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )
@@ -120,8 +124,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tagged AS (
       SELECT doc_id, lang,
-             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 90
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                       % 100 < 90
                   THEN 'train' ELSE 'val' END AS split
       FROM documents
     )
@@ -178,7 +182,7 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk", oracle=None, tags=("similarity", "sketch"))
+@query("sim_ivf_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors to the nearest of K fixed
     centroids (deterministic: the first K corpus vectors by id), search only

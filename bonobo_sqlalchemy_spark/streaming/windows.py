@@ -48,9 +48,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         import hashlib
         import tempfile
 
+        # Key the stage dir on path + size + mtime so a regenerated source
+        # file (same path, new content — the copy-fallback case) gets a
+        # fresh stage instead of silently serving stale data.
+        st = os.stat(path)
+        stamp = f"{path}:{st.st_size}:{st.st_mtime_ns}"
         stage = os.path.join(
             tempfile.gettempdir(),
-            "bss_stream_" + hashlib.md5(path.encode()).hexdigest()[:12],
+            "bss_stream_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
         )
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, os.path.basename(path))

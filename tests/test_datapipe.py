@@ -45,6 +45,51 @@ def test_minhash_pairs_verified_no_false_positives(docs):
         assert r.jaccard >= 0.5
 
 
+def test_stop_shingle_cap_bounds_pairs(spark):
+    """An ultra-hot shingle shared by every doc floods posting lists with a
+    quadratic pair blowup; `max_shingle_df` must bound it. Docs here share
+    one hot 3-gram but are otherwise unique, so with the cap no pair
+    survives; without it, every pair collides on the hot shingle."""
+    hot = "the quick fox"
+    rows = [(i, f"{hot} unique tail number {i} alpha beta{i} gamma{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(
+        df, block_col=None, threshold=0.0, max_shingle_df=None
+    )
+    capped = D.ngram_jaccard_pairs(df, block_col=None, threshold=0.0, max_shingle_df=5)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped == 40 * 39 // 2, "every pair collides via the hot shingle"
+    assert n_capped == 0, f"cap should drop hot-shingle-only pairs, got {n_capped}"
+    # minhash path honors the same cap: candidates can only arise from
+    # surviving shingles, so the hot-shingle corpus yields no pairs either
+    assert D.minhash_lsh_pairs(df, threshold=0.0, max_shingle_df=5).count() == 0
+
+
+def test_embedding_lsh_blocking_finds_true_dups_no_allpairs(spark):
+    """The LSH-bucketed embedding near-dup must (a) find genuinely
+    near-identical same-label vectors with certainty-like recall and (b)
+    never plan an all-pairs join: candidates meet on an equi-join over the
+    bucket key, so the plan has no cartesian/nested-loop product."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((2 * i, "lab%d" % (i % 3), v))
+        # near-identical twin (tiny perturbation, same label) -> cosine ~1
+        rows.append((2 * i + 1, "lab%d" % (i % 3), [x + 1e-4 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.9)
+    found = {(r.id1, r.id2) for r in pairs.collect()}
+    expected = {(2 * i, 2 * i + 1) for i in range(60)}
+    missed = expected - found
+    assert len(missed) <= 1, f"LSH blocking missed true twins: {missed}"
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_close_pairs_have_similar_text(docs):
     pairs = D.simhash_pairs(docs, max_hamming=4).limit(5).collect()
     # hamming<=4 of 64 bits implies strong token overlap; sanity only

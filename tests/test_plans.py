@@ -80,9 +80,15 @@ def test_no_accidental_cartesian_products(spark):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
-def test_exchange_reuse_or_single_scan_in_self_joins(spark):
-    """The jaccard self-join must not scan+shingle the corpus more than
-    twice (one per side at worst; ReusedExchange when canonicalization
-    allows)."""
-    plan = plan_of(spark, "dedup_ngram_jaccard")
-    assert plan.count("FileScan parquet") <= 2
+@pytest.mark.parametrize("name,max_scans", [("dedup_ngram_jaccard", 2), ("dedup_minhash_lsh", 2)])
+def test_exchange_reuse_or_single_scan_in_self_joins(spark, name, max_scans):
+    """The shingle self-joins must not scan+shingle the corpus more than
+    twice (one per side at worst). AQE's exchange reuse only shows in the
+    *final* adaptive plan, so execute first and inspect that: the shared
+    repartition-by-id exchange must be reused, not recomputed per consumer."""
+    spark.catalog.clearCache()  # other suites cache the fixture tables
+    df = REGISTRY[name].spark(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert final.count("FileScan parquet") <= max_scans, final
+    assert "Reused" in final, "no exchange reuse in final plan"

@@ -54,5 +54,7 @@ def test_approx_distinct_error_bound(spark, sf_small):
     rows = REGISTRY["q_approx_distinct"].spark(spark, sf_small).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_orders - r.exact_orders) <= max(3, 0.1 * r.exact_orders)
-        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.1 * r.exact_parts)
+        # the query exposes the bound check itself (driver-comparable);
+        # both flags must hold on every group
+        assert r.orders_within_bounds and r.parts_within_bounds
+        assert r.exact_orders > 0 and r.exact_parts > 0

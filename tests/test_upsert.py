@@ -177,6 +177,37 @@ def test_fetch_columns_generated_id(spark, db):
     assert out_ids == db_ids
 
 
+def test_fetch_back_is_keyed_not_full_table(spark, db, monkeypatch):
+    """O2i at scale: fetch-back must issue keyed SELECTs for only the
+    written keys — never materialize the whole target on the driver. The
+    target here holds 5k pre-existing rows; a full-table read path
+    (pandas.read_sql_query) is poisoned to fail, and the driver-side probe
+    is the only permitted unkeyed statement (LIMIT-bounded)."""
+    import pandas as pd
+
+    con = sqlite3.connect(db)
+    con.executemany(
+        "INSERT INTO audited (ext_key, value, src) VALUES (?, ?, ?)",
+        [(f"pre-{i}", f"v{i}", "seed") for i in range(5000)],
+    )
+    con.commit()
+    con.close()
+
+    def _boom(*a, **k):
+        raise AssertionError("full-table pandas.read_sql_query on the driver")
+
+    monkeypatch.setattr(pd, "read_sql_query", _boom)
+
+    rows = spark.createDataFrame(
+        [("a", "v-a", "s"), ("b", "v-b", "s")], "ext_key string, value string, src string"
+    )
+    sink = InsertOrUpdate("audited", discriminant=("ext_key",), fetch_columns=("id",))
+    [out] = run(Graph(rows, sink), spark, services=_svc(db))
+    got = {r.ext_key: r.id for r in out.collect()}
+    db_ids = dict(_read(db, "SELECT ext_key, id FROM audited WHERE ext_key IN ('a','b')"))
+    assert got == db_ids and all(v is not None for v in got.values())
+
+
 def test_duplicate_keys_in_one_batch_keep_last(spark, db):
     """Set-based divergence (§4.2.3): same key twice in one batch ->
     exactly one final row; last occurrence wins."""
@@ -186,6 +217,56 @@ def test_duplicate_keys_in_one_batch_keep_last(spark, db):
     sink = InsertOrUpdate("table_1")
     run(Graph(dup, sink), spark, services=_svc(db))
     assert _read(db, "SELECT value FROM table_1 WHERE id = 1") == [("third",)]
+
+
+def test_postgres_paramstyle_branch_round_trip(spark, db):
+    """The postgresql dialect branches ('%s' paramstyle, information_schema
+    reflection, postgres-flavored find/insert/update SQL) executed end-to-end
+    against the in-process shim (`bonobo_sqlalchemy_spark.testing`) — the
+    documented stand-in while no server database ships in this build."""
+    from bonobo_sqlalchemy_spark.testing import postgres_shim_connect
+
+    svc = {
+        "sqlalchemy.engine": DbapiService(
+            partial(postgres_shim_connect, db), paramstyle="format", dialect="postgresql"
+        )
+    }
+    sink = InsertOrUpdate("audited", discriminant=("ext_key",), fetch_columns=("id",))
+    rows = spark.createDataFrame(
+        [("pg-a", "v1", "s"), ("pg-b", "v2", "s")],
+        "ext_key string, value string, src string",
+    )
+    [out] = run(Graph(rows, sink), spark, services=svc)
+    assert {r.ext_key for r in out.collect()} == {"pg-a", "pg-b"}
+    assert sink.last_stats == {"insert": 2, "update": 0}
+    # second pass updates through the %s-parameterized UPDATE branch
+    rows2 = spark.createDataFrame(
+        [("pg-a", "v1-updated", "s")], "ext_key string, value string, src string"
+    )
+    [out2] = run(Graph(rows2, sink), spark, services=svc)
+    assert sink.last_stats == {"insert": 0, "update": 1}
+    assert _read(db, "SELECT value FROM audited WHERE ext_key = 'pg-a'") == [
+        ("v1-updated",)
+    ]
+    assert all(r.id is not None for r in out2.collect())
+
+
+def test_update_noop_when_all_columns_insert_only_is_channelled(spark, db):
+    """When every non-key column is insert-only there is nothing to SET:
+    matched rows must surface in the dead-letter channel (reference
+    behavior: the per-row UPDATE error is yielded downstream), not vanish
+    silently from both stats and errors."""
+    sink = InsertOrUpdate(
+        "table_1", discriminant=("id",), insert_only_fields=("value",)
+    )
+    run(Graph(_golden(spark), sink), spark, services=_svc(db))
+    assert sink.last_stats == {"insert": 10, "update": 0}
+    sink2 = InsertOrUpdate(
+        "table_1", discriminant=("id",), insert_only_fields=("value",)
+    )
+    run(Graph(_golden(spark), sink2), spark, services=_svc(db))
+    assert sink2.last_stats == {"insert": 0, "update": 0}
+    assert sum(e["n"] for e in sink2.last_errors if e["op"] == "UPDATE-noop") == 10
 
 
 def test_missing_table_is_fatal(spark, db):
