@@ -305,39 +305,55 @@ def simhash_pairs(
             F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)
         ).otherwise(F.lit(0).cast("bigint"))
         sig_expr = term if sig_expr is None else sig_expr + term
-    base = votes.select("id", "blk", sig_expr.alias("sig")).localCheckpoint()
+    # Both self-join sides read this one aggregate; its exchange is reused
+    # (AQE), so no checkpoint barrier is needed for a 1-row-per-doc frame.
+    base = votes.select("id", "blk", sig_expr.alias("sig"))
 
     # Bit-band blocking: n_bands = max_hamming + 1 contiguous bit ranges.
     n_bands = max_hamming + 1
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    band_keys = F.array(
+
+    def band_val(sig, i):
+        return F.shiftright(sig, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    bands = F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit(str(i)),
-                F.shiftright(F.col("sig"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .cast("string"),
+            F.struct(
+                F.lit(i).alias("bidx"), band_val(F.col("sig"), i).alias("bval")
             )
             for i in range(n_bands)
         ]
     )
-    buckets = base.select("id", "blk", "sig", F.explode(band_keys).alias("band"))
+    buckets = base.select(
+        "id", "blk", "sig", F.explode(bands).alias("band")
+    ).select("id", "blk", "sig", F.col("band.bidx").alias("bidx"), F.col("band.bval").alias("bval"))
     a, b = buckets.alias("a"), buckets.alias("b")
+    # A pair sharing k bands would surface k times; instead of deduping the
+    # full candidate stream (a shuffle of every band collision), keep a pair
+    # only at its FIRST agreeing band — a pure-codegen filter over the two
+    # signatures: for every earlier band the values must differ. Exactly one
+    # survivor per colliding pair, no dropDuplicates exchange.
+    first_agree = None
+    for i in range(n_bands):
+        term = (F.col("a.bidx") <= F.lit(i)) | (
+            band_val(F.col("a.sig"), i) != band_val(F.col("b.sig"), i)
+        )
+        first_agree = term if first_agree is None else (first_agree & term)
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.bidx") == F.col("b.bidx"))
+            & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(first_agree)
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
             H.hamming64(F.col("a.sig"), F.col("b.sig")).cast("bigint").alias("hamming"),
         )
-        .dropDuplicates(["id1", "id2"])
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -369,22 +385,15 @@ def embedding_near_dup_pairs(
     pruned, which is the documented LSH trade.
     """
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
-    tables = [
-        planes[t * bits_per_table : (t + 1) * bits_per_table]
-        for t in range(n_tables)
-    ]
-    keys = F.array(
-        *[
-            F.concat_ws(":", F.lit(str(t)), V.hyperplane_signature(F.col("v"), tbl))
-            for t, tbl in enumerate(tables)
-        ]
-    )
     base = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.col(vec_col).alias("v"),
-    ).select("id", "blk", "v", F.explode(keys).alias("bucket"))
-    a, b = base.alias("a"), base.alias("b")
+    )
+    buckets = V.hyperplane_buckets(
+        base, "v", "id", planes, bits_per_table, extra_cols=("blk",)
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
@@ -392,17 +401,36 @@ def embedding_near_dup_pairs(
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    # Exact-cosine verification in codegen: per-vector norms once, then one
+    # component-aligned join per candidate pair for the dot product — no
+    # interpreted array lambdas, and vectors never ride through the bucket
+    # shuffle (they join back by id).
+    comp = base.select("id", F.posexplode("v").alias("pos", "x")).select(
+        "id", "pos", F.col("x").cast("double").alias("x")
+    )
+    norms = comp.groupBy("id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
+    c1 = comp.select(F.col("id").alias("id1"), "pos", F.col("x").alias("x1"))
+    c2 = comp.select(F.col("id").alias("id2"), "pos", F.col("x").alias("x2"))
+    dots = (
+        cand.join(c1, "id1")
+        .join(c2, ["id2", "pos"])
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("id").alias("id1"), F.col("nsq").alias("n1"))
+    n2 = norms.select(F.col("id").alias("id2"), F.col("nsq").alias("n2"))
     return (
-        cand.select(
-            "id1", "id2", V.cosine_rounded(F.col("va"), F.col("vb")).alias("cosine")
+        dots.join(n1, "id1")
+        .join(n2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -143,36 +143,29 @@ def lsh_topk(
     tables, not more bits. Deterministic planes from a seeded LCG.
     """
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
-    tables = [planes[t * bits_per_table : (t + 1) * bits_per_table] for t in range(n_tables)]
-
-    def keys(col):
-        return F.array(
-            *[
-                F.concat_ws(":", F.lit(str(t)), V.hyperplane_signature(col, tbl))
-                for t, tbl in enumerate(tables)
-            ]
-        )
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(keys(F.col(vec_col))).alias("bucket"),
+    # Bucket keys via the codegen posexplode + SUM-aggregate path (see
+    # functions/vectors.py::hyperplane_buckets) — the per-row lambda form
+    # runs interpreted and dominated the corpus pass.
+    qb = V.hyperplane_buckets(
+        queries, vec_col, id_col, planes, bits_per_table, out_id="query_id"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.explode(keys(F.col(vec_col))).alias("bucket"),
+    cb = V.hyperplane_buckets(
+        corpus, vec_col, id_col, planes, bits_per_table, out_id="neighbor_id"
     )
     cand = (
-        c.join(
-            F.broadcast(q),
-            (q.bucket == c.bucket) & (F.col("neighbor_id") != F.col("query_id")),
+        cb.join(
+            F.broadcast(qb),
+            (qb.bucket == cb.bucket) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", V.cosine_rounded("qv", "cv").alias("sim")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", V.cosine_rounded("qv", "cv").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -44,14 +44,50 @@ from .base import query
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: char/token/punct counts + composite
-    quality score. All JVM built-ins; one narrow projection, no shuffle."""
+    quality score. All JVM built-ins, no shuffle. Staged projections keep
+    each shared primitive (padded lowered text, token count, punct count)
+    computed once: CollapseProject does not re-inline non-cheap aliases, so
+    the codegen tree — and its one-time Janino compile, the dominant cost
+    of this narrow query — stays small. Arithmetic order matches
+    `functions.text.quality_score` exactly (same IEEE doubles)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
-        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("pad"),
         T.n_tokens("text").alias("n_tokens"),
         T.punct_count("text").alias("n_punct"),
-        T.quality_score("text").alias("quality"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+    def occ(m: str):
+        return (
+            (F.length("pad") - F.length(F.replace(F.col("pad"), F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("bigint")
+
+    staged = base.select(
+        "doc_id",
+        "n_chars_measured",
+        "n_tokens",
+        "n_punct",
+        (occ(" the ") + occ(" a ") + occ(" of ") + occ(" and "))
+        .cast("bigint")
+        .cast("double")
+        .alias("stop"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    nc = F.greatest(F.col("n_chars_measured"), F.lit(1)).cast("double")
+    return staged.select(
+        "doc_id",
+        "n_chars_measured",
+        "n_tokens",
+        "n_punct",
+        F.round(
+            F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (1.0 - F.col("n_punct").cast("double") / nc) * 0.3
+            + F.least(F.col("stop") / F.greatest(nt, F.lit(1.0)), F.lit(1.0)) * 0.2,
+            6,
+        ).alias("quality"),
     )
 
 
