@@ -48,6 +48,38 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_user_running_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT event_type) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`): the
+    per-user running state after a full bounded replay must equal the batch
+    per-user aggregate (the oracle). Update-mode emissions are collapsed to
+    the final row per user."""
+    from ..streaming.stateful import final_rows, running_user_stats
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = running_user_stats(ev)
+    name = "stream_user_running_stats_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return final_rows(spark.table(name))
+
+
+@query(
     "q_events_sessionize",
     oracle="""
     WITH e AS (

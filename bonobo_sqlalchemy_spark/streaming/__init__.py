@@ -1,3 +1,4 @@
+from .stateful import final_rows, running_user_stats
 from .windows import (
     read_events_stream,
     session_aggregate,
@@ -12,4 +13,6 @@ __all__ = [
     "sliding_avg",
     "session_aggregate",
     "stream_to_upsert",
+    "running_user_stats",
+    "final_rows",
 ]

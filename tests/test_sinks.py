@@ -39,3 +39,34 @@ def test_partitioned_append_mode(spark, sf_small, tmp_path):
     write_partitioned(first, out, ["order_year"])
     write_partitioned(second, out, ["order_year"], mode="append")
     assert read_partitioned(spark, out).count() == orders.count()
+
+
+def test_csv_json_round_trip_with_schema(spark, sf_small, tmp_path):
+    """Text formats round-trip exactly when the caller supplies the schema
+    (csv writes headers by default; json preserves names natively)."""
+    from pyspark.sql import functions as F
+
+    orders = (
+        load_table(spark, sf_small, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.year(F.col("o_orderdate")).alias("order_year"),
+        )
+    )
+    ddl = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING, order_year INT"
+    expected = {tuple(r) for r in orders.collect()}
+    for fmt in ("csv", "json"):
+        out = str(tmp_path / f"orders_{fmt}")
+        write_partitioned(orders, out, ["order_year"], fmt=fmt)
+        back = read_partitioned(spark, out, fmt=fmt, schema=ddl)
+        assert back.schema == orders.select(*back.columns).schema or set(
+            back.columns
+        ) == set(orders.columns)
+        got = {
+            tuple(r)
+            for r in back.select(*orders.columns).collect()
+        }
+        assert got == expected, f"{fmt} round trip mismatch"

@@ -127,3 +127,58 @@ def test_stream_to_upsert_idempotent(spark, sf_small, events_path, tmp_path):
     assert states[0] == states[1]  # idempotent under redelivery
     total = sum(r[2] for r in states[1])
     assert total == load_table(spark, sf_small, "events").count()
+
+
+def test_stateful_running_stats_across_batches(spark, sf_small, tmp_path):
+    """applyInPandasWithState must carry state ACROSS micro-batches: the
+    events replay as two files -> two batches with maxFilesPerTrigger=1, and
+    the final per-user rows must equal the batch aggregate (distinct types
+    seen in batch 1 must not re-count in batch 2)."""
+    from bonobo_sqlalchemy_spark.streaming.stateful import (
+        final_rows,
+        running_user_stats,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "ev_src")
+    half1.write.parquet(src)
+    half2.write.mode("append").parquet(src)
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    name = "t_stateful_running"
+    q = (
+        running_user_stats(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    log = spark.table(name)
+    n_users = ev.select("user_id").distinct().count()
+    # multiple emissions per user proves >1 micro-batch touched the state
+    assert log.count() > n_users
+
+    got = {
+        (r.user_id, r.n_events, r.total_value, r.n_event_types)
+        for r in final_rows(log).collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.total_value, r.n_event_types)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .collect()
+    }
+    assert got == batch
