@@ -440,3 +440,71 @@ def survivors(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFr
     """Drop the higher id of every near-dup pair (greedy, deterministic)."""
     losers = pairs.select(F.col("id2").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters: ``(id, component, component_size)`` where
+    ``component`` is the minimum id reachable through the near-dup pair
+    graph (singletons are their own component).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup clusters are shallow — dup chains,
+    not long paths). Each round is one join + one aggregate, both shuffling
+    on node id, and lineage truncates per round (checkpoint) so the plan
+    doesn't snowball — the standard Spark shape for bounded iterative
+    graph algorithms (at extreme scale swap in large-star/small-star,
+    which is the same join-agg loop with two rules).
+
+    The greedy `survivors` policy (drop id2 of every pair) equals keeping
+    exactly ``component == id`` rows of this output.
+    """
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = df.select(F.col(id_col).alias("node")).withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb, labels["node"] == nb["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["comp"], F.coalesce(nb["nb_min"], labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        "component_size",
+    )

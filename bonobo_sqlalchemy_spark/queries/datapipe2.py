@@ -120,6 +120,50 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM d
+    ), x AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+    p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+      FROM x a JOIN x b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE round(common / (s1.n + s2.n - common), 6) >= 0.5
+    ),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+    sz AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+    SELECT doc_id, component, component_size FROM comp JOIN sz USING (component)
+    """,
+    tags=("dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the near-dup pair graph: iterative min-label
+    propagation (join-agg rounds, lineage checkpointed per round) vs the
+    oracle's recursive-CTE transitive closure. Every document appears —
+    singletons are their own component."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
+    return D.connected_components(docs, pairs)
+
+
+@query(
     "text_train_val_split",
     oracle="""
     WITH tagged AS (

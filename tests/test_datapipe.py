@@ -90,6 +90,26 @@ def test_embedding_lsh_blocking_finds_true_dups_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_connected_components_transitive_chain(spark):
+    """a-b and b-c pairs must merge into ONE component even though a and c
+    never pair directly (the fixture corpus only has size-2 clusters, so
+    transitivity needs its own graph). Also checks convergence beyond one
+    propagation round: a 5-node chain has diameter 4."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "id1 long, id2 long"
+    )
+    got = {
+        (r.doc_id, r.component, r.component_size)
+        for r in D.connected_components(nodes, pairs).collect()
+    }
+    assert got == {
+        (1, 1, 5), (2, 1, 5), (3, 1, 5), (4, 1, 5), (5, 1, 5),
+        (6, 6, 2), (7, 6, 2),
+        (8, 8, 1),
+    }
+
+
 def test_simhash_close_pairs_have_similar_text(docs):
     pairs = D.simhash_pairs(docs, max_hamming=4).limit(5).collect()
     # hamming<=4 of 64 bits implies strong token overlap; sanity only
