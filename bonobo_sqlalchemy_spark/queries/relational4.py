@@ -98,3 +98,50 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_date(F.date_trunc("month", F.col("l_shipdate")), "ship_month"),
         F.dayofmonth("l_shipdate").cast("bigint").alias("ship_dom"),
     )
+
+
+@query(
+    "q_events_asof_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+    ), l AS (
+      SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_purchase_ts,
+           r.purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("relational", "temporal"),
+)
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click enriched with the user's most recent prior
+    purchase (engine operator `operators/asof.py::as_of_join` — union +
+    running last-struct window, one exchange on the key; the oracle is
+    DuckDB's native ASOF LEFT JOIN). Same-timestamp purchases collapse to
+    MAX(value) first so the match is deterministic in both engines."""
+    from ..operators.asof import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = as_of_join(l, r, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_purchase_ts"),
+        F.col("r_purchase_value").alias("purchase_value"),
+    )

@@ -132,3 +132,81 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         dsum("value", "total_value"),
     )
+
+
+@query(
+    "q_events_session_attach",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ), lagged AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY 1, 2
+    ), errors AS (
+      SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'
+    )
+    SELECT er.event_id, er.user_id, s.session_id,
+           strftime(er.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM errors er JOIN sessions s
+      ON er.user_id = s.user_id AND er.ts BETWEEN s.s_start AND s.s_end
+    """,
+    tags=("relational", "temporal"),
+)
+def q_events_session_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: error events attached to the session
+    interval containing them (`operators/rangejoin.py::interval_join` —
+    binned equi-join, no per-key nested loop; oracle is DuckDB's IEJoin on
+    the BETWEEN predicate)."""
+    from ..operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn(
+        "session_id",
+        F.sum(new_sess)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        errors,
+        sessions,
+        on=["user_id"],
+        ts_col="ts",
+        start_col="s_start",
+        end_col="s_end",
+        bin_width="1 hour",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
