@@ -1,4 +1,6 @@
+from .asof import as_of_join
 from .dedup import (
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -7,6 +9,7 @@ from .dedup import (
     survivors,
 )
 from .multimodal import attach_binary_payload, extract_features
+from .rangejoin import interval_join
 from .scale import bucketed_join, salted_join, write_bucketed
 from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .upsert import InsertOrUpdate
@@ -19,6 +22,9 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "survivors",
+    "connected_components",
+    "as_of_join",
+    "interval_join",
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",

@@ -236,3 +236,30 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.where(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4)
+
+
+@query(
+    "text_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 1000
+          < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250
+                      WHEN 'fr' THEN 500 ELSE 1000 END
+    """,
+    tags=("text", "split"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: hash-bucket the key into
+    1000 cells, keep a per-language per-mille rate (rebalancing a skewed
+    corpus). Reproducible across engines, reruns, and partitionings — the
+    property `sample()`/rand() cannot give a training pipeline."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 250)
+        .when(F.col("lang") == "fr", 500)
+        .otherwise(1000)
+    )
+    return d.where(T.split_bucket("doc_id", 1000) < rate).select("doc_id", "lang")

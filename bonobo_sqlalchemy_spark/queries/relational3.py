@@ -108,6 +108,37 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.45), 6) AS exact_p45,
+           round(quantile_cont(l_extendedprice, 0.55), 6) AS exact_p55,
+           (approx_quantile(l_extendedprice, 0.5)
+              BETWEEN quantile_cont(l_extendedprice, 0.45)
+                  AND quantile_cont(l_extendedprice, 0.55)) AS median_within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "sketch"),
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (the at-scale percentile path: mergeable per-partition
+    sketches, no global sort). Like `q_approx_distinct`, the raw sketch
+    estimate is engine-specific (Spark GK vs DuckDB t-digest), so the
+    driver-comparable contract is a rank-bounds check: each engine's approx
+    median must land between its own exact p45 and p55 — ~5000x looser than
+    either sketch's rank-error guarantee, and deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p45 = F.percentile("l_extendedprice", F.lit(0.45))
+    p55 = F.percentile("l_extendedprice", F.lit(0.55))
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return l.groupBy("l_returnflag").agg(
+        F.round(p45, 6).alias("exact_p45"),
+        F.round(p55, 6).alias("exact_p55"),
+        ((approx >= p45) & (approx <= p55)).alias("median_within_bounds"),
+    )
+
+
+@query(
     "q9_profit_rollup",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

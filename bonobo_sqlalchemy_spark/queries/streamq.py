@@ -210,3 +210,43 @@ def q_events_session_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ), k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+             event_type, value
+      FROM e CROSS JOIN k
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h width / 15min slide) streaming averages; every
+    event lands in exactly 4 epoch-aligned windows, so the batch oracle
+    replicates the window set with a 4-offset cross join. Real streaming
+    run (availableNow replay, complete mode)."""
+    from ..streaming.windows import sliding_avg
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_avg(ev, "1 hour", "15 minutes", "2 hours")
+    name = "stream_sliding_avg_tbl"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

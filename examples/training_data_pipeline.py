@@ -41,9 +41,14 @@ def main() -> None:
     docs = docs.join(survivors_exact, "doc_id", "left_semi")
     n1 = docs.count()
 
-    # 2. fuzzy dedup: drop the higher id of every near-duplicate pair
-    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
-    docs = D.survivors(docs, pairs)
+    # 2. fuzzy dedup: cluster transitive near-duplicates (connected
+    #    components over the pair graph) and keep each cluster's min-id doc
+    pairs = D.ngram_jaccard_pairs(
+        docs, block_col="lang", n=3, threshold=0.5, max_shingle_df=1000
+    )
+    comps = D.connected_components(docs, pairs)
+    keep = comps.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi")
     n2 = docs.count()
 
     # 3. quality gate + text metrics (all JVM-side column functions)
@@ -56,7 +61,9 @@ def main() -> None:
     curated = scored.where((F.col("quality") >= 0.55) & (F.col("n_tokens") >= 10))
     n3 = curated.count()
 
-    # 4. partitioned corpus write (lang directories -> pruned reads later)
+    # 4. deterministic 90/10 train/val tag (hash-stable across engines and
+    #    reruns) then partitioned corpus write (lang dirs -> pruned reads)
+    curated = curated.withColumn("split", T.train_val_split("doc_id"))
     write_partitioned(curated, out, ["lang"])
 
     back = read_partitioned(spark, out)
