@@ -63,21 +63,26 @@ NO_CARTESIAN_EXEMPT = {
     # brute-force ANN baseline intentionally broadcasts 8 query rows against
     # the corpus via a (tiny) nested-loop join
     "sim_cosine_topk",
+    # scalar corpus-size aggregate broadcast-crossed into every row (the
+    # oracle's scalar subquery) — a 1-row build side, not a data join
+    "text_tfidf",
 }
 
 
 def test_no_accidental_cartesian_products(spark):
+    """Neither CartesianProduct nor an unexempted BroadcastNestedLoopJoin:
+    both are the signature of a join that lost its equi-condition."""
     offenders = []
     for name in REGISTRY:
-        if name in NO_CARTESIAN_EXEMPT or name == "stream_tumbling_counts":
+        if name in NO_CARTESIAN_EXEMPT or name.startswith("stream"):
             continue
         try:
             plan = plan_of(spark, name)
         except Exception:
             continue  # execution-time queries checked elsewhere
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
-    assert not offenders, f"cartesian products in: {offenders}"
+    assert not offenders, f"cartesian/nested-loop products in: {offenders}"
 
 
 @pytest.mark.parametrize("name,max_scans", [("dedup_ngram_jaccard", 2), ("dedup_minhash_lsh", 2)])
