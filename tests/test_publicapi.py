@@ -27,3 +27,23 @@ def test_all_exports_resolve():
 
 def test_no_private_leaks():
     assert all(not n.startswith("_") or n == "__version__" for n in pkg.__all__)
+
+
+def test_package_logger_surface():
+    """Reference parity (`bonobo_sqlalchemy/logging.py:1-8`): a package-
+    scoped logger importable as `<pkg>.logging.logger`, plus the opt-in
+    setup() hook (handler + optional excepthook) standing in for
+    mondrian.setup."""
+    import logging as stdlib_logging
+
+    from bonobo_sqlalchemy_spark.logging import logger, setup
+
+    assert logger.name == "bonobo_sqlalchemy_spark"
+    setup(level=stdlib_logging.DEBUG)
+    assert logger.level == stdlib_logging.DEBUG
+    assert any(
+        isinstance(h, stdlib_logging.StreamHandler) for h in logger.handlers
+    )
+    n = len(logger.handlers)
+    setup()  # idempotent: no duplicate handlers
+    assert len(logger.handlers) == n

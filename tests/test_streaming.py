@@ -182,3 +182,35 @@ def test_stateful_running_stats_across_batches(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_dedup_ingest_exactly_once(spark, sf_small, tmp_path):
+    """Idempotent landing under redelivery: the same events file arrives
+    twice (e.g. an at-least-once upstream); streaming dropDuplicates on the
+    event id keyed state must land each row exactly once."""
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "dup_src")
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)  # full redelivery
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .format("parquet")
+        .load(src)
+    )
+    deduped = raw.withWatermark(
+        "ts", "24 hours"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    name = "t_dedup_ingest"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    landed = spark.table(name)
+    assert landed.count() == ev.count()
+    assert landed.select("event_id").distinct().count() == ev.count()
