@@ -58,3 +58,104 @@ def test_approx_distinct_error_bound(spark, sf_small):
         # both flags must hold on every group
         assert r.orders_within_bounds and r.parts_within_bounds
         assert r.exact_orders > 0 and r.exact_parts > 0
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    """Differential check: the union+window as-of join must equal the naive
+    (join-all-priors, keep latest) formulation on randomized data with key
+    skew and boundary ties."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bonobo_sqlalchemy_spark.operators.asof import as_of_join
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, f"k{rng.randrange(5)}", base + dt.timedelta(seconds=rng.randrange(10000)))
+        for i in range(300)
+    ]
+    seen = set()
+    rrows = []
+    for _ in range(120):
+        k = f"k{rng.randrange(5)}"
+        ts = base + dt.timedelta(seconds=rng.randrange(10000))
+        if (k, ts) in seen:  # unique (key, ts): keeps both formulations deterministic
+            continue
+        seen.add((k, ts))
+        rrows.append((k, ts, rng.random()))
+    left = spark.createDataFrame(lrows, "lid long, key string, ts timestamp")
+    right = spark.createDataFrame(rrows, "key string, ts timestamp, payload double")
+
+    got = {
+        (r.lid, r.r_ts, r.r_payload)
+        for r in as_of_join(left, right, on=["key"]).collect()
+    }
+    j = left.join(
+        right.select("key", F.col("ts").alias("rts"), "payload"),
+        on=[left.key == right.key, F.col("rts") <= left.ts],
+        how="left",
+    )
+    w = W.partitionBy("lid").orderBy(F.col("rts").desc())
+    naive = {
+        (r.lid, r.rts, r.payload)
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_interval_join_matches_naive_on_random_data(spark):
+    """Differential check: binned interval join == naive key-equal BETWEEN
+    join on randomized points/intervals (including zero-length and
+    bin-straddling intervals)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bonobo_sqlalchemy_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (i, f"k{rng.randrange(4)}", base + dt.timedelta(seconds=rng.randrange(200000)))
+        for i in range(400)
+    ]
+    ivs = []
+    for i in range(80):
+        s = rng.randrange(200000)
+        ivs.append(
+            (
+                i,
+                f"k{rng.randrange(4)}",
+                base + dt.timedelta(seconds=s),
+                base + dt.timedelta(seconds=s + rng.choice([0, 30, 3600, 90000])),
+            )
+        )
+    points = spark.createDataFrame(pts, "pid long, key string, ts timestamp")
+    intervals = spark.createDataFrame(ivs, "iid long, key string, s timestamp, e timestamp")
+
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, on=["key"], ts_col="ts", start_col="s", end_col="e",
+            bin_width="1 hour",
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.key") == F.col("i.key"))
+            & (F.col("p.ts") >= F.col("i.s"))
+            & (F.col("p.ts") <= F.col("i.e")),
+        )
+        .collect()
+    }
+    assert got == naive and got
