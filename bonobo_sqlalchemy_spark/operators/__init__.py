@@ -9,6 +9,7 @@ from .dedup import (
     survivors,
 )
 from .multimodal import attach_binary_payload, extract_features
+from .packing import pack_sequences
 from .rangejoin import interval_join
 from .scale import bucketed_join, salted_join, write_bucketed
 from .similarity import cosine_topk, ivf_topk, lsh_topk
@@ -25,6 +26,7 @@ __all__ = [
     "connected_components",
     "as_of_join",
     "interval_join",
+    "pack_sequences",
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",

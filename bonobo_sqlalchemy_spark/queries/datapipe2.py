@@ -263,3 +263,39 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1000)
     )
     return d.where(T.split_bucket("doc_id", 1000) < rate).select("doc_id", "lang")
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS BIGINT) AS shard
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS bin_offset
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens, shard, bin_offset,
+           CAST(bin_offset // 512 AS BIGINT) AS bin
+    FROM packed
+    """,
+    tags=("text", "packing"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents assigned to 512-token bins
+    within 8 hash shards (`operators/packing.py::pack_sequences` — one
+    window aggregate, shard-parallel, deterministic across engines and
+    repartitionings)."""
+    from ..operators.packing import pack_sequences
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.n_tokens("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, token_col="n_tokens", order_col="doc_id", budget=512, n_shards=8
+    ).select("doc_id", "lang", "n_tokens", "shard", "bin_offset", "bin")

@@ -178,3 +178,25 @@ def test_exact_dedup_group_sizes_sum_to_corpus(docs):
     out = D.exact_dedup(docs)
     total = out.agg(F.sum("group_size")).collect()[0][0]
     assert total == docs.count()
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Packing invariants: bins fill contiguously (a bin's docs span a
+    contiguous token range), no bin starts beyond its budget boundary, and
+    the assignment is invariant under input repartitioning."""
+    from bonobo_sqlalchemy_spark.functions import text as T
+    from bonobo_sqlalchemy_spark.operators.packing import pack_sequences
+
+    d = docs.select("doc_id", T.n_tokens("text").alias("n_tokens"))
+    packed = pack_sequences(d, budget=256, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        # the doc STARTS inside its bin's budget window
+        assert r.bin * 256 <= r.bin_offset < (r.bin + 1) * 256
+
+    again = {
+        (r.doc_id, r.shard, r.bin, r.bin_offset)
+        for r in pack_sequences(d.repartition(13), budget=256, n_shards=4).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.bin, r.bin_offset) for r in rows}
