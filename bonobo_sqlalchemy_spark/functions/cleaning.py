@@ -1,0 +1,65 @@
+"""Corpus-cleaning column functions: PII redaction and repetition metrics.
+
+Training-data pipelines scrub personally-identifiable strings before any
+other processing and drop machine-generated/repetitive pages (the Gopher
+repetition rules). Both are pure built-in-function compositions — regex and
+integer arithmetic that whole-stage-codegen compiles, no Python in the hot
+path — and every pattern below is written in the common subset of Java
+regex (Spark) and RE2 (DuckDB) so the oracle computes the identical result.
+
+Reference scope note: the reference engine (bonobo-sqlalchemy) has no text
+cleaning; this module belongs to the driver-mandated training-data
+extension surface (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import col_
+
+#: name -> (pattern, replacement token). Order matters: emails are redacted
+#: before IPs/phones so their digit/dot substrings can't double-match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-pattern match counts (BIGINT), computed on the raw text."""
+    t = col_(text)
+    return {
+        name: F.regexp_count(t, F.lit(pat)).cast("bigint")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace every PII match with its ``<TOKEN>`` placeholder.
+
+    Applied in ``PII_PATTERNS`` order (email first) so that an address's
+    dotted-host substring is consumed before the IP/phone patterns run.
+    """
+    out = col_(text)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def positional_bigrams(words_col: str | Column) -> Column:
+    """All positional (non-distinct) word bigrams as an array column.
+
+    Kept as an array only for small per-row uses; corpus-scale repetition
+    metrics explode the positions instead (see queries/datapipe3.py) to
+    stay inside codegen.
+    """
+    w = col_(words_col)
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+    )

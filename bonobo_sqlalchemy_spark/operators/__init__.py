@@ -8,6 +8,7 @@ from .dedup import (
     simhash_pairs,
     survivors,
 )
+from .contamination import benchmark_overlap
 from .multimodal import attach_binary_payload, extract_features
 from .packing import pack_sequences
 from .rangejoin import interval_join
@@ -27,6 +28,7 @@ __all__ = [
     "as_of_join",
     "interval_join",
     "pack_sequences",
+    "benchmark_overlap",
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",

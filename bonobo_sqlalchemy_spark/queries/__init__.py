@@ -14,6 +14,7 @@ from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import datapipe  # noqa: E402,F401
 from . import datapipe2  # noqa: E402,F401
+from . import datapipe3  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

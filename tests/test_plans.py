@@ -66,6 +66,9 @@ NO_CARTESIAN_EXEMPT = {
     # scalar corpus-size aggregate broadcast-crossed into every row (the
     # oracle's scalar subquery) — a 1-row build side, not a data join
     "text_tfidf",
+    # same shape: 1-row (total, n_langs) aggregate crossed into the tiny
+    # per-language counts
+    "text_mix_weights",
 }
 
 
