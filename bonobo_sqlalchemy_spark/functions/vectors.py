@@ -1,17 +1,32 @@
 """Vector column functions over ``array<float>`` embeddings (SURVEY §2.4).
 
-Built-in higher-order functions only (``zip_with`` / ``aggregate``) — the
-dot products run inside codegen, no Python boundary. Elements are cast to
-double *before* multiplying so the per-term products are bit-identical to
-any engine doing the same (float->double cast is exact); only the summation
-order differs across engines, which is why consumers round to 6 decimals
-(reordering error ~1e-15 on unit-scale 64-dim vectors).
+Two execution tiers, chosen by shape of the work:
+
+- **Scalar/few-row expressions** (``dot``/``cosine``): built-in higher-order
+  functions (``zip_with`` / ``aggregate``) — no Python boundary.
+- **Dense batch linear algebra** (plane signatures, candidate-pair cosine,
+  codebook scores): Arrow-vectorized numpy (``mapInPandas`` /
+  ``pandas_udf``). This is the one hot path where BLAS-backed matmul beats
+  anything expressible in Catalyst: a 64x64 literal-term projection blows
+  Janino codegen past its method limits, and the explode + broadcast-join +
+  N-SUM-aggregate formulation pays an exchange plus a 60+-column join for
+  what is a single fused ``X @ W`` per Arrow batch. The numpy form is a
+  narrow per-batch map — no shuffle, embarrassingly parallel at any scale.
+
+Elements are cast to double *before* multiplying (float->double cast is
+exact) so per-term products are bit-identical across engines; only the
+summation order differs (numpy pairwise vs hash-agg partials vs a SQL
+engine's fold), which is why consumers round to 6 decimals (reordering
+error ~1e-15 on unit-scale 64-dim vectors).
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def _c(c: str | Column) -> Column:
@@ -59,6 +74,50 @@ def hyperplane_signature(a: str | Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def hyperplane_signature_bits(
+    df,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    extra_cols: tuple[str, ...] = (),
+    out_id: str = "id",
+    out_col: str = "sigbits",
+):
+    """``(out_id, *extra_cols, sigbits)`` rows where ``sigbits`` is the
+    full '0'/'1' sign-bit string of the vector against every plane.
+
+    The dot products run as ONE fused ``X @ W`` numpy matmul per Arrow
+    batch (``mapInPandas``) — see the module docstring for why this beats
+    both interpreted HOF lambdas and the explode+join+N-SUM-agg codegen
+    form. No shuffle is introduced; the map is narrow and the (dim x
+    n_planes) weight matrix ships inside the serialized closure (a few KB).
+
+    A sign can differ from a sequential-fold engine only when a dot product
+    sits within summation-reordering error (~1e-13) of zero.
+    """
+    W = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    src = df.select(
+        F.col(id_col).alias(out_id),
+        *[F.col(c) for c in extra_cols],
+        F.col(vec_col).alias("_v"),
+    )
+    keep = [f for f in src.schema.fields if f.name != "_v"]
+    out_schema = StructType(list(keep) + [StructField(out_col, StringType())])
+
+    def _sig(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["_v"])
+            if len(pdf):
+                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                bits = (X @ W >= 0).astype(np.uint8) + ord("0")
+                out[out_col] = [b.tobytes().decode("ascii") for b in bits]
+            else:
+                out[out_col] = []
+            yield out
+
+    return src.mapInPandas(_sig, out_schema)
+
+
 def hyperplane_buckets(
     df,
     vec_col: str,
@@ -69,62 +128,86 @@ def hyperplane_buckets(
     out_id: str = "id",
 ):
     """Exploded ``(out_id, *extra_cols, bucket)`` rows: one multi-table
-    hyperplane-LSH bucket key per table per vector — fully codegen.
+    hyperplane-LSH bucket key per table per vector.
 
-    The per-row column form (`hyperplane_signature`) runs its
-    ``zip_with``/``aggregate`` lambdas interpreted, which dominates wall
-    time at corpus scale (~64 planes x 64 dims per row). Here the dot
-    products become one posexplode + broadcast join against a
-    (dim x n_planes) weight table + ``n_planes`` SUM aggregates — the same
-    whole-stage-codegen shape as the MinHash signature agg — with one
-    shuffle on the vector id. Sign bits then concatenate into per-table
-    bucket strings in a plain projection.
-
-    Bit values match `hyperplane_signature` up to floating-point summation
-    order (hash-agg partials vs sequential fold): a sign can differ only
-    when a dot product sits within reordering error (~1e-13) of zero.
+    Signatures come from the Arrow matmul path
+    (`hyperplane_signature_bits`); per-table bucket keys are codegen
+    ``substring`` slices of the bit-string, exploded one row per table.
     """
-    from pyspark.sql import functions as F  # noqa: F811 (local alias)
-
-    n_planes = len(planes)
-    dim = len(planes[0])
-    n_tables = n_planes // bits_per_table
-    spark = df.sparkSession
-    rows = [
-        (pos, *[float(planes[j][pos]) for j in range(n_planes)])
-        for pos in range(dim)
-    ]
-    schema = "pos int, " + ", ".join(f"w{j} double" for j in range(n_planes))
-    wdf = spark.createDataFrame(rows, schema)
-    comp = df.select(
-        F.col(id_col).alias(out_id),
-        *[F.col(c) for c in extra_cols],
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    )
-    dots = comp.join(F.broadcast(wdf), "pos").groupBy(out_id, *extra_cols).agg(
-        *[
-            F.sum(F.col("x").cast("double") * F.col(f"w{j}")).alias(f"d{j}")
-            for j in range(n_planes)
-        ]
+    n_tables = len(planes) // bits_per_table
+    sig = hyperplane_signature_bits(
+        df, vec_col, id_col, planes, extra_cols=extra_cols, out_id=out_id
     )
     keys = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(t)),
-                F.concat(
-                    *[
-                        F.when(
-                            F.col(f"d{t * bits_per_table + b}") >= 0, F.lit("1")
-                        ).otherwise(F.lit("0"))
-                        for b in range(bits_per_table)
-                    ]
-                ),
+                F.substring("sigbits", t * bits_per_table + 1, bits_per_table),
             )
             for t in range(n_tables)
         ]
     )
-    return dots.select(out_id, *extra_cols, F.explode(keys).alias("bucket"))
+    return sig.select(out_id, *extra_cols, F.explode(keys).alias("bucket"))
+
+
+def cosine_rounded_arrow(digits: int = 6):
+    """Arrow-vectorized pairwise cosine over two ``array<float>`` columns —
+    a ``pandas_udf`` for *candidate verification* joins, where each row
+    carries its own (a, b) pair and the batch reduces to three fused numpy
+    row-wise products instead of 3 interpreted HOF folds per row.
+    Same double-cast + round-to-``digits`` determinism policy as
+    `cosine_rounded`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a, b):
+        import pandas as pd
+
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.einsum("ij,ij->i", A, A)
+        nb = np.einsum("ij,ij->i", B, B)
+        return pd.Series(np.round(dots / np.sqrt(na * nb), digits))
+
+    return _cos
+
+
+def matrix_dots(
+    df,
+    vec_col: str,
+    id_col: str,
+    matrix: list[list[float]],
+    out_id: str = "id",
+    out_col: str = "dots",
+):
+    """``(out_id, dots)`` rows where ``dots[k]`` is the dot product of the
+    vector with ``matrix[k]`` — one fused ``X @ M.T`` per Arrow batch.
+    The K x dim matrix (e.g. an IVF codebook) ships in the closure."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    M = np.array(matrix, dtype=np.float64)  # (k, dim)
+    src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+    keep = [f for f in src.schema.fields if f.name != "_v"]
+    out_schema = StructType(
+        list(keep) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def _dots(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["_v"])
+            if len(pdf):
+                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                out[out_col] = list(X @ M.T)
+            else:
+                out[out_col] = []
+            yield out
+
+    return src.mapInPandas(_dots, out_schema)
 
 
 def seeded_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

@@ -390,48 +390,55 @@ def embedding_near_dup_pairs(
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.col(vec_col).alias("v"),
     )
-    buckets = V.hyperplane_buckets(
-        base, "v", "id", planes, bits_per_table, extra_cols=("blk",)
+    # Full sign-bit signature per vector (Arrow matmul path), exploded one
+    # row per table with the signature string riding along.
+    sig = V.hyperplane_signature_bits(base, "v", "id", planes, extra_cols=("blk",))
+    tb = sig.select(
+        "id",
+        "blk",
+        "sigbits",
+        F.explode(F.array(*[F.lit(i) for i in range(n_tables)])).alias("tidx"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"substring(sigbits, tidx * {bits_per_table} + 1, {bits_per_table})"),
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+
+    def table_key(side: str, i: int):
+        return F.expr(
+            f"substring({side}.sigbits, {i * bits_per_table + 1}, {bits_per_table})"
+        )
+
+    # A pair sharing k tables would surface k times; keep it only at its
+    # FIRST agreeing table — a pure-codegen filter over the two signature
+    # strings (for every earlier table the keys must differ) — instead of a
+    # dropDuplicates exchange over the whole candidate stream.
+    first_agree = None
+    for i in range(n_tables):
+        term = (F.col("a.tidx") <= F.lit(i)) | (table_key("a", i) != table_key("b", i))
+        first_agree = term if first_agree is None else (first_agree & term)
+    a, b = tb.alias("a"), tb.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tidx") == F.col("b.tidx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(first_agree)
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
     )
-    # Exact-cosine verification in codegen: per-vector norms once, then one
-    # component-aligned join per candidate pair for the dot product — no
-    # interpreted array lambdas, and vectors never ride through the bucket
-    # shuffle (they join back by id).
-    comp = base.select("id", F.posexplode("v").alias("pos", "x")).select(
-        "id", "pos", F.col("x").cast("double").alias("x")
-    )
-    norms = comp.groupBy("id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
-    c1 = comp.select(F.col("id").alias("id1"), "pos", F.col("x").alias("x1"))
-    c2 = comp.select(F.col("id").alias("id2"), "pos", F.col("x").alias("x2"))
-    dots = (
-        cand.join(c1, "id1")
-        .join(c2, ["id2", "pos"])
-        .groupBy("id1", "id2")
-        .agg(F.sum(F.col("x1") * F.col("x2")).alias("dot"))
-    )
-    n1 = norms.select(F.col("id").alias("id1"), F.col("nsq").alias("n1"))
-    n2 = norms.select(F.col("id").alias("id2"), F.col("nsq").alias("n2"))
+    # Exact-cosine verification: join the two vectors back by id (the
+    # vectors never ride through the bucket shuffle) and score each
+    # candidate pair in one Arrow-vectorized numpy batch — a narrow map
+    # over the candidate set, vs. a 64x component-aligned join + agg.
+    v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    cos = V.cosine_rounded_arrow()
     return (
-        dots.join(n1, "id1")
-        .join(n2, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6).alias(
-                "cosine"
-            ),
-        )
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cos("v1", "v2").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

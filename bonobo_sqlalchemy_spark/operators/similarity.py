@@ -36,7 +36,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        V.cosine_rounded("qv", "cv").alias("sim"),
+        V.cosine_rounded_arrow()("qv", "cv").alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -58,32 +58,22 @@ def ivf_topk(
 
     Cells are defined by K fixed centroids (deterministically the first K
     corpus vectors by id — a real deployment would train k-means offline and
-    broadcast the codebook the same way). Assignment is a join-aggregate
-    matrix multiply (posexplode components x broadcast codebook -> SUM per
-    (vector, cell)) so it stays in whole-stage codegen; each query probes
-    its ``n_probe`` nearest cells and re-ranks exactly inside them. The
-    corpus never cross-joins the queries — candidate count is
-    ~n_probe/n_cells of the corpus per query.
+    broadcast the codebook the same way). Assignment scores every vector
+    against the codebook in one fused Arrow/numpy matmul per batch
+    (`functions.vectors.matrix_dots` — see that module for why this beats
+    the explode+join+agg codegen form); each query probes its ``n_probe``
+    nearest cells and re-ranks exactly inside them. The corpus never
+    cross-joins the queries — candidate count is ~n_probe/n_cells of the
+    corpus per query.
     """
-    spark = corpus.sparkSession
     cents = (
         corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )  # K small vectors on the driver: the broadcast codebook
-    codebook = [
-        (ci, pos, float(x))
-        for ci, row in enumerate(cents)
-        for pos, x in enumerate(row[0])
-    ]
-    cdf = spark.createDataFrame(codebook, "cell int, pos int, c double")
+    codebook = [[float(x) for x in row[0]] for row in cents]
 
     def cell_dots(df: DataFrame, out_id: str) -> DataFrame:
-        comp = df.select(
-            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("pos", "x")
-        )
-        return (
-            comp.join(F.broadcast(cdf), "pos")
-            .groupBy(out_id, "cell")
-            .agg(F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"))
+        return V.matrix_dots(df, vec_col, id_col, codebook, out_id=out_id).select(
+            out_id, F.posexplode("dots").alias("cell", "dot")
         )
 
     w_assign = W.partitionBy("cid").orderBy(F.col("dot").desc(), F.col("cell"))
@@ -112,7 +102,7 @@ def ivf_topk(
         .join(F.broadcast(q), "query_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", V.cosine_rounded("qv", "cv").alias("sim")
+        "query_id", "neighbor_id", V.cosine_rounded_arrow()("qv", "cv").alias("sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -143,29 +133,51 @@ def lsh_topk(
     tables, not more bits. Deterministic planes from a seeded LCG.
     """
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
-    # Bucket keys via the codegen posexplode + SUM-aggregate path (see
-    # functions/vectors.py::hyperplane_buckets) — the per-row lambda form
-    # runs interpreted and dominated the corpus pass.
-    qb = V.hyperplane_buckets(
-        queries, vec_col, id_col, planes, bits_per_table, out_id="query_id"
+    # Signatures via the Arrow matmul path (functions/vectors.py) — both
+    # the per-row lambda form and the explode+join+agg codegen form
+    # dominated the corpus pass. The corpus side explodes one row per
+    # table; the query side stays ONE row per query (broadcast), its
+    # per-table key sliced from the signature inside the join condition.
+    qs = V.hyperplane_signature_bits(
+        queries, vec_col, id_col, planes, out_id="query_id", out_col="qsig"
     )
-    cb = V.hyperplane_buckets(
-        corpus, vec_col, id_col, planes, bits_per_table, out_id="neighbor_id"
+    cs = V.hyperplane_signature_bits(
+        corpus, vec_col, id_col, planes, out_id="neighbor_id", out_col="csig"
     )
+    ct = cs.select(
+        "neighbor_id",
+        "csig",
+        F.explode(F.array(*[F.lit(i) for i in range(n_tables)])).alias("tidx"),
+    )
+
+    def key(col: str, i) -> F.Column:
+        start = i * bits_per_table + 1 if isinstance(i, int) else None
+        if start is not None:
+            return F.expr(f"substring({col}, {start}, {bits_per_table})")
+        return F.expr(f"substring({col}, tidx * {bits_per_table} + 1, {bits_per_table})")
+
+    # Keep a (query, neighbor) pair only at its FIRST agreeing table — a
+    # codegen filter over the two signatures instead of a dropDuplicates
+    # exchange over the candidate stream.
+    first_agree = None
+    for i in range(n_tables):
+        term = (F.col("tidx") <= F.lit(i)) | (key("csig", i) != key("qsig", i))
+        first_agree = term if first_agree is None else (first_agree & term)
     cand = (
-        cb.join(
-            F.broadcast(qb),
-            (qb.bucket == cb.bucket) & (F.col("neighbor_id") != F.col("query_id")),
+        ct.join(
+            F.broadcast(qs),
+            (key("csig", None) == key("qsig", None))
+            & (F.col("neighbor_id") != F.col("query_id")),
         )
+        .where(first_agree)
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", V.cosine_rounded("qv", "cv").alias("sim"))
+        .select("query_id", "neighbor_id", V.cosine_rounded_arrow()("qv", "cv").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
