@@ -144,17 +144,24 @@ def lsh_topk(
     cs = V.hyperplane_signature_bits(
         corpus, vec_col, id_col, planes, out_id="neighbor_id", out_col="csig"
     )
-    ct = cs.select(
-        "neighbor_id",
-        "csig",
-        F.explode(F.array(*[F.lit(i) for i in range(n_tables)])).alias("tidx"),
+    tidx = F.explode(F.array(*[F.lit(i) for i in range(n_tables)])).alias("tidx")
+    # Per-table bucket keys are materialized as plain columns on BOTH sides
+    # before the join: an expression like substring(qsig, tidx*b+1, b) mixes
+    # columns of the two sides, which Catalyst cannot recognize as an
+    # equi-condition — it degrades the join to BroadcastNestedLoopJoin (the
+    # plan gate caught exactly this). Exploding the query side per table
+    # multiplies only the broadcast-tiny side.
+    ct = cs.select("neighbor_id", "csig", tidx).withColumn(
+        "ckey",
+        F.expr(f"substring(csig, tidx * {bits_per_table} + 1, {bits_per_table})"),
+    )
+    qt = qs.select("query_id", "qsig", tidx).withColumnRenamed("tidx", "qtidx").withColumn(
+        "qkey",
+        F.expr(f"substring(qsig, qtidx * {bits_per_table} + 1, {bits_per_table})"),
     )
 
-    def key(col: str, i) -> F.Column:
-        start = i * bits_per_table + 1 if isinstance(i, int) else None
-        if start is not None:
-            return F.expr(f"substring({col}, {start}, {bits_per_table})")
-        return F.expr(f"substring({col}, tidx * {bits_per_table} + 1, {bits_per_table})")
+    def key(col: str, i: int) -> F.Column:
+        return F.expr(f"substring({col}, {i * bits_per_table + 1}, {bits_per_table})")
 
     # Keep a (query, neighbor) pair only at its FIRST agreeing table — a
     # codegen filter over the two signatures instead of a dropDuplicates
@@ -165,8 +172,9 @@ def lsh_topk(
         first_agree = term if first_agree is None else (first_agree & term)
     cand = (
         ct.join(
-            F.broadcast(qs),
-            (key("csig", None) == key("qsig", None))
+            F.broadcast(qt),
+            (F.col("tidx") == F.col("qtidx"))
+            & (F.col("ckey") == F.col("qkey"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
         .where(first_agree)

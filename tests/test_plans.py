@@ -69,6 +69,9 @@ NO_CARTESIAN_EXEMPT = {
     # same shape: 1-row (total, n_langs) aggregate crossed into the tiny
     # per-language counts
     "text_mix_weights",
+    # 1-row average-balance aggregate broadcast-crossed into the customer
+    # filter (TPC-H Q22's scalar subquery) — not a data join
+    "q22_dormant_customers",
 }
 
 
