@@ -27,22 +27,32 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
-    # Warm the JVM + file listing so timings measure query execution.
-    REGISTRY[names[0]].spark(spark, sf_dir).collect()
+    # Warm the JVM + file listing so timings measure query execution. A
+    # failed warmup must not kill the run — per-query isolation below.
+    try:
+        REGISTRY[names[0]].spark(spark, sf_dir).collect()
+    except Exception:
+        pass
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     for name in names:
         t0 = time.perf_counter()
-        REGISTRY[name].spark(spark, sf_dir).collect()
+        try:
+            REGISTRY[name].spark(spark, sf_dir).collect()
+        except Exception as exc:  # one broken query must not zero the round
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ok = [v for v in timings.values() if isinstance(v, (int, float))]
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "errors": sum(1 for v in timings.values() if not isinstance(v, (int, float))),
     }
     print(json.dumps(out))
 

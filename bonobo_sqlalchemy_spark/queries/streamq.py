@@ -53,7 +53,8 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           COUNT(DISTINCT event_type) AS n_event_types
+           COUNT(DISTINCT event_type) AS n_event_types,
+           strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
     FROM events GROUP BY user_id
     """,
     tags=("streaming", "stateful"),

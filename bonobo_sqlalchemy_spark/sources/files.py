@@ -40,17 +40,37 @@ def default_sf_dir() -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-        # outright; read it as raw nanos and rebuild a (microsecond-precision)
-        # TimestampType column. `div` keeps the arithmetic in exact longs.
+        # The driver regenerates testdata between rounds and the physical type
+        # of events.ts has changed across regenerations (TIMESTAMP(NANOS) in
+        # r1/r2, TZ-naive timestamp[us] in r3). Be defensive: accept every
+        # layout seen so far and normalize to TimestampType (exact under the
+        # UTC session TZ pinned in session.py, so values and oracle parity are
+        # unaffected).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events DataFrame's ``ts`` to TimestampType.
+
+    Handles: bigint (legacy nanosAsLong read of TIMESTAMP(NANOS) parquet),
+    timestamp_ntz (TZ-naive timestamp[us] parquet), and already-normalized
+    timestamp. The NTZ→TZ cast is value-preserving because the session TZ is
+    pinned to UTC.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        from pyspark.sql import functions as F
+
+        # raw nanos -> microsecond-precision timestamp; `div` stays in longs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(

@@ -16,12 +16,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: emitted row per key per micro-batch (update mode): the current running state
+#: emitted row per key per micro-batch (update mode): the current running state.
+#: last_ts makes event-time visible in the output so the oracle catches any
+#: timestamp corruption in the ingest path (r2's NTZ episode passed this
+#: query's oracle because no timestamp reached the comparison).
 OUTPUT_SCHEMA = (
-    "user_id bigint, n_events bigint, total_value double, n_event_types bigint"
+    "user_id bigint, n_events bigint, total_value double, n_event_types bigint,"
+    " last_ts string"
 )
 #: persisted per-key state between micro-batches
-STATE_SCHEMA = "n bigint, cents bigint, types array<string>"
+STATE_SCHEMA = "n bigint, cents bigint, types array<string>, max_us bigint"
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
@@ -38,16 +42,19 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         if state.exists:
-            n, cents, types_list = state.get
+            n, cents, types_list, max_us = state.get
             types = set(types_list)
         else:
-            n, cents, types = 0, 0, set()
+            n, cents, types, max_us = 0, 0, set(), None
         for pdf in pdfs:
             n += len(pdf)
             # exact integer-cent accumulation of the 2-decimal doubles
             cents += int(pdf["value"].mul(100).round().astype("int64").sum())
             types |= set(pdf["event_type"].astype(str))
-        state.update((n, cents, sorted(types)))
+            # .value is nanos regardless of the frame's datetime64 unit
+            batch_max_us = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+            max_us = batch_max_us if max_us is None else max(max_us, batch_max_us)
+        state.update((n, cents, sorted(types), max_us))
         yield pd.DataFrame(
             [
                 {
@@ -55,6 +62,9 @@ def running_user_stats(events: DataFrame) -> DataFrame:
                     "n_events": n,
                     "total_value": cents / 100.0,
                     "n_event_types": len(types),
+                    "last_ts": pd.Timestamp(max_us, unit="us").strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    ),
                 }
             ]
         )

@@ -6,9 +6,12 @@ a ``foreachBatch`` bridge that reuses the M3 upsert sink so a stream can
 land in any upsert target exactly like a batch pipeline (idempotent per
 discriminant — safe under micro-batch retries).
 
-The events fixture is parquet with TIMESTAMP(NANOS); the stream reader takes
-the same raw-nanos route as the batch loader (``sources/files.py``): read
-``ts`` as long, rebuild microsecond timestamps in the plan.
+The events fixture's ``ts`` physical type has varied across driver testdata
+regenerations (TIMESTAMP(NANOS) in early rounds, TZ-naive timestamp[us]
+since). Streaming reads need a declared schema, so the reader sniffs the
+parquet footer (pyarrow, driver-side, metadata only) and declares the
+matching type, then normalizes to TimestampType in the plan — mirroring the
+batch loader (``sources/files.py:_normalize_event_ts``) so batch == stream.
 """
 
 from __future__ import annotations
@@ -22,17 +25,45 @@ from pyspark.sql import types as T
 
 from ..registry import ServiceRegistry
 
-#: events schema with ts as raw nanos (parquet TIMESTAMP(NANOS) -> long).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _sniff_ts_type(path: str) -> T.DataType:
+    """Inspect the parquet footer to pick the declared type for ``ts``.
+
+    Metadata-only read of one footer on the driver — no data moves. Returns
+    LongType for the legacy TIMESTAMP(NANOS) layout (read via nanosAsLong),
+    TimestampNTZType for TZ-naive timestamp[us]/[ms], TimestampType otherwise.
+    """
+    sample = path
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if not files:
+            return T.TimestampNTZType()
+        sample = os.path.join(path, files[0])
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(sample).field("ts")
+    except Exception:
+        return T.TimestampNTZType()
+    t = field.type
+    if str(t) in ("timestamp[ns]", "int64"):
+        return T.LongType()
+    tz = getattr(t, "tz", None)
+    return T.TimestampType() if tz else T.TimestampNTZType()
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -67,12 +98,19 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
                 shutil.copy(path, link)
         path = stage
+    ts_type = _sniff_ts_type(path)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .format("parquet")
         .load(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        # legacy raw nanos -> microsecond timestamps, exact long arithmetic
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # exact under the UTC session TZ (session.py)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

@@ -1,0 +1,77 @@
+"""Schema-defensive events loading: the driver regenerates testdata between
+rounds and has already shipped two different physical layouts for events.ts
+(TIMESTAMP(NANOS) in r1/r2, TZ-naive timestamp[us] in r3). Both the batch
+loader and the streaming reader must produce identical TimestampType rows
+from either layout — this is the regression test for the r2 NTZ episode
+(VERDICT r2 items 1 and 7).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+ROWS = [
+    (1, datetime.datetime(2024, 3, 1, 12, 0, 5), 7, "view", 1.5, "{}"),
+    (2, datetime.datetime(2024, 3, 1, 12, 30, 0), 7, "click", 2.0, "{}"),
+    (3, datetime.datetime(2024, 3, 1, 14, 0, 0), 9, "purchase", 99.9, "{}"),
+]
+
+
+def _write_events(path, ts_unit: str) -> None:
+    cols = list(zip(*ROWS))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp(ts_unit)),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.fixture(scope="module", params=["ns", "us"], ids=["nanos", "micros_ntz"])
+def events_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"events_{request.param}")
+    _write_events(str(d / "events.parquet"), request.param)
+    return str(d)
+
+
+def _canon(df):
+    return sorted(
+        (r.event_id, r.ts.isoformat(), r.user_id, r.event_type) for r in df.collect()
+    )
+
+
+EXPECTED = sorted((e, t.isoformat(), u, k) for e, t, u, k, _, _ in ROWS)
+
+
+def test_load_table_normalizes_both_layouts(spark, events_dir):
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    df = load_table(spark, events_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert _canon(df) == EXPECTED
+
+
+def test_stream_reader_normalizes_both_layouts(spark, events_dir, tmp_path):
+    from bonobo_sqlalchemy_spark.streaming.windows import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("loader_layout_check")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM loader_layout_check")
+    assert _canon(out) == EXPECTED
