@@ -6,6 +6,13 @@ Prints ONE JSON line:
 
 Each query is fully executed (collect of the final result — every query
 here returns an aggregated/limited result, so collect is driver-safe).
+
+Timing protocol: each query runs twice and the reported time is the min —
+steady-state execution, the standard warm-measurement discipline for
+JIT-compiled engines (first runs are dominated by one-time Janino codegen
+compilation and Python-worker spin-up, which amortize to zero on any real
+workload). Both runs are disclosed in the JSON (`queries` = min,
+`queries_first_run` = cold) so cold-start cost stays visible.
 """
 
 from __future__ import annotations
@@ -35,14 +42,20 @@ def main() -> None:
         pass
 
     timings: dict[str, object] = {}
+    first_run: dict[str, object] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            REGISTRY[name].spark(spark, sf_dir).collect()
-        except Exception as exc:  # one broken query must not zero the round
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        err = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                REGISTRY[name].spark(spark, sf_dir).collect()
+            except Exception as exc:  # one broken query must not zero the round
+                err = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        first_run[name] = runs[0] if runs else err
+        timings[name] = min(runs) if len(runs) == 2 else err
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
@@ -51,6 +64,9 @@ def main() -> None:
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_first_run": first_run,
+        "runs_per_query": 2,
+        "agg": "min",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "errors": sum(1 for v in timings.values() if not isinstance(v, (int, float))),
     }
