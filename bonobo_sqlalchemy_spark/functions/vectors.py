@@ -118,6 +118,55 @@ def hyperplane_signature_bits(
     return src.mapInPandas(_sig, out_schema)
 
 
+def hyperplane_table_keys(
+    df,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    bits_per_table: int,
+    extra_cols: tuple[str, ...] = (),
+    out_id: str = "id",
+    out_col: str = "tkeys",
+):
+    """``(out_id, *extra_cols, tkeys)`` rows where ``tkeys[t]`` is table
+    *t*'s bucket key as a packed long (bit *j* of the table contributes
+    ``1 << j``).
+
+    Same fused ``X @ W`` Arrow path as `hyperplane_signature_bits`, but the
+    per-table keys come out as longs computed in the same numpy batch — no
+    bit-string materialization and no per-row ``substring`` slicing in the
+    downstream plan. Bucket partitions are identical to the bit-string
+    form (a packed long and its bit-string are in bijection), so candidate
+    sets — and any oracle mirroring them — are unchanged.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    n_tables = len(planes) // bits_per_table
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+    src = df.select(
+        F.col(id_col).alias(out_id),
+        *[F.col(c) for c in extra_cols],
+        F.col(vec_col).alias("_v"),
+    )
+    keep = [f for f in src.schema.fields if f.name != "_v"]
+    out_schema = StructType(list(keep) + [StructField(out_col, ArrayType(LongType()))])
+
+    def _keys(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["_v"])
+            if len(pdf):
+                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                bits = (X @ W >= 0).astype(np.int64)  # (n, n_tables*b)
+                keys = bits.reshape(len(pdf), n_tables, bits_per_table) @ weights
+                out[out_col] = list(keys)
+            else:
+                out[out_col] = []
+            yield out
+
+    return src.mapInPandas(_keys, out_schema)
+
+
 def hyperplane_buckets(
     df,
     vec_col: str,

@@ -391,33 +391,21 @@ def embedding_near_dup_pairs(
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.col(vec_col).alias("v"),
     )
-    # Full sign-bit signature per vector (Arrow matmul path), exploded one
-    # row per table with the signature string riding along.
-    sig = V.hyperplane_signature_bits(base, "v", "id", planes, extra_cols=("blk",))
-    tb = sig.select(
-        "id",
-        "blk",
-        "sigbits",
-        F.explode(F.array(*[F.lit(i) for i in range(n_tables)])).alias("tidx"),
-    ).withColumn(
-        "bucket",
-        F.expr(f"substring(sigbits, tidx * {bits_per_table} + 1, {bits_per_table})"),
+    # Per-table bucket keys come out of the Arrow matmul pass as packed
+    # longs (one numpy reshape-matmul — no bit-string materialization, no
+    # per-row substring slicing in the plan); posexplode yields one
+    # (table, bucket) row per table. Bucket partitions are bijective with
+    # the bit-string form, so the candidate set — and the SQL oracle that
+    # mirrors it — is unchanged.
+    keys = V.hyperplane_table_keys(
+        base, "v", "id", planes, bits_per_table, extra_cols=("blk",)
     )
-
-    def table_key(side: str, i: int):
-        return F.expr(
-            f"substring({side}.sigbits, {i * bits_per_table + 1}, {bits_per_table})"
-        )
-
-    # A pair sharing k tables would surface k times; keep it only at its
-    # FIRST agreeing table — a pure-codegen filter over the two signature
-    # strings (for every earlier table the keys must differ) — instead of a
-    # dropDuplicates exchange over the whole candidate stream.
-    first_agree = None
-    for i in range(n_tables):
-        term = (F.col("a.tidx") <= F.lit(i)) | (table_key("a", i) != table_key("b", i))
-        first_agree = term if first_agree is None else (first_agree & term)
+    tb = keys.select("id", "blk", F.posexplode("tkeys").alias("tidx", "bucket"))
     a, b = tb.alias("a"), tb.alias("b")
+    # A pair sharing k tables surfaces k times; dedup the candidate stream
+    # before verification. The exchange only carries (id1, id2) pairs, and
+    # shrinking the stream *before* the vector-fetch joins + Arrow cosine
+    # is what matters — the exact verification is the expensive stage.
     cand = (
         a.join(
             b,
@@ -426,8 +414,8 @@ def embedding_near_dup_pairs(
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .where(first_agree)
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
     )
     # Exact-cosine verification: join the two vectors back by id (the
     # vectors never ride through the bucket shuffle) and score each

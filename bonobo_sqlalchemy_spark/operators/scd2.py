@@ -1,0 +1,166 @@
+"""Slowly-Changing-Dimension Type 2 history sink.
+
+The reference's ``InsertOrUpdate`` (``/root/reference/bonobo_sqlalchemy/
+writers.py:21-100``) overwrites rows in place (Type 1). This operator is the
+history-preserving variant a warehouse/training-data pipeline needs: instead
+of overwriting, each change CLOSES the current version (sets ``valid_to`` /
+``is_current=false``) and INSERTS a new open version — the full change
+history stays queryable ("state as of T" = ``valid_from <= T < valid_to``).
+
+Spark-first design, one batch = one merge:
+
+- change detection is a hash-compare (``xxhash64`` over tracked columns) —
+  no column-by-column predicate explosion, constant-cost at any width;
+- the merge is expressed as unions of three declarative branches
+  (unchanged-history ∪ closed-versions ∪ new-versions), all equi-joins on
+  the business key — Catalyst plans one shuffle per side, broadcastable
+  when the batch is small;
+- no driver-side loops; counts materialize before the swap (same
+  crash-recoverable rename-aside protocol as ``upsert._write_path``). On
+  Delta/Iceberg the same three branches collapse into one ``MERGE INTO``
+  with a ``WHEN MATCHED AND hash_differs`` clause.
+
+Idempotence: re-merging the same batch is a no-op (hash equality short-
+circuits), so micro-batch retries through ``foreachBatch`` are safe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: sentinel for an open-ended version — comparable, sorts last, parquet-safe
+OPEN_END = "9999-12-31 23:59:59"
+
+
+def scd2_columns(keys: list[str]) -> list[str]:
+    return list(keys) + ["valid_from", "valid_to", "is_current"]
+
+
+def _hash_cols(df: DataFrame, cols: list[str]) -> F.Column:
+    # NULL-safe: hash the (value, is-null) pair per column so NULL and
+    # 'null-looking' values can't collide; xxhash64 is seed-stable.
+    parts: list[F.Column] = []
+    for c in cols:
+        parts.append(F.col(c).cast("string"))
+        parts.append(F.col(c).isNull().cast("string"))
+    return F.xxhash64(*parts)
+
+
+def scd2_merge(
+    current: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    as_of: str,
+    tracked: list[str] | None = None,
+) -> DataFrame:
+    """Merge ``batch`` (one row per key — latest state) into an SCD2 history.
+
+    ``current`` is the existing history (may be ``None``/empty for the first
+    load) with ``valid_from``/``valid_to``/``is_current`` columns; ``batch``
+    carries the business columns only. ``as_of`` is the batch's effective
+    timestamp (event time, not wall clock — deterministic reruns).
+
+    Returns the merged history. Branches:
+
+    - history rows (``is_current = false``): pass through untouched;
+    - current rows whose key is absent from the batch: pass through;
+    - current rows whose batch hash matches: pass through (idempotence);
+    - current rows whose batch hash differs: emitted CLOSED
+      (``valid_to = as_of``, ``is_current = false``);
+    - batch rows that are new keys or changed: emitted OPEN
+      (``valid_from = as_of``, ``valid_to = OPEN_END``).
+    """
+    data_cols = [c for c in batch.columns if c not in keys]
+    tracked = tracked if tracked is not None else data_cols
+    b = batch.withColumn("__bh", _hash_cols(batch, tracked))
+
+    if current is None or not current.columns:
+        return b.drop("__bh").select(
+            "*",
+            F.lit(as_of).alias("valid_from"),
+            F.lit(OPEN_END).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    hist = current.where(~F.col("is_current"))
+    cur = current.where(F.col("is_current")).withColumn(
+        "__ch", _hash_cols(current, tracked)
+    )
+
+    joined = cur.alias("c").join(
+        b.select(*keys, "__bh").alias("n"), keys, "left"
+    )
+    unchanged = joined.where(
+        F.col("n.__bh").isNull() | (F.col("c.__ch") == F.col("n.__bh"))
+    ).select([F.col(f"c.{c}") for c in current.columns])
+    closed = (
+        joined.where(F.col("n.__bh").isNotNull() & (F.col("c.__ch") != F.col("n.__bh")))
+        .select([F.col(f"c.{c}") for c in current.columns])
+        .withColumn("valid_to", F.lit(as_of))
+        .withColumn("is_current", F.lit(False))
+    )
+
+    cur_h = cur.select(*keys, "__ch")
+    opened = (
+        b.alias("n")
+        .join(cur_h.alias("c"), keys, "left")
+        .where(F.col("c.__ch").isNull() | (F.col("c.__ch") != F.col("n.__bh")))
+        .select([F.col(f"n.{c}") for c in batch.columns])
+        .select(
+            "*",
+            F.lit(as_of).alias("valid_from"),
+            F.lit(OPEN_END).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        hist.unionByName(unchanged)
+        .unionByName(closed)
+        .unionByName(opened.select(*current.columns))
+    )
+
+
+class Scd2Sink:
+    """Parquet-backed SCD2 sink with the upsert sink's write/read protocol.
+
+    ``write(batch, spark, path, ...)`` reads the existing history, merges,
+    and swaps atomically-enough for a single writer (rename-aside — a crash
+    leaves the previous table recoverable, never a missing one). The real
+    100 TB target is a Delta/Iceberg ``MERGE INTO``; this backend exists so
+    the operator is end-to-end testable in-container.
+    """
+
+    def __init__(self, keys: list[str], tracked: list[str] | None = None):
+        self.keys = list(keys)
+        self.tracked = tracked
+        self.last_stats: dict[str, int] = {}
+
+    def write(
+        self, batch: DataFrame, spark: SparkSession, path: str, as_of: str
+    ) -> DataFrame:
+        current = spark.read.parquet(path) if os.path.exists(path) else None
+        merged = scd2_merge(current, batch, self.keys, as_of, self.tracked)
+        n_total = merged.count()
+        n_open = merged.where(F.col("is_current")).count()
+
+        tmp = path + ".__scd2_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path + ".__scd2_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.last_stats = {"rows": n_total, "open": n_open}
+        return spark.read.parquet(path)
+
+
+def snapshot_as_of(history: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time state: the version valid at ``ts`` for each key."""
+    return history.where(
+        (F.col("valid_from") <= F.lit(ts)) & (F.lit(ts) < F.col("valid_to"))
+    )

@@ -1,0 +1,124 @@
+"""SCD2 history sink: merge semantics, idempotence, point-in-time reads.
+
+Reference context: the reference's InsertOrUpdate is Type-1 (overwrite in
+place, /root/reference/bonobo_sqlalchemy/writers.py:21-100); SCD2 is the
+history-preserving extension. These tests pin the version algebra:
+every (key, valid_from) is unique, intervals never overlap, exactly one
+open version per live key, and re-merging a batch is a no-op.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bonobo_sqlalchemy_spark.operators.scd2 import (
+    OPEN_END,
+    Scd2Sink,
+    scd2_merge,
+    snapshot_as_of,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, name string, balance double")
+
+
+def test_initial_load_opens_all(spark):
+    b = _batch(spark, [(1, "a", 10.0), (2, "b", 20.0)])
+    out = scd2_merge(None, b, ["id"], "2024-01-01 00:00:00")
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 2
+    assert all(r.is_current and r.valid_to == OPEN_END for r in rows.values())
+    assert rows[1].valid_from == "2024-01-01 00:00:00"
+
+
+def test_change_closes_and_opens(spark):
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    h0 = scd2_merge(None, _batch(spark, [(1, "a", 10.0), (2, "b", 20.0)]), ["id"], t0)
+    h1 = scd2_merge(h0, _batch(spark, [(1, "a", 99.0), (3, "c", 30.0)]), ["id"], t1)
+    rows = sorted(h1.collect(), key=lambda r: (r.id, r.valid_from))
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    # id=1 changed: closed old + open new
+    assert [(r.balance, r.valid_to, r.is_current) for r in by_id[1]] == [
+        (10.0, t1, False),
+        (99.0, OPEN_END, True),
+    ]
+    # id=2 absent from batch: untouched open version
+    assert [(r.balance, r.is_current) for r in by_id[2]] == [(20.0, True)]
+    # id=3 new key: one open version
+    assert [(r.valid_from, r.is_current) for r in by_id[3]] == [(t1, True)]
+
+
+def test_idempotent_remerge(spark):
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    b = _batch(spark, [(1, "a", 10.0)])
+    h0 = scd2_merge(None, b, ["id"], t0)
+    h1 = scd2_merge(h0, b, ["id"], t1)  # same data, later as_of
+    rows = h1.collect()
+    assert len(rows) == 1
+    assert rows[0].is_current and rows[0].valid_from == t0
+
+
+def test_null_handling_in_change_hash(spark):
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    h0 = scd2_merge(None, _batch(spark, [(1, None, 10.0)]), ["id"], t0)
+    # NULL -> 'None'-like string must register as a change, not a collision
+    h1 = scd2_merge(h0, _batch(spark, [(1, "None", 10.0)]), ["id"], t1)
+    assert h1.count() == 2
+    assert h1.where(F.col("is_current")).collect()[0].name == "None"
+
+
+def test_invariants_after_three_generations(spark):
+    ts = ["2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"]
+    batches = [
+        [(1, "a", 1.0), (2, "b", 1.0)],
+        [(1, "a", 2.0), (2, "b", 1.0)],
+        [(1, "a", 3.0), (2, "x", 9.0)],
+    ]
+    h = None
+    for t, rows in zip(ts, batches):
+        h = scd2_merge(h, _batch(spark, rows), ["id"], t)
+    # exactly one open version per key
+    open_counts = (
+        h.where("is_current").groupBy("id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in open_counts] == [1]
+    # (key, valid_from) unique
+    assert h.select("id", "valid_from").distinct().count() == h.count()
+    # intervals chain: each closed valid_to equals the next valid_from
+    rows = sorted(h.where("id = 1").collect(), key=lambda r: r.valid_from)
+    assert [r.balance for r in rows] == [1.0, 2.0, 3.0]
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.valid_to == nxt.valid_from
+    # point-in-time reads
+    assert snapshot_as_of(h, "2024-02-15 00:00:00").where("id = 1").collect()[
+        0
+    ].balance == 2.0
+    assert snapshot_as_of(h, ts[0]).where("id = 1").collect()[0].balance == 1.0
+
+
+def test_sink_roundtrip_and_crash_recoverable_swap(spark, tmp_path):
+    path = str(tmp_path / "dim_customer.parquet")
+    sink = Scd2Sink(keys=["id"])
+    sink.write(_batch(spark, [(1, "a", 10.0)]), spark, path, "2024-01-01 00:00:00")
+    assert sink.last_stats == {"rows": 1, "open": 1}
+    out = sink.write(
+        _batch(spark, [(1, "a", 20.0)]), spark, path, "2024-02-01 00:00:00"
+    )
+    assert sink.last_stats == {"rows": 2, "open": 1}
+    reread = spark.read.parquet(path)
+    assert reread.count() == 2
+    assert reread.where("is_current").collect()[0].balance == 20.0
+    assert out.columns == reread.columns
+
+
+def test_tracked_subset_ignores_untracked_churn(spark):
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    b0 = _batch(spark, [(1, "a", 10.0)])
+    b1 = _batch(spark, [(1, "a", 11.0)])  # balance churns, name tracked only
+    h0 = scd2_merge(None, b0, ["id"], t0, tracked=["name"])
+    h1 = scd2_merge(h0, b1, ["id"], t1, tracked=["name"])
+    assert h1.count() == 1  # untracked change -> no new version
