@@ -432,6 +432,44 @@ def embedding_near_dup_pairs(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus — the shape a
+    production pipeline actually runs (the full corpus is never re-deduped;
+    each increment lands against the accumulated fingerprint store).
+
+    Two stages, both single-shuffle:
+
+    1. intra-batch: keep the min-id row per fingerprint within the batch;
+    2. cross-corpus: anti-join the batch fingerprints against
+       ``seen_fingerprints`` (a 1-column frame — at 100 TB a bucketed table
+       partitioned by fingerprint, making this a zero-shuffle bucket join;
+       small increments broadcast instead).
+
+    Returns the surviving new rows with their fingerprint attached — the
+    caller appends these rows AND their fingerprints to the respective
+    stores (both appends are idempotent under replay because survivors are
+    keyed by fingerprint).
+    """
+    fp = T.fingerprint_md5(T.normalized(text_col) if normalize else F.col(text_col))
+    batch = new_df.withColumn("fingerprint", fp)
+    w = W.partitionBy("fingerprint").orderBy(F.col(id_col))
+    intra = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    seen = seen_fingerprints.select(
+        F.col(seen_fingerprints.columns[0]).alias("fingerprint")
+    )
+    return intra.join(seen, "fingerprint", "left_anti")
+
+
 def survivors(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop the higher id of every near-dup pair (greedy, deterministic)."""
     losers = pairs.select(F.col("id2").alias(id_col)).distinct()

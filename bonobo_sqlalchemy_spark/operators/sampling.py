@@ -1,0 +1,105 @@
+"""Deterministic sampling & shuffling for training-data pipelines.
+
+Every operator here is **hash-deterministic**: randomness comes from
+``md5(seed || id)``, never from an RNG, so results are identical across
+engines (the DuckDB oracles reproduce them bit-for-bit), across reruns, and
+across any partitioning — the property a 100 TB pipeline actually needs
+(resumable jobs, reproducible ablations, no per-executor RNG state).
+
+- :func:`stratified_sample_exact` — exactly *n* rows per stratum (not a
+  Bernoulli fraction): rank within stratum by the hash and keep the first
+  *n*. One shuffle on the stratum key; at scale this is the standard
+  per-group top-k plan (partial TakeOrdered map-side via window + filter).
+- :func:`deterministic_shuffle` — a stable global permutation key. Writing
+  ``repartitionByRange(shuffle_key).sortWithinPartitions(shuffle_key)``
+  materializes a globally shuffled dataset with NO single-point pass: the
+  range partitioner samples key quantiles, every partition sorts locally.
+- :func:`weighted_sample_topk` — weighted sampling without replacement
+  (Efraimidis–Spirakis A-Res): key = ln(u)/w with u hash-uniform in (0,1);
+  the global top-k by key is a weighted sample. Expressed as a top-k sort —
+  TakeOrderedAndProject, no full-sort shuffle. Scores are rounded (policy
+  in ``queries/base.py``) so cross-engine libm last-ulp differences cannot
+  flip a rank; ties break on id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def hash_key(id_col: str | Column, seed: int = 42) -> Column:
+    """Deterministic per-row uniform key: md5 of ``seed|id`` (hex string).
+
+    md5 is available and bit-identical in Spark and DuckDB, which makes
+    sampling decisions oracle-checkable; at pure-Spark scale ``xxhash64``
+    is the cheaper drop-in (same determinism, no cross-engine contract).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
+
+
+def hash_uniform(id_col: str | Column, seed: int = 42) -> Column:
+    """Hash-deterministic uniform double in (0, 1): the first 8 md5 hex
+    chars as a 32-bit integer, shifted into (0,1) with a +1 offset so
+    ln(u) is finite. Exactly reproducible in SQL (see the oracle builders
+    in ``queries/datapipe4.py``)."""
+    h8 = F.substring(hash_key(id_col, seed), 1, 8)
+    # conv() parses hex -> decimal string; integers < 2^32 are exact doubles
+    return (F.conv(h8, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 32) + 2.0
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, hash-deterministic."""
+    w = W.partitionBy(strata_col).orderBy(hash_key(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Attach a stable permutation key and range-cluster by it.
+
+    The returned frame is globally ordered by ``shuffle_key`` across
+    partition boundaries (partition *i* holds smaller keys than *i*+1,
+    sorted within) — writing it yields a reproducible full-corpus shuffle
+    with no driver bottleneck and no zipWithIndex barrier."""
+    out = df.withColumn("shuffle_key", hash_key(id_col, seed))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str | Column,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+    digits: int = 12,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res).
+
+    P(row in sample) increases with weight; the classic reservoir key is
+    u^(1/w) — maximizing it is equivalent to maximizing ln(u)/w, which
+    avoids pow() and keeps magnitudes sane. Weights must be > 0."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    score = F.round(F.log(hash_uniform(id_col, seed)) / wcol.cast("double"), digits)
+    return (
+        df.withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,180 @@
+"""Deterministic sampling / shuffling / incremental-dedup / z-order queries.
+
+All named ``z_*`` so they sort AFTER the driver's 50-name correctness
+window (COVERAGE.md, "Correctness-signal mechanics") — previously-green
+driver rows keep their round-over-round signal; these get their hard
+verdicts from PARITY_LOCAL.md + the local parity suite.
+
+Every sampling decision derives from ``md5(seed|id)`` (operators/
+sampling.py), so the DuckDB oracles reproduce the sampled rows exactly —
+randomized operators with deterministic, cross-engine-checkable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import sampling as SA
+from ..operators.zorder import interleave_bits, interleave_bits_sql
+from ..sources.files import load_table
+from .base import query
+
+
+def _md5_key_sql(seed: int, id_expr: str) -> str:
+    return f"md5('{seed}|' || CAST({id_expr} AS VARCHAR))"
+
+
+def _hex8_to_int_sql(hex_expr: str) -> str:
+    """First-8-hex-chars -> integer, char-by-char (no hex-parse builtin
+    needed; mirrors Spark's conv(substring(h,1,8),16,10) exactly)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "z_sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_md5_key_sql(7, "doc_id")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= 20
+    """,
+    tags=("sampling",),
+    bench=True,
+)
+def z_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, hash-deterministic (md5(seed|id) rank
+    within stratum) — reproducible across engines, reruns, partitionings.
+    One shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.stratified_sample_exact(docs, "lang", 20, "doc_id", seed=7).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "z_shuffle_deterministic",
+    oracle=f"""
+    SELECT doc_id, {_md5_key_sql(42, "doc_id")} AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key LIMIT 100
+    """,
+    tags=("sampling",),
+)
+def z_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 rows of the deterministic global training shuffle — the
+    permutation key used by `operators.sampling.deterministic_shuffle`
+    (whose written form is range-partitioned + sorted, no driver pass).
+    Plan here is TakeOrderedAndProject: no full sort materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", SA.hash_key("doc_id", 42).alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+@query(
+    "z_sample_weighted",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             ({_hex8_to_int_sql(f"substr({_md5_key_sql(13, 'doc_id')}, 1, 8)")} + 1.0)
+               / (4294967296.0 + 2.0) AS uu
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             round(ln(uu) / CAST(n_chars AS DOUBLE), 12) AS sample_score
+      FROM u
+    )
+    SELECT doc_id, n_chars
+    FROM s ORDER BY sample_score DESC, doc_id LIMIT 50
+    """,
+    tags=("sampling",),
+    bench=True,
+)
+def z_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    weight = n_chars): global top-k by rounded ln(u)/w — longer documents
+    are proportionally likelier. Hash-deterministic u; the rounded score
+    (policy: queries/base.py) absorbs cross-engine libm last-ulp noise.
+    Scores are dropped from the output so the contract is the sample set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.weighted_sample_topk(docs, "n_chars", 50, "doc_id", seed=13).select(
+        "doc_id", "n_chars"
+    )
+
+
+@query(
+    "z_dedup_incremental",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    old AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 5 <> 0),
+    batch AS (
+      SELECT doc_id, fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM f WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, fingerprint FROM batch
+    WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM old)
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def z_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch (doc_id % 5 = 0
+    as the stand-in increment) lands against the accumulated fingerprint
+    store of everything already ingested (the other 80%). Intra-batch
+    min-id survivor + anti-join against the store
+    (`operators.dedup.incremental_dedup`); the full corpus is never
+    re-deduped."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_fps = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(T.fingerprint_md5(T.normalized("text")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    out = D.incremental_dedup(batch, old_fps, normalize=True)
+    return out.select("doc_id", "fingerprint")
+
+
+@query(
+    "z_order_key",
+    oracle=f"""
+    SELECT p_partkey, p_size,
+           {interleave_bits_sql("(p_partkey & 65535)", "(p_size & 65535)")} AS zkey
+    FROM part
+    """,
+    tags=("scale",),
+)
+def z_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) key over (p_partkey, p_size) — the clustering key
+    `operators.zorder.zorder_write` range-partitions on so parquet min/max
+    stats prune scans on EITHER column. Pure codegen bit arithmetic; the
+    oracle is the identical interleave generated as SQL."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        interleave_bits(
+            F.col("p_partkey").bitwiseAND(F.lit(65535)),
+            F.col("p_size").bitwiseAND(F.lit(65535)),
+        ).alias("zkey"),
+    )

@@ -1,0 +1,116 @@
+"""Deterministic sampling / shuffle / z-order operator properties.
+
+These pin the engine-level guarantees the z_* parity queries can't see:
+partitioning-invariance, global order of the written shuffle, weighted-
+sampling monotonicity, and the z-order clustering effect on file stats.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from bonobo_sqlalchemy_spark.operators.sampling import (
+    deterministic_shuffle,
+    stratified_sample_exact,
+    weighted_sample_topk,
+)
+from bonobo_sqlalchemy_spark.operators.zorder import zorder_write
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def test_stratified_exact_counts_and_partition_invariance(spark, docs):
+    s1 = stratified_sample_exact(docs, "lang", 5, "doc_id", seed=3)
+    counts = {r.lang: r["count"] for r in s1.groupBy("lang").count().collect()}
+    full = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, n in counts.items():
+        assert n == min(5, full[lang])
+    # identical sample regardless of input partitioning
+    s2 = stratified_sample_exact(docs.repartition(17), "lang", 5, "doc_id", seed=3)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    # different seed -> different sample
+    s3 = stratified_sample_exact(docs, "lang", 5, "doc_id", seed=4)
+    assert sorted(r.doc_id for r in s1.collect()) != sorted(
+        r.doc_id for r in s3.collect()
+    )
+
+
+def test_deterministic_shuffle_is_globally_ordered_permutation(spark, docs):
+    out = deterministic_shuffle(docs.select("doc_id"), "doc_id", seed=1, num_partitions=4)
+    # permutation: same id multiset
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    # global order: partition i's keys all precede partition i+1's
+    parts = out.select("shuffle_key", F.spark_partition_id().alias("pid"))
+    bounds = parts.groupBy("pid").agg(
+        F.min("shuffle_key").alias("lo"), F.max("shuffle_key").alias("hi")
+    )
+    rows = sorted(bounds.collect(), key=lambda r: r.pid)
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.hi <= nxt.lo
+
+
+def test_weighted_sampling_favors_heavy_rows(spark):
+    # 200 rows, weight 100 for ids < 20, weight 1 otherwise: the top-40
+    # sample must be dominated by heavy rows far beyond their 10% share.
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = weighted_sample_topk(df, "w", 40, "id", seed=5)
+    heavy = sum(1 for r in got.collect() if r.id < 20)
+    assert heavy >= 15  # ~all heavy rows selected; 2 expected by chance
+
+
+def test_weighted_sampling_deterministic_across_partitioning(spark, docs):
+    a = weighted_sample_topk(docs, "n_chars", 25, "doc_id", seed=9)
+    b = weighted_sample_topk(docs.repartition(13), "n_chars", 25, "doc_id", seed=9)
+    assert [r.doc_id for r in a.collect()] == [r.doc_id for r in b.collect()]
+
+
+@pytest.mark.parametrize("normalize", ["range", "rank"])
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path, normalize):
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.01", "part")
+    n = part.count()
+    zpath = str(tmp_path / f"part_z_{normalize}.parquet")
+    zorder_write(part, "p_partkey", "p_size", zpath, num_files=8, normalize=normalize)
+
+    out = spark.read.parquet(zpath)
+    assert out.count() == n  # lossless rewrite
+
+    # Each z-ordered file covers a compact rectangle: the per-file spans of
+    # BOTH columns must be far below the global span on average (a plain
+    # sort on p_partkey would cluster that column only, leaving p_size
+    # spans at ~full range in every file).
+    def spans(path_glob):
+        spans_k, spans_s = [], []
+        for f in glob.glob(path_glob):
+            t = pq.read_table(f, columns=["p_partkey", "p_size"])
+            k = t.column("p_partkey").to_pylist()
+            s = t.column("p_size").to_pylist()
+            if k:
+                spans_k.append(max(k) - min(k))
+                spans_s.append(max(s) - min(s))
+        return spans_k, spans_s
+
+    # With 8 files the range split consumes the top 3 Morton bits: y
+    # (p_size, odd positions) holds 2 of them, x (p_partkey) 1 — so
+    # expected per-file spans are ~1/4 and ~1/2 of global respectively.
+    gk = part.agg(F.max("p_partkey") - F.min("p_partkey")).collect()[0][0]
+    gs = part.agg(F.max("p_size") - F.min("p_size")).collect()[0][0]
+    spans_k, spans_s = spans(zpath + "/part-*.parquet")
+    assert len(spans_k) >= 4
+    assert sum(spans_k) / len(spans_k) <= 0.70 * gk
+    assert sum(spans_s) / len(spans_s) <= 0.50 * gs
