@@ -156,6 +156,87 @@ def z_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_events_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+    tags=("relational", "json"),
+)
+def z_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction over events.props: filter + aggregate
+    on an extracted field. `get_json_object` is JVM codegen (Jackson
+    per-row, no Python); at 100 TB the one-time improvement is schema-on-
+    write (promote hot JSON fields to columns at ingest) — until then this
+    is the standard lakehouse pattern for sparse/evolving payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "z_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS DOUBLE) AS n,
+             SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(log2(n) - clog / n, 6) AS token_entropy
+    FROM agg
+    """,
+    tags=("text",),
+)
+def z_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) — the
+    classic repetitiveness/diversity signal for corpus filtering (low
+    entropy = boilerplate/spam; complements the Gopher repetition ratios).
+    H = log2(n) - (Σ c·log2 c)/n via two codegen aggregations (token
+    counts, then per-doc fold) — one shuffle on (doc, token), one on doc.
+    Rounded to 6 per the determinism policy (reordering error ~1e-15)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c").cast("double")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(c * F.log2(c)).alias("clog"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(F.log2("n") - F.col("clog") / F.col("n"), 6).alias("token_entropy"),
+    )
+
+
+@query(
     "z_order_key",
     oracle=f"""
     SELECT p_partkey, p_size,

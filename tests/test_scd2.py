@@ -115,6 +115,53 @@ def test_sink_roundtrip_and_crash_recoverable_swap(spark, tmp_path):
     assert out.columns == reread.columns
 
 
+def test_streaming_foreachbatch_lands_in_scd2(spark, tmp_path):
+    """A stream of dimension updates lands through the SCD2 sink via
+    foreachBatch — the same composition the upsert sink supports
+    (streaming/windows.py::stream_to_upsert). Each micro-batch closes
+    changed versions and opens new ones; history survives across batches."""
+    src_dir = tmp_path / "updates"
+    src_dir.mkdir()
+    target = str(tmp_path / "dim.parquet")
+    sink = Scd2Sink(keys=["id"])
+
+    # two source files = two micro-batches (maxFilesPerTrigger=1)
+    _batch(spark, [(1, "a", 10.0), (2, "b", 5.0)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "f0.parquet"))
+    _batch(spark, [(1, "a", 20.0)]).coalesce(1).write.mode("overwrite").parquet(
+        str(src_dir / "f1.parquet")
+    )
+
+    stream = spark.readStream.schema("id bigint, name string, balance double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src_dir) + "/*")
+
+    batch_no = {"n": 0}
+
+    def land(batch_df, batch_id):
+        # event-time effective stamps (deterministic), one per micro-batch
+        batch_no["n"] += 1
+        sink.write(batch_df, spark, target, f"2024-0{batch_no['n']}-01 00:00:00")
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hist = spark.read.parquet(target)
+    one = sorted(hist.where("id = 1").collect(), key=lambda r: r.valid_from)
+    # id=1 either changed across two batches (2 versions) or, if both files
+    # landed in one micro-batch, kept the keep-last row; with
+    # maxFilesPerTrigger=1 we expect the full history.
+    assert [r.balance for r in one] == [10.0, 20.0]
+    assert [r.is_current for r in one] == [False, True]
+    assert hist.where("id = 2 AND is_current").count() == 1
+
+
 def test_tracked_subset_ignores_untracked_churn(spark):
     t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
     b0 = _batch(spark, [(1, "a", 10.0)])
