@@ -52,12 +52,18 @@ def interval_join(
     # Exact long division (`div`), not double `/`: float rounding near a bin
     # boundary could misbin a row and silently lose a matching pair.
     # (Epochs are assumed non-negative: `div` truncates toward zero.)
-    p = points.withColumn("__us", F.unix_micros(F.col(ts_col))).withColumn(
+    # .cast("timestamp") first: a no-op for TIMESTAMP inputs, and the
+    # value-preserving (UTC session) bridge for TIMESTAMP_NTZ ones, which
+    # unix_micros alone rejects (FIXTURES.md data-contract note).
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p = points.withColumn("__us", _us(ts_col)).withColumn(
         "__bin", F.expr(f"__us div {width_us}")
     ).drop("__us")
     i = (
-        intervals.withColumn("__s_us", F.unix_micros(F.col(start_col)))
-        .withColumn("__e_us", F.unix_micros(F.col(end_col)))
+        intervals.withColumn("__s_us", _us(start_col))
+        .withColumn("__e_us", _us(end_col))
         .withColumn(
             "__bin",
             F.explode(

@@ -237,6 +237,125 @@ def z_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+def z_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-customer rolling 7-day spend.
+    Unlike ROWS frames, the frame is defined by the ORDER-BY *value*
+    (seconds of event time), so ties and gaps behave calendar-correctly —
+    the moving-aggregate shape feature pipelines need. One shuffle on the
+    partition key; frame evaluation is streaming within each sorted
+    partition."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate reads as TIMESTAMP_NTZ from the regenerated testdata; the
+    # NTZ->timestamp cast is value-preserving under the UTC session TZ and
+    # makes the epoch-seconds cast legal (FIXTURES.md data-contract note).
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+@query(
+    "z_text_winnow",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i,
+             array_to_string(w[i:i+2], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    h AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(md5(gram), 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(md5(gram), 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(gram), 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(gram), 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(gram), 8, 1)) - 1) AS hv,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM g
+    ),
+    wins AS (
+      SELECT doc_id,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             i, n
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(fp) AS BIGINT) AS fp_min,
+           CAST(MAX(fp) AS BIGINT) AS fp_max
+    FROM wins WHERE i <= n - 4
+    GROUP BY doc_id
+    """,
+    tags=("text", "sketch"),
+)
+def z_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash sketch): hash
+    every word 3-gram, slide a 4-gram window, keep each window's MIN hash;
+    the distinct mins are the doc's fingerprint set — guaranteed to share
+    fingerprints with any doc overlapping by >= w+k-1 grams. All codegen:
+    gram explode + md5-prefix hash + window MIN + per-doc fold. The hash is
+    md5-derived (not xxhash64) so the DuckDB oracle reproduces it exactly."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", T.words("text").alias("w")).where(F.size("w") >= 3)
+    grams = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(2))).alias("i"),
+        "w",
+    ).select(
+        "doc_id", "i", F.concat_ws(" ", F.slice("w", F.col("i"), 3)).alias("gram")
+    )
+    hv = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    h = grams.select(
+        "doc_id",
+        "i",
+        hv.alias("hv"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wins = h.select(
+        "doc_id", "i", "n", F.min("hv").over(win).alias("fp")
+    ).where(F.col("i") <= F.col("n") - 4)
+    return wins.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+        F.min("fp").cast("bigint").alias("fp_min"),
+        F.max("fp").cast("bigint").alias("fp_max"),
+    )
+
+
+@query(
     "z_order_key",
     oracle=f"""
     SELECT p_partkey, p_size,

@@ -61,16 +61,38 @@ def main() -> None:
     curated = scored.where((F.col("quality") >= 0.55) & (F.col("n_tokens") >= 10))
     n3 = curated.count()
 
-    # 4. deterministic 90/10 train/val tag (hash-stable across engines and
-    #    reruns) then partitioned corpus write (lang dirs -> pruned reads)
+    # 4. weighted upsample bias toward long documents (Efraimidis–Spirakis,
+    #    hash-deterministic — same sample every rerun) for the train cut
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        deterministic_shuffle,
+        weighted_sample_topk,
+    )
+
+    target_n = max(10, int(n3 * 0.8))
+    curated = weighted_sample_topk(curated, "n_tokens", target_n, "doc_id").drop(
+        "sample_score"
+    )
+
+    # 5. deterministic 90/10 train/val tag (hash-stable across engines and
+    #    reruns), stable global shuffle order, then partitioned corpus write
+    #    (lang dirs -> pruned reads)
     curated = curated.withColumn("split", T.train_val_split("doc_id"))
+    curated = deterministic_shuffle(curated, "doc_id")
     write_partitioned(curated, out, ["lang"])
+
+    # 6. compact the landed corpus (streaming/append ingest leaves shards)
+    from bonobo_sqlalchemy_spark.operators.compact import compact_parquet
+
+    stats = {}
+    for lang_dir in sorted(Path(out).glob("lang=*")):
+        stats[lang_dir.name] = compact_parquet(spark, str(lang_dir))
 
     back = read_partitioned(spark, out)
     print(
         f"ingested={n0} after_exact_dedup={n1} after_near_dedup={n2} "
-        f"after_quality_gate={n3} written={back.count()} -> {out}"
+        f"after_quality_gate={n3} sampled={target_n} written={back.count()} -> {out}"
     )
+    print("compaction:", {k: (v["files_before"], v["files_after"]) for k, v in stats.items()})
     back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),

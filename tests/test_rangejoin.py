@@ -69,3 +69,26 @@ def test_bin_width_does_not_change_results(spark):
             ).collect()
         }
         assert got == {(1, 100), (1, 101), (2, 102), (3, 102)}, width
+
+
+def test_ntz_timestamp_inputs(spark):
+    """TIMESTAMP_NTZ point/interval columns must work (the regenerated
+    testdata reads event timestamps as NTZ; FIXTURES.md data contract)."""
+    points, intervals = _frames(spark)
+    p_ntz = points.selectExpr("pid", "key", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    i_ntz = intervals.selectExpr(
+        "key", "iid", "CAST(s AS TIMESTAMP_NTZ) AS s", "CAST(e AS TIMESTAMP_NTZ) AS e"
+    )
+    tz = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, on=["key"], ts_col="ts", start_col="s", end_col="e"
+        ).collect()
+    }
+    ntz = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            p_ntz, i_ntz, on=["key"], ts_col="ts", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert ntz == tz and ntz
