@@ -356,6 +356,67 @@ def z_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def z_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: purchases joined to errors by the
+    same user within the following hour — two live streams, watermarked
+    both sides, time bound inside the join condition so per-key state is
+    evicted past watermark+interval (`streaming/joins.py`). The oracle is
+    the batch self-join; a bounded availableNow replay must agree with it
+    exactly."""
+    from ..streaming.joins import stream_interval_join
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, errors, on=["user_id"], max_delay="1 hour", watermark="2 hours"
+    )
+    out = joined.select(
+        "user_id",
+        F.col("event_id_l").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        F.date_format("ts_l", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+    name = "z_stream_join_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "z_order_key",
     oracle=f"""
     SELECT p_partkey, p_size,

@@ -55,22 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize an events DataFrame's ``ts`` to TimestampType.
 
-    Handles: bigint (legacy nanosAsLong read of TIMESTAMP(NANOS) parquet),
-    timestamp_ntz (TZ-naive timestamp[us] parquet), and already-normalized
-    timestamp. The NTZ→TZ cast is value-preserving because the session TZ is
-    pinned to UTC.
+    The driver regenerates testdata between rounds and the physical type
+    has already changed once (FIXTURES.md data-contract note), so this
+    accepts every plausible layout:
+
+    - ``bigint``: legacy nanosAsLong read of TIMESTAMP(NANOS) parquet —
+      exact long ``div`` to micros;
+    - ``timestamp_ntz``: TZ-naive timestamp[us]/[ms] — cast is
+      value-preserving under the pinned-UTC session;
+    - ``string``/``date``: cast (ISO strings parse; dates midnight-extend);
+    - ``timestamp``: already normalized.
     """
     dtype = dict(df.dtypes).get("ts")
+    if dtype is None or dtype == "timestamp":
+        return df
+    from pyspark.sql import functions as F
+
     if dtype == "bigint":
-        from pyspark.sql import functions as F
-
         # raw nanos -> microsecond-precision timestamp; `div` stays in longs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dtype == "timestamp_ntz":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(

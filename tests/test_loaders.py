@@ -75,3 +75,35 @@ def test_stream_reader_normalizes_both_layouts(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM loader_layout_check")
     assert _canon(out) == EXPECTED
+
+
+def test_load_table_normalizes_string_and_ms_layouts(spark, tmp_path):
+    """Future-drift insurance: ISO-string and millisecond layouts also
+    normalize (the physical type has already changed once between rounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*ROWS))
+    for sub, ts_arr in [
+        ("iso", pa.array([t.isoformat(sep=" ") for t in cols[1]], pa.string())),
+        ("ms", pa.array(cols[1], pa.timestamp("ms"))),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+
+        from bonobo_sqlalchemy_spark.sources.files import load_table
+
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert _canon(df) == EXPECTED
