@@ -7,7 +7,7 @@ Prints ONE JSON line:
 Each query is fully executed (collect of the final result — every query
 here returns an aggregated/limited result, so collect is driver-safe).
 
-Timing protocol: each query runs twice and the reported time is the min —
+Timing protocol: each query runs three times and the reported time is the min —
 steady-state execution, the standard warm-measurement discipline for
 JIT-compiled engines (first runs are dominated by one-time Janino codegen
 compilation and Python-worker spin-up, which amortize to zero on any real
@@ -46,7 +46,7 @@ def main() -> None:
     for name in names:
         runs: list[float] = []
         err = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 REGISTRY[name].spark(spark, sf_dir).collect()
@@ -55,7 +55,7 @@ def main() -> None:
                 break
             runs.append(round(time.perf_counter() - t0, 3))
         first_run[name] = runs[0] if runs else err
-        timings[name] = min(runs) if len(runs) == 2 else err
+        timings[name] = min(runs) if len(runs) == 3 else err
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
@@ -65,7 +65,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_first_run": first_run,
-        "runs_per_query": 2,
+        "runs_per_query": 3,
         "agg": "min",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "errors": sum(1 for v in timings.values() if not isinstance(v, (int, float))),

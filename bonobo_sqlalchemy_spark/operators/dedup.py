@@ -138,7 +138,11 @@ def ngram_jaccard_pairs(
     # shingle stage — the self-join sides are the only two readers, and the
     # second side reuses the first's exchange).
     ex = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id")))
-    a, b = ex.alias("a"), ex.alias("b")
+    # shuffle_hash: an AQE broadcast of one side would re-run the whole
+    # shingle explode+dedupe+window pipeline to build the broadcast
+    # relation; the symmetric hash join shuffles each side once instead —
+    # measured ~1.4x faster steady-state (3x cold) at sf0.1.
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(
             b,
@@ -227,7 +231,11 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = sig.select("id", F.explode(band_keys).alias("bucket"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # shuffle_hash: letting AQE broadcast one side would re-run the whole
+    # 32-MIN signature aggregate to build the broadcast relation (no
+    # exchange sharing across join strategies) — measured ~1.6x slower
+    # steady-state at sf0.1 than the symmetric hash join.
+    a, b = buckets.alias("a"), buckets.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -405,7 +413,10 @@ def embedding_near_dup_pairs(
         base, "v", "id", planes, bits_per_table, extra_cols=("blk",)
     )
     tb = keys.select("id", "blk", F.posexplode("tkeys").alias("tidx", "bucket"))
-    a, b = tb.alias("a"), tb.alias("b")
+    # shuffle_hash: broadcasting one side would re-run the Arrow signature
+    # pass (a Python stage!) to build the broadcast relation; the symmetric
+    # hash join shuffles the slim (id, blk, tidx, bucket) rows instead.
+    a, b = tb.alias("a"), tb.hint("shuffle_hash").alias("b")
     # A pair sharing k tables surfaces k times; dedup the candidate stream
     # before verification. The exchange only carries (id1, id2) pairs, and
     # shrinking the stream *before* the vector-fetch joins + Arrow cosine

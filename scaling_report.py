@@ -1,0 +1,111 @@
+"""Regenerate SCALING.md: how query time scales with data size.
+
+Runs the bench query set at sf0.001 / sf0.01 / sf0.1 (100x data spread),
+reports steady-state (min-of-2) times and the empirical scaling exponent
+alpha = log(t_hi / t_lo) / log(sf_hi / sf_lo) over the top decade —
+alpha ~ 1 is linear scaling (the shape that survives a 100x scale-up),
+alpha < 1 means fixed overhead still dominates at sf0.1, alpha >> 1 is
+super-linear and a red flag.
+
+Usage: python scaling_report.py
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    from bonobo_sqlalchemy_spark.queries import REGISTRY
+    from bonobo_sqlalchemy_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_report")
+    names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
+
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf_dir in SFS:
+        sf = sf_dir.rsplit("sf", 1)[-1]
+        for name in names:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    REGISTRY[name].spark(spark, sf_dir).collect()
+                except Exception:
+                    best = None
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if best is not None:
+                times[name][sf] = round(best, 3)
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=Path(__file__).parent,
+        ).stdout.strip()
+    except Exception:
+        commit = "?"
+
+    lines = [
+        "# SCALING — query time vs data size (sf0.001 → sf0.1, 100×)",
+        "",
+        f"Generated {datetime.date.today().isoformat()} at commit `{commit}`; "
+        "steady-state (min-of-2) seconds per scale factor on local[32].",
+        "",
+        "`alpha` = log-slope over the top decade (sf0.01 → sf0.1): the "
+        "empirical scaling exponent. ~1.0 = linear in data (survives a "
+        "100× scale-up at the same plan shape); < 1 = per-query fixed "
+        "overhead (planning, codegen, Python-worker spin-up) still "
+        "dominates at sf0.1, so the true data-bound slope is even safer; "
+        "≫ 1 = super-linear — a scale red flag to fix.",
+        "",
+        "| Query | sf0.001 | sf0.01 | sf0.1 | alpha (0.01→0.1) |",
+        "|---|---|---|---|---|",
+    ]
+    flagged = []
+    for name in names:
+        t = times[name]
+        lo, mid, hi = t.get("0.001"), t.get("0.01"), t.get("0.1")
+        if mid and hi and mid > 0:
+            alpha = math.log(hi / mid) / math.log(10)
+            astr = f"{alpha:.2f}"
+            if alpha > 1.3:
+                astr += " ⚠"
+                flagged.append((name, alpha))
+        else:
+            astr = "—"
+        fmt = lambda v: f"{v:.3f}" if v is not None else "err"
+        lines.append(f"| `{name}` | {fmt(lo)} | {fmt(mid)} | {fmt(hi)} | {astr} |")
+
+    tot = {sf: sum(t.get(sf, 0.0) for t in times.values()) for sf in ("0.001", "0.01", "0.1")}
+    lines += [
+        "",
+        f"**Totals:** sf0.001 {tot['0.001']:.1f}s · sf0.01 {tot['0.01']:.1f}s · "
+        f"sf0.1 {tot['0.1']:.1f}s — a 100× data spread costs "
+        f"{tot['0.1'] / max(tot['0.001'], 1e-9):.1f}× the time of sf0.001 "
+        "(fixed per-query overhead amortizing toward the linear regime).",
+        "",
+    ]
+    if flagged:
+        lines.append(
+            "Flagged super-linear: " + ", ".join(f"`{n}` ({a:.2f})" for n, a in flagged)
+        )
+        lines.append("")
+
+    out = Path(__file__).parent / "SCALING.md"
+    out.write_text("\n".join(lines))
+    print(f"{len(names)} queries x {len(SFS)} sfs -> {out}; flagged: {len(flagged)}")
+
+
+if __name__ == "__main__":
+    main()
