@@ -45,6 +45,69 @@ def cosine_topk(
     )
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Distributed spherical k-means codebook for IVF coarse quantization.
+
+    Deterministic init (first *k* corpus vectors by id), then Lloyd
+    iterations where every step is distributed: assignment is one fused
+    Arrow matmul per batch against the broadcast codebook
+    (`matrix_dots` + argmax — spherical: nearest by dot product, matching
+    the cosine retrieval metric), the centroid update is a
+    (cell, dimension) hash aggregate. ONLY k x dim floats ever reach the
+    driver — per iteration, one k·dim-row aggregate result; the corpus
+    never moves. Empty cells keep their previous centroid.
+    """
+    def _unit(vec: list[float]) -> list[float]:
+        import math
+
+        n = math.sqrt(sum(x * x for x in vec))
+        return [x / n for x in vec] if n > 1e-12 else vec
+
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    # Spherical k-means: centroids live on the unit sphere — both the init
+    # and every Lloyd update are L2-normalized. Unnormalized means of
+    # spread-out members shrink toward zero and deflate the dot-product
+    # assignment (the objective would DROP with training).
+    codebook = [_unit([float(x) for x in row[0]]) for row in init]
+    for _ in range(max(0, iters)):
+        dots = V.matrix_dots(corpus, vec_col, id_col, codebook, out_id="_cid")
+        assigned = (
+            corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_v"))
+            .join(
+                dots.select(
+                    "_cid",
+                    F.expr(
+                        "array_position(dots, array_max(dots))"
+                    ).cast("int").alias("_cell"),
+                ),
+                "_cid",
+            )
+        )
+        # mean per (cell, dim): one shuffle keyed (cell, pos) — k*dim groups
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        new_book = [list(c) for c in codebook]  # empty cells keep centroids
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r._cell - 1, {})[r._pos] = r._m
+        for cell, dims in by_cell.items():
+            for pos, m in dims.items():
+                new_book[cell][pos] = m
+            new_book[cell] = _unit(new_book[cell])
+        codebook = new_book
+    return codebook
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,23 +116,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_cells: int = 16,
     n_probe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantization + probed exact re-rank.
 
-    Cells are defined by K fixed centroids (deterministically the first K
-    corpus vectors by id — a real deployment would train k-means offline and
-    broadcast the codebook the same way). Assignment scores every vector
-    against the codebook in one fused Arrow/numpy matmul per batch
-    (`functions.vectors.matrix_dots` — see that module for why this beats
-    the explode+join+agg codegen form); each query probes its ``n_probe``
-    nearest cells and re-ranks exactly inside them. The corpus never
-    cross-joins the queries — candidate count is ~n_probe/n_cells of the
-    corpus per query.
+    Cells are defined by K centroids: deterministic first-K corpus vectors
+    when ``train_iters=0`` (reproducible, oracle-stable), or a spherical
+    k-means codebook (`kmeans_codebook`, ``train_iters`` Lloyd rounds) for
+    better-balanced cells / higher recall per probe. Assignment scores
+    every vector against the codebook in one fused Arrow/numpy matmul per
+    batch (`functions.vectors.matrix_dots` — see that module for why this
+    beats the explode+join+agg codegen form); each query probes its
+    ``n_probe`` nearest cells and re-ranks exactly inside them. The corpus
+    never cross-joins the queries — candidate count is ~n_probe/n_cells of
+    the corpus per query.
     """
-    cents = (
-        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    )  # K small vectors on the driver: the broadcast codebook
-    codebook = [[float(x) for x in row[0]] for row in cents]
+    if train_iters > 0:
+        codebook = kmeans_codebook(
+            corpus, vec_col, id_col, k=n_cells, iters=train_iters
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+        )  # K small vectors on the driver: the broadcast codebook
+        codebook = [[float(x) for x in row[0]] for row in cents]
 
     def cell_dots(df: DataFrame, out_id: str) -> DataFrame:
         return V.matrix_dots(df, vec_col, id_col, codebook, out_id=out_id).select(
@@ -133,43 +203,24 @@ def lsh_topk(
     tables, not more bits. Deterministic planes from a seeded LCG.
     """
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
-    # Signatures via the Arrow matmul path (functions/vectors.py) — both
-    # the per-row lambda form and the explode+join+agg codegen form
-    # dominated the corpus pass. The corpus side explodes one row per
-    # table; the query side stays ONE row per query (broadcast), its
-    # per-table key sliced from the signature inside the join condition.
-    qs = V.hyperplane_signature_bits(
-        queries, vec_col, id_col, planes, out_id="query_id", out_col="qsig"
-    )
-    cs = V.hyperplane_signature_bits(
-        corpus, vec_col, id_col, planes, out_id="neighbor_id", out_col="csig"
-    )
-    tidx = F.explode(F.array(*[F.lit(i) for i in range(n_tables)])).alias("tidx")
-    # Per-table bucket keys are materialized as plain columns on BOTH sides
-    # before the join: an expression like substring(qsig, tidx*b+1, b) mixes
-    # columns of the two sides, which Catalyst cannot recognize as an
-    # equi-condition — it degrades the join to BroadcastNestedLoopJoin (the
-    # plan gate caught exactly this). Exploding the query side per table
-    # multiplies only the broadcast-tiny side.
-    ct = cs.select("neighbor_id", "csig", tidx).withColumn(
-        "ckey",
-        F.expr(f"substring(csig, tidx * {bits_per_table} + 1, {bits_per_table})"),
-    )
-    qt = qs.select("query_id", "qsig", tidx).withColumnRenamed("tidx", "qtidx").withColumn(
-        "qkey",
-        F.expr(f"substring(qsig, qtidx * {bits_per_table} + 1, {bits_per_table})"),
-    )
-
-    def key(col: str, i: int) -> F.Column:
-        return F.expr(f"substring({col}, {i * bits_per_table + 1}, {bits_per_table})")
-
-    # Keep a (query, neighbor) pair only at its FIRST agreeing table — a
-    # codegen filter over the two signatures instead of a dropDuplicates
-    # exchange over the candidate stream.
-    first_agree = None
-    for i in range(n_tables):
-        term = (F.col("tidx") <= F.lit(i)) | (key("csig", i) != key("qsig", i))
-        first_agree = term if first_agree is None else (first_agree & term)
+    # Signatures via the Arrow matmul path (functions/vectors.py), with
+    # per-table bucket keys packed as longs in the same numpy batch (no
+    # bit-string materialization or substring slicing; see
+    # `hyperplane_table_keys`). Keys are materialized as plain columns on
+    # BOTH sides before the join — a key expression mixing the two sides'
+    # columns is not an equi-condition to Catalyst and degrades the join
+    # to BroadcastNestedLoopJoin (the plan gate caught exactly this).
+    # Exploding per table multiplies the broadcast-tiny query side too,
+    # which keeps the join a pure (tidx, key) equi-join.
+    ct = V.hyperplane_table_keys(
+        corpus, vec_col, id_col, planes, bits_per_table, out_id="neighbor_id"
+    ).select("neighbor_id", F.posexplode("tkeys").alias("tidx", "ckey"))
+    qt = V.hyperplane_table_keys(
+        queries, vec_col, id_col, planes, bits_per_table, out_id="query_id"
+    ).select("query_id", F.posexplode("tkeys").alias("qtidx", "qkey"))
+    # A pair sharing k tables surfaces k times; dedup the slim candidate
+    # stream before the vector-fetch joins + Arrow re-rank (bounded by the
+    # candidate set size — the expensive stage comes after).
     cand = (
         ct.join(
             F.broadcast(qt),
@@ -177,8 +228,8 @@ def lsh_topk(
             & (F.col("ckey") == F.col("qkey"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .where(first_agree)
         .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

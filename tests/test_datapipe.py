@@ -200,3 +200,29 @@ def test_pack_sequences_invariants(spark, docs):
         for r in pack_sequences(d.repartition(13), budget=256, n_shards=4).collect()
     }
     assert again == {(r.doc_id, r.shard, r.bin, r.bin_offset) for r in rows}
+
+
+def test_kmeans_codebook_improves_objective_and_stays_small(spark, embs):
+    """Spherical k-means trainer: Lloyd rounds must not worsen the
+    objective (mean best-centroid dot), the codebook stays k x dim on the
+    driver, and training is deterministic (fixed init, no RNG)."""
+    import bonobo_sqlalchemy_spark.functions.vectors as V
+    from pyspark.sql import functions as F
+
+    def objective(cb):
+        dots = V.matrix_dots(embs, "embedding", "vec_id", cb, out_id="cid")
+        return dots.select(F.expr("array_max(dots)").alias("m")).agg(
+            F.avg("m")
+        ).collect()[0][0]
+
+    init = S.kmeans_codebook(embs, k=8, iters=0)  # normalized init, untrained
+    trained = S.kmeans_codebook(embs, k=8, iters=3)
+    assert len(trained) == 8 and all(len(c) == 64 for c in trained)
+    assert objective(trained) >= objective(init) - 1e-9
+    # deterministic retrain
+    again = S.kmeans_codebook(embs, k=8, iters=3)
+    assert trained == again
+    # trained codebook plugs into the ANN path end-to-end
+    queries = embs.where(F.col("vec_id") < 4)
+    out = S.ivf_topk(embs, queries, k=3, n_cells=8, n_probe=3, train_iters=2)
+    assert out.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] == 3

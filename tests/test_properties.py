@@ -159,3 +159,37 @@ def test_interval_join_matches_naive_on_random_data(spark):
         .collect()
     }
     assert got == naive and got
+
+
+def test_interleave_bits_is_bijective_property(spark):
+    """Morton key bijectivity: de-interleaving the Spark-computed key
+    recovers (x, y) exactly for random 16-bit pairs — no collisions, no
+    bit loss (hypothesis-driven sample of the 2^32 domain)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bonobo_sqlalchemy_spark.operators.zorder import interleave_bits
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x bigint, y bigint")
+        rows = df.select("x", "y", interleave_bits("x", "y").alias("z")).collect()
+        for r in rows:
+            assert deinterleave(r.z) == (r.x, r.y)
+
+    check()
