@@ -76,6 +76,19 @@ def scd2_merge(
     """
     data_cols = [c for c in batch.columns if c not in keys]
     tracked = tracked if tracked is not None else data_cols
+    # Keep-last on duplicate keys within one batch (same policy as the
+    # Type-1 upsert sink): without it a dup key would fan out the joins
+    # below and open two "current" versions at once. Order: last row by
+    # all-columns sort is arbitrary-but-deterministic; real feeds should
+    # carry a sequence column and pass batches pre-deduped.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in batch.columns])
+    batch = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     b = batch.withColumn("__bh", _hash_cols(batch, tracked))
 
     if current is None or not current.columns:

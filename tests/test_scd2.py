@@ -169,3 +169,13 @@ def test_tracked_subset_ignores_untracked_churn(spark):
     h0 = scd2_merge(None, b0, ["id"], t0, tracked=["name"])
     h1 = scd2_merge(h0, b1, ["id"], t1, tracked=["name"])
     assert h1.count() == 1  # untracked change -> no new version
+
+
+def test_duplicate_keys_in_batch_keep_last(spark):
+    """A batch with duplicate keys must not open two current versions —
+    keep-last dedup (same policy as the Type-1 upsert sink)."""
+    t0 = "2024-01-01 00:00:00"
+    b = _batch(spark, [(1, "a", 10.0), (1, "a", 99.0), (2, "b", 5.0)])
+    h = scd2_merge(None, b, ["id"], t0)
+    assert h.count() == 2
+    assert h.where("id = 1 AND is_current").count() == 1
