@@ -61,6 +61,63 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_video_metadata(
+    df: DataFrame, text_col: str = "text", ms_per_char: int = 40
+) -> DataFrame:
+    """Testdata adapter: synthesize a deterministic video-metadata struct
+    (duration_ms, declared fps) from document length — real pipelines carry
+    this struct from ingest (container probe), and everything downstream
+    only reads the struct, never the payload."""
+    return df.withColumn(
+        "video_meta",
+        F.struct(
+            (F.length(text_col).cast("bigint") * ms_per_char).alias("duration_ms"),
+            F.lit(30).cast("int").alias("fps"),
+        ),
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    meta_col: str = "video_meta",
+    sample_fps: float = 1.0,
+    max_frames: int = 32,
+) -> DataFrame:
+    """Frame-sampling plan: one row per frame to decode — ``(id, frame_idx,
+    t_ms)`` at ``sample_fps``, capped at ``max_frames`` per video (uniform
+    over the duration when the cap binds).
+
+    This is the REAL half of video sampling — deciding which timestamps to
+    decode is pure codegen arithmetic (sequence + explode) and runs at full
+    scale with no Python; only the per-frame pixel decode behind it needs a
+    media library (stubbed in this build, `decode_image`). Feeding object-
+    storage byte-range readers from this plan is the standard shape: the
+    planner's output is small (≤ max_frames rows per video) while the
+    payload bytes never move through the plan at all.
+    """
+    dur = F.col(f"{meta_col}.duration_ms").cast("double")
+    n_raw = F.floor(dur * F.lit(sample_fps) / F.lit(1000.0)).cast("bigint")
+    n = F.greatest(F.least(n_raw, F.lit(max_frames)), F.lit(1))
+    # uniform spacing over the duration: frame i decodes at i * duration/n
+    return (
+        df.select(F.col(id_col), dur.alias("__dur"), n.alias("__n"))
+        .select(
+            id_col,
+            "__dur",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("frame_idx"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            F.floor(F.col("frame_idx") * F.col("__dur") / F.col("__n"))
+            .cast("bigint")
+            .alias("t_ms"),
+        )
+    )
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 

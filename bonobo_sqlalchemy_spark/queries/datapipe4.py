@@ -417,6 +417,34 @@ def z_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) * 40 AS DOUBLE) AS dur,
+             GREATEST(LEAST(CAST(floor(length(text) * 40 / 1000.0) AS BIGINT), 32), 1) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(t.i AS BIGINT) AS frame_idx,
+           CAST(floor(t.i * dur / n) AS BIGINT) AS t_ms
+    FROM m, unnest(range(0, n)) AS t(i)
+    """,
+    tags=("multimodal",),
+)
+def z_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: which timestamps to decode per video
+    (1 fps, ≤32 frames, uniform when capped) — pure codegen sequence
+    arithmetic over the metadata struct; the payload bytes never enter the
+    plan (`operators/multimodal.py::frame_sample_plan`). Duration is the
+    deterministic testdata adapter (40 ms/char)."""
+    from ..operators.multimodal import attach_video_metadata, frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(attach_video_metadata(docs))
+
+
+@query(
     "z_order_key",
     oracle=f"""
     SELECT p_partkey, p_size,
