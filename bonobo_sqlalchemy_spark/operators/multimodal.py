@@ -118,6 +118,44 @@ def frame_sample_plan(
     )
 
 
+def segment_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    meta_col: str = "video_meta",
+    window_ms: int = 5000,
+    hop_ms: int = 2500,
+) -> DataFrame:
+    """Audio segmentation plan: overlapping ``(id, seg_idx, start_ms,
+    end_ms)`` windows over the clip duration (hop < window = overlap, the
+    standard ASR/embedding chunking shape). Same design as
+    :func:`frame_sample_plan`: choosing byte/time ranges is codegen
+    sequence arithmetic; only the sample decode behind it needs a media
+    library. The final (possibly shorter) tail window is kept — every
+    millisecond of audio lands in at least one segment."""
+    dur = F.col(f"{meta_col}.duration_ms").cast("bigint")
+    n = F.greatest(
+        F.ceil((F.greatest(dur - window_ms, F.lit(0))) / F.lit(hop_ms)).cast("bigint")
+        + 1,
+        F.lit(1),
+    )
+    return (
+        df.select(F.col(id_col), dur.alias("__dur"), n.alias("__n"))
+        .select(
+            id_col,
+            "__dur",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("seg_idx"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            (F.col("seg_idx") * hop_ms).cast("bigint").alias("start_ms"),
+            F.least(F.col("seg_idx") * hop_ms + window_ms, F.col("__dur"))
+            .cast("bigint")
+            .alias("end_ms"),
+        )
+    )
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 

@@ -445,6 +445,38 @@ def z_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_multimodal_segments",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) * 40 AS BIGINT) AS dur
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, dur,
+             GREATEST(CAST(ceil(GREATEST(dur - 5000, 0) / 2500.0) AS BIGINT) + 1, 1) AS n_seg
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(t.i AS BIGINT) AS seg_idx,
+           CAST(t.i * 2500 AS BIGINT) AS start_ms,
+           CAST(LEAST(t.i * 2500 + 5000, dur) AS BIGINT) AS end_ms
+    FROM n, unnest(range(0, n_seg)) AS t(i)
+    """,
+    tags=("multimodal",),
+)
+def z_multimodal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plan: overlapping 5s windows at 2.5s hop over
+    each clip (tail kept, so every millisecond is covered) — codegen
+    sequence arithmetic over the metadata struct, payload bytes untouched
+    (`operators/multimodal.py::segment_plan`)."""
+    from ..operators.multimodal import attach_video_metadata, segment_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_plan(attach_video_metadata(docs))
+
+
+@query(
     "z_order_key",
     oracle=f"""
     SELECT p_partkey, p_size,
