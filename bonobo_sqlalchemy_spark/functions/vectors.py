@@ -207,6 +207,12 @@ def cosine_rounded_arrow(digits: int = 6):
     row-wise products instead of 3 interpreted HOF folds per row.
     Same double-cast + round-to-``digits`` determinism policy as
     `cosine_rounded`.
+
+    Returned marked ``asNondeterministic()`` — the function IS pure, but the
+    marker stops Catalyst from collapsing ``select(cos).where(...)`` into
+    filter-then-reproject, which re-ran the Arrow batch on every surviving
+    row (two ArrowEvalPython nodes for one logical evaluation; the dominant
+    cost of the embedding-dedup verify stage).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -223,7 +229,7 @@ def cosine_rounded_arrow(digits: int = 6):
         nb = np.einsum("ij,ij->i", B, B)
         return pd.Series(np.round(dots / np.sqrt(na * nb), digits))
 
-    return _cos
+    return _cos.asNondeterministic()
 
 
 def matrix_dots(
