@@ -57,14 +57,23 @@ def compact_parquet(
         return {"files_before": len(files), "files_after": len(files), "bytes": total}
 
     df = spark.read.parquet(path)
-    tmp = path + ".__compact_tmp"
+    # Stage under a dot-prefixed basename: when compacting a Hive partition
+    # subdir (e.g. .../lang=en), a crash-leftover sibling named
+    # "lang=en.__compact_tmp" would be parsed by Spark partition discovery
+    # as a real partition value and double-count rows. Dot/underscore
+    # prefixed paths are ignored by Spark's file listing, so leftovers are
+    # invisible to readers until the atomic swap completes.
+    parent, base = os.path.dirname(os.path.abspath(path)), os.path.basename(
+        os.path.abspath(path)
+    )
+    tmp = os.path.join(parent, "." + base + ".__compact_tmp")
     if order_by:
         out = df.repartitionByRange(n_target, order_by).sortWithinPartitions(order_by)
     else:
         out = df.coalesce(n_target)
     out.write.mode("overwrite").parquet(tmp)
 
-    old = path + ".__compact_old"
+    old = os.path.join(parent, "." + base + ".__compact_old")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     shutil.move(tmp, path)

@@ -26,6 +26,7 @@ circuits), so micro-batch retries through ``foreachBatch`` are safe.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import shutil
 
@@ -34,6 +35,32 @@ from pyspark.sql import functions as F
 
 #: sentinel for an open-ended version — comparable, sorts last, parquet-safe
 OPEN_END = "9999-12-31 23:59:59"
+
+
+def _normalize_as_of(as_of: str) -> str:
+    """Normalize a caller timestamp to zero-padded ``YYYY-MM-DD HH:MM:SS``.
+
+    Validity bounds are compared lexically, so correctness depends on every
+    stored value using this exact layout: an ISO 'T' separator, an unpadded
+    month, or fractional seconds would corrupt interval queries silently.
+    Accepts ISO-ish variants (T separator, date-only, minutes-only,
+    fractional seconds — truncated) and rejects anything else loudly.
+    """
+    s = str(as_of).strip().replace("T", " ")
+    for fmt in (
+        "%Y-%m-%d %H:%M:%S.%f",
+        "%Y-%m-%d %H:%M:%S",
+        "%Y-%m-%d %H:%M",
+        "%Y-%m-%d",
+    ):
+        try:
+            return _dt.datetime.strptime(s, fmt).strftime("%Y-%m-%d %H:%M:%S")
+        except ValueError:
+            continue
+    raise ValueError(
+        f"as_of {as_of!r} is not a recognizable timestamp; expected "
+        "'YYYY-MM-DD[ HH:MM[:SS[.ffffff]]]' (T separator accepted)"
+    )
 
 
 def scd2_columns(keys: list[str]) -> list[str]:
@@ -74,6 +101,7 @@ def scd2_merge(
     - batch rows that are new keys or changed: emitted OPEN
       (``valid_from = as_of``, ``valid_to = OPEN_END``).
     """
+    as_of = _normalize_as_of(as_of)
     data_cols = [c for c in batch.columns if c not in keys]
     tracked = tracked if tracked is not None else data_cols
     # Keep-last on duplicate keys within one batch (same policy as the
@@ -103,6 +131,19 @@ def scd2_merge(
     cur = current.where(F.col("is_current")).withColumn(
         "__ch", _hash_cols(current, tracked)
     )
+    # An as_of earlier than an open version's valid_from would write
+    # inverted intervals (valid_to < valid_from) with no error — reject it.
+    # One 1-row scalar aggregate on the driver (O(1), same class as the
+    # sink's count()); equality is allowed (same-timestamp re-merge is the
+    # documented idempotent no-op path).
+    row = cur.agg(F.max("valid_from")).first()
+    max_vf = row[0] if row else None
+    if max_vf is not None and as_of < max_vf:
+        raise ValueError(
+            f"as_of {as_of!r} precedes the newest open version's valid_from "
+            f"({max_vf!r}); out-of-order merges would write inverted "
+            "validity intervals"
+        )
 
     joined = cur.alias("c").join(
         b.select(*keys, "__bh").alias("n"), keys, "left"
@@ -174,6 +215,7 @@ class Scd2Sink:
 
 def snapshot_as_of(history: DataFrame, ts: str) -> DataFrame:
     """Point-in-time state: the version valid at ``ts`` for each key."""
+    ts = _normalize_as_of(ts)
     return history.where(
         (F.col("valid_from") <= F.lit(ts)) & (F.lit(ts) < F.col("valid_to"))
     )

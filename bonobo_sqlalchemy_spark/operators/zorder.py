@@ -90,7 +90,17 @@ def quantile_bucket(
     for q in uniq:
         out = out + (c > F.lit(q)).cast("bigint")
     if out_range is not None and uniq:
-        out = out * F.lit((out_range - 1) // len(uniq))
+        if len(uniq) >= out_range:
+            # stride would floor to 0 and collapse every bucket to 0,
+            # silently degenerating the Morton key to a single-column sort;
+            # unreachable via zorder_write's defaults (<=256 boundaries vs
+            # 2^16 range) but a public-API caller can hit it — error loudly.
+            raise ValueError(
+                f"quantile_bucket: {len(uniq)} surviving boundaries do not "
+                f"fit out_range={out_range}; lower `buckets` or raise "
+                "`out_range` so each bucket keeps a distinct code"
+            )
+        out = out * F.lit(max(1, (out_range - 1) // len(uniq)))
     return out
 
 

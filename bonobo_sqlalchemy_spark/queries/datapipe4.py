@@ -314,7 +314,7 @@ def z_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
            CAST(MIN(fp) AS BIGINT) AS fp_min,
            CAST(MAX(fp) AS BIGINT) AS fp_max
-    FROM wins WHERE i <= n - 4
+    FROM wins WHERE i <= n - 3
     GROUP BY doc_id
     """,
     tags=("text", "sketch"),
@@ -347,7 +347,7 @@ def z_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
     wins = h.select(
         "doc_id", "i", "n", F.min("hv").over(win).alias("fp")
-    ).where(F.col("i") <= F.col("n") - 4)
+    ).where(F.col("i") <= F.col("n") - 3)
     return wins.groupBy("doc_id").agg(
         F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
         F.min("fp").cast("bigint").alias("fp_min"),

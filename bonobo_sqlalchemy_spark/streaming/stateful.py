@@ -28,6 +28,29 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n bigint, cents bigint, types array<string>, max_us bigint"
 
 
+def _fold_chunks(n, cents, types, max_us, pdfs):
+    """Pure per-key fold over a micro-batch's pandas chunks (unit-testable).
+
+    Skips empty chunks: ``pd.Timestamp(NaT).value`` is the int64 sentinel
+    ``-2**63``, so an empty chunk's ``ts.max()`` would poison
+    ``max_us``/``last_ts`` (the n/cents/types folds happen to be no-ops on
+    empty frames; the timestamp fold is not).
+    """
+    import pandas as pd
+
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        # exact integer-cent accumulation of the 2-decimal doubles
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        types |= set(pdf["event_type"].astype(str))
+        # .value is nanos regardless of the frame's datetime64 unit
+        batch_max_us = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+        max_us = batch_max_us if max_us is None else max(max_us, batch_max_us)
+    return n, cents, types, max_us
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, money total, distinct event types) stream.
 
@@ -46,14 +69,11 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             types = set(types_list)
         else:
             n, cents, types, max_us = 0, 0, set(), None
-        for pdf in pdfs:
-            n += len(pdf)
-            # exact integer-cent accumulation of the 2-decimal doubles
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
-            types |= set(pdf["event_type"].astype(str))
-            # .value is nanos regardless of the frame's datetime64 unit
-            batch_max_us = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
-            max_us = batch_max_us if max_us is None else max(max_us, batch_max_us)
+        n, cents, types, max_us = _fold_chunks(n, cents, types, max_us, pdfs)
+        if max_us is None:
+            # nothing ever arrived for this key (all chunks empty, no prior
+            # state) — nothing to persist or emit
+            return
         state.update((n, cents, sorted(types), max_us))
         yield pd.DataFrame(
             [

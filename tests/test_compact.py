@@ -58,3 +58,33 @@ def _quarter_bytes(path: str) -> int:
 
     total = sum(os.path.getsize(f) for f in data_files(path))
     return max(1, total // 4)
+
+
+def test_partition_subdir_staging_invisible_to_discovery(spark, tmp_path):
+    """Compacting a Hive partition subdir must stage under a dot-prefixed
+    name: a crash-leftover sibling like 'lang=en.__compact_tmp' inside the
+    table root would be parsed by partition discovery as a real partition
+    value and double-count rows."""
+    import os
+
+    root = str(tmp_path / "docs")
+    df = spark.range(600).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang"
+    )
+    df.repartition(10).write.partitionBy("lang").mode("overwrite").parquet(root)
+    n_before = spark.read.parquet(root).count()
+
+    part = os.path.join(root, "lang=en")
+    stats = compact_parquet(spark, part, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+
+    # no visible (non dot/underscore) sibling may exist in the table root
+    visible = [e for e in os.listdir(root) if not e.startswith((".", "_"))]
+    assert visible == ["lang=en", "lang=fr"], visible
+    assert spark.read.parquet(root).count() == n_before
+
+    # a crash-leftover staged dir (write done, swap not) must be invisible:
+    # recreate what a mid-crash leaves behind and re-read the table root
+    leftover = os.path.join(root, ".lang=en.__compact_tmp")
+    spark.read.parquet(part).write.mode("overwrite").parquet(leftover)
+    assert spark.read.parquet(root).count() == n_before

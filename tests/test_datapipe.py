@@ -226,3 +226,38 @@ def test_kmeans_codebook_improves_objective_and_stays_small(spark, embs):
     queries = embs.where(F.col("vec_id") < 4)
     out = S.ivf_topk(embs, queries, k=3, n_cells=8, n_probe=3, train_iters=2)
     assert out.groupBy("query_id").count().agg(F.min("count")).collect()[0][0] == 3
+
+
+def test_winnow_includes_final_window(spark, tmp_path):
+    """MOSS winnowing guarantee: EVERY 4-gram window contributes a
+    fingerprint, including the tail one. A 6-word doc has exactly four
+    3-grams, i.e. exactly one 4-gram window — the off-by-one this pins
+    dropped that window and the whole doc."""
+    import pandas as pd
+
+    from bonobo_sqlalchemy_spark.oracle import compare_query
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "one two three four five six",               # exactly 1 window
+                "alpha beta gamma delta epsilon zeta eta",   # 2 windows
+                "too short",                                 # < 3 words: dropped
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [27, 39, 9],
+        }
+    ).to_parquet(f"{sf}/documents.parquet", index=False)
+
+    res = compare_query(spark, "z_text_winnow", sf)
+    assert res.ok, str(res)
+
+    from bonobo_sqlalchemy_spark.queries import REGISTRY
+
+    rows = {r.doc_id: r for r in REGISTRY["z_text_winnow"].spark(spark, sf).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_fingerprints == 1
+    assert 1 <= rows[2].n_fingerprints <= 2

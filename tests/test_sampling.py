@@ -114,3 +114,20 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path, normalize):
     assert len(spans_k) >= 4
     assert sum(spans_k) / len(spans_k) <= 0.70 * gk
     assert sum(spans_s) / len(spans_s) <= 0.50 * gs
+
+
+def test_quantile_bucket_rejects_degenerate_out_range(spark):
+    """More surviving boundaries than out_range codes would floor the
+    rescale stride to 0 and collapse every bucket to 0 (silently
+    un-clustering the Morton key) — the public API must error instead."""
+    import pytest
+
+    from bonobo_sqlalchemy_spark.operators.zorder import quantile_bucket
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="out_range"):
+        quantile_bucket(df, "v", buckets=64, out_range=8)
+    # healthy case still spans the requested range
+    col = quantile_bucket(df, "v", buckets=8, out_range=64)
+    vals = [r[0] for r in df.select(col.alias("b")).distinct().collect()]
+    assert min(vals) == 0 and max(vals) > 0

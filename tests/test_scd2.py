@@ -179,3 +179,34 @@ def test_duplicate_keys_in_batch_keep_last(spark):
     h = scd2_merge(None, b, ["id"], t0)
     assert h.count() == 2
     assert h.where("id = 1 AND is_current").count() == 1
+
+
+def test_as_of_normalization_iso_variants(spark):
+    """ISO 'T' separators, date-only, and unpadded fields normalize to the
+    zero-padded lexically-comparable layout; garbage raises."""
+    b = _batch(spark, [(1, "a", 10.0)])
+    rows = scd2_merge(None, b, ["id"], "2024-01-01T06:30:00").collect()
+    assert rows[0].valid_from == "2024-01-01 06:30:00"
+    rows = scd2_merge(None, b, ["id"], "2024-1-2").collect()
+    assert rows[0].valid_from == "2024-01-02 00:00:00"
+    rows = scd2_merge(None, b, ["id"], "2024-01-01 06:30:00.250").collect()
+    assert rows[0].valid_from == "2024-01-01 06:30:00"
+    with pytest.raises(ValueError, match="as_of"):
+        scd2_merge(None, b, ["id"], "January 1st")
+
+
+def test_out_of_order_as_of_rejected(spark):
+    """An as_of earlier than the newest open version's valid_from would
+    write inverted validity intervals — must raise, not corrupt."""
+    t0 = "2024-06-01 00:00:00"
+    h0 = scd2_merge(None, _batch(spark, [(1, "a", 10.0)]), ["id"], t0)
+    with pytest.raises(ValueError, match="precedes"):
+        scd2_merge(h0, _batch(spark, [(1, "a", 99.0)]), ["id"], "2024-01-01 00:00:00")
+    # equal timestamp stays allowed: the idempotent re-merge path
+    assert scd2_merge(h0, _batch(spark, [(1, "a", 10.0)]), ["id"], t0).count() == 1
+
+
+def test_snapshot_as_of_normalizes_ts(spark):
+    t0 = "2024-01-01 00:00:00"
+    h = scd2_merge(None, _batch(spark, [(1, "a", 10.0)]), ["id"], t0)
+    assert snapshot_as_of(h, "2024-06-01T00:00:00").count() == 1

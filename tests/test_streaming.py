@@ -214,3 +214,26 @@ def test_stream_dedup_ingest_exactly_once(spark, sf_small, tmp_path):
     landed = spark.table(name)
     assert landed.count() == ev.count()
     assert landed.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_fold_skips_empty_chunks():
+    """pd.Timestamp(NaT).value is -2**63; an empty pandas chunk from
+    applyInPandasWithState must not poison max_us/last_ts."""
+    import pandas as pd
+
+    from bonobo_sqlalchemy_spark.streaming.stateful import _fold_chunks
+
+    empty = pd.DataFrame({"value": [], "event_type": [], "ts": pd.to_datetime([])})
+    full = pd.DataFrame(
+        {
+            "value": [1.25, 2.50],
+            "event_type": ["view", "purchase"],
+            "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:09"]),
+        }
+    )
+    n, cents, types, max_us = _fold_chunks(0, 0, set(), None, [empty, full, empty])
+    assert (n, cents) == (2, 375)
+    assert types == {"view", "purchase"}
+    assert max_us == int(pd.Timestamp("2024-01-01 00:00:09").value // 1000)
+    # all-empty iterator: no timestamp fabricated
+    assert _fold_chunks(0, 0, set(), None, [empty]) == (0, 0, set(), None)
