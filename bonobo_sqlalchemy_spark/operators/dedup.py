@@ -189,25 +189,43 @@ def minhash_lsh_pairs(
     ``max_shingle_df`` applies stop-shingle filtering (see `_cap_shingles`).
     """
     rows = num_perm // bands
-    # Shared exploded distinct-shingle plan (codegen; see _exploded_shingles).
-    # Duplicate shingles wouldn't change the MIN aggregates, but the distinct
-    # form is required anyway for exact-Jaccard verification, and every
-    # consumer below aliases the same plan so ReuseExchange shingles the
-    # corpus exactly once.
-    ex = _cap_shingles(
-        _exploded_shingles(df, text_col, id_col, n, None), max_shingle_df
-    ).drop("blk")
+    # Shared exploded distinct-shingle plan (codegen; see _exploded_shingles),
+    # MATERIALIZED once: three consumers read it (the signature aggregate and
+    # both sides of the verification shingle-fetch), and exchange reuse does
+    # not cover them — without the checkpoint the documents scan + split +
+    # explode subtree ran 6x per query. One localCheckpoint per call (fresh
+    # across invocations/scale factors); the cluster-scale analog is
+    # persisting the shingle stage to storage.
+    ex = (
+        _cap_shingles(_exploded_shingles(df, text_col, id_col, n, None), max_shingle_df)
+        .drop("blk")
+        .localCheckpoint()
+    )
 
     # Signature via explode + hash-aggregate, NOT per-row array lambdas:
     # nested higher-order functions run interpreted (~8us/element measured —
-    # 67s for 5k docs), while xxhash64 -> 32 MIN aggregates stays inside
+    # 67s for 5k docs), while hash -> 32 MIN aggregates stays inside
     # whole-stage codegen (<1s for the same work). This is also the
     # scale-out shape: one shuffle on id, partial MIN map-side.
-    h = ex.select("id", (F.abs(F.xxhash64("g")) % F.lit(1 << 31)).alias("h"))
+    #
+    # The base hash is md5-derived (first 8 hex chars -> 32-bit int, folded
+    # to 31 bits), not xxhash64: md5 is bit-identical in DuckDB, which makes
+    # the ENTIRE pipeline — signatures, band keys, candidate set, verified
+    # Jaccard — expressible as an exact SQL oracle (the repo's
+    # hash-determinism policy, operators/sampling.py). Cost parity: both are
+    # one codegen hash per distinct shingle row.
+    h = ex.select(
+        "id",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % F.lit(1 << 31)).alias("h"),
+    )
     params = H._perm_params(num_perm)
     # n_sh (distinct-shingle count) folds into the same hash-aggregate as the
     # MIN signature lanes — the verification's size lookup rides the signature
     # shuffle for free instead of re-aggregating the exploded corpus.
+    # The signature frame (one slim row per doc) also has four readers —
+    # both band-bucket join sides and the two size lookups — so it
+    # materializes too; at 32 lanes x 8 bytes it is ~1/30th the shingle
+    # stage's size.
     sig = h.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
@@ -216,17 +234,31 @@ def minhash_lsh_pairs(
             )
             for i, (a, b) in enumerate(params)
         ]
-    )
-    # Band key = one xxhash64 over (band index, lane values): a single long
-    # instead of a concat_ws string — smaller codegen, narrower shuffle, and
-    # a long equi-join key. Collisions across distinct lane tuples are
-    # 2^-64-rare and harmless: they only add candidates, and every candidate
-    # is verified with exact Jaccard below.
+    ).localCheckpoint()
+    # Band key = first 15 md5 hex chars of 'band:lane0:...:laneR' as one
+    # 60-bit long: a single long key instead of a concat_ws string — smaller
+    # codegen, narrower shuffle, a long equi-join key — and (unlike
+    # xxhash64) reproducible in DuckDB via the strpos hex polynomial.
+    # Collisions across distinct lane tuples are 2^-60-rare and harmless:
+    # they only add candidates, and every candidate is verified with exact
+    # Jaccard below.
     band_keys = F.array(
         *[
-            F.xxhash64(
-                F.lit(bnd), *[F.col(f"m{bnd * rows + r}") for r in range(rows)]
-            )
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(bnd)),
+                            *[F.col(f"m{bnd * rows + r}") for r in range(rows)],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
             for bnd in range(bands)
         ]
     )
@@ -295,11 +327,19 @@ def simhash_pairs(
     # SimHash via explode + 64 codegen'd SUM aggregates (per-bit votes) —
     # same rationale as the MinHash path: interpreted array lambdas are
     # ~100x slower than whole-stage-codegen hash aggregation.
+    #
+    # The 64 token-hash bits are md5-derived (two 8-hex-char halves -> two
+    # 32-bit ints, composed hi<<32 | lo) instead of xxhash64: md5 is
+    # bit-identical in DuckDB, so the whole sketch — votes, signature,
+    # bit-band blocking, hamming distances — has an exact SQL oracle (the
+    # repo's hash-determinism policy, operators/sampling.py).
+    hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
     ex = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.explode(T.words(text_col)).alias("tok"),
-    ).select("id", "blk", F.xxhash64("tok").alias("h"))
+    ).select("id", "blk", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
     votes = ex.groupBy("id", "blk").agg(
         *[
             F.sum(

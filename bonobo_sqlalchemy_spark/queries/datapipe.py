@@ -8,12 +8,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..sources.files import load_table
 from .base import query
+
+
+def _hexpoly(hex_expr: str, start: int, length: int) -> str:
+    """``length`` hex chars of ``hex_expr`` (1-indexed ``start``) -> BIGINT,
+    char-by-char — mirrors Spark's ``conv(substring(h, start, length), 16,
+    10)`` exactly (no hex-parse builtin needed; length <= 15 stays in
+    int64)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (length - 1 - i)}"
+        for i in range(length)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -221,22 +235,152 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None, tags=("dedup", "sketch"), bench=True)
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB mirror of `minhash_lsh_pairs`: the md5-derived shingle hash,
+    the (a, b) permutation constants (inlined from `H._perm_params`), the
+    15-hex-char band-bucket keys, the LSH candidate join, and the exact-
+    Jaccard verification are all reproduced term-for-term — the sketch is
+    hash-deterministic (operators/sampling.py policy), so the oracle is
+    exact, not statistical."""
+    rows = num_perm // bands
+    p = H._MERSENNE_P
+    params = H._perm_params(num_perm)
+    lanes = ",\n           ".join(
+        f"MIN(({a} * hv + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT id, md5(concat_ws(':', '{b}', {ms})) AS bh FROM sig".format(
+            b=bnd,
+            ms=", ".join(
+                f"CAST(m{bnd * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), s AS (
+      SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+                                              i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM d WHERE len(w) >= 3
+    ), x AS (
+      SELECT id, unnest(sh) AS g FROM s
+    ), h AS (
+      SELECT id, ({_hexpoly('md5(g)', 1, 8)} % 2147483648) AS hv FROM x
+    ), sig AS (
+      SELECT id, COUNT(*) AS n_sh,
+           {lanes}
+      FROM h GROUP BY id
+    ), bk0 AS (
+      {band_rows}
+    ), bk AS (
+      SELECT id, {_hexpoly('bh', 1, 15)} AS bucket FROM bk0
+    ), cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+    ), common AS (
+      SELECT id1, id2, COUNT(*) AS common
+      FROM cand JOIN x e1 ON e1.id = id1 JOIN x e2 ON e2.id = id2 AND e2.g = e1.g
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(common / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+    FROM common JOIN sig s1 ON id1 = s1.id JOIN sig s2 ON id2 = s2.id
+    WHERE round(common / (s1.n_sh + s2.n_sh - common), 6) >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "sketch"),
+    bench=True,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard.
-    Sketch-based: rows-only check (no portable SQL equivalent); its recall
-    against `dedup_ngram_jaccard` is asserted in tests."""
+    The sketch is md5-based and hash-deterministic, so the DuckDB oracle
+    reproduces the candidate set (not just the verified survivors) exactly;
+    recall against `dedup_ngram_jaccard` is additionally asserted in tests."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8, threshold=0.5
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "sketch"), bench=True)
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """DuckDB mirror of `simhash_pairs`: md5-derived per-token bits, the 64
+    per-bit majority votes, bit-band pigeonhole blocking, and pairwise
+    hamming distance — generated term-for-term (hash-deterministic, so
+    exact)."""
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    votes = ",\n         ".join(
+        (
+            f"SUM(CASE WHEN ((lo >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+            if j < 32
+            else f"SUM(CASE WHEN ((hi >> {j - 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        )
+        for j in range(64)
+    )
+    bits = ",\n         ".join(
+        f"CASE WHEN v{j} > 0 THEN 1 ELSE 0 END AS b{j}" for j in range(64)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT id, blk, {i} AS bidx, {val} AS bval FROM bits".format(
+            i=i,
+            val="(" + " + ".join(
+                f"b{offsets[i] + k} * {1 << k}" for k in range(widths[i])
+            ) + ")",
+        )
+        for i in range(n_bands)
+    )
+    hamming = "(" + " + ".join(
+        f"(CASE WHEN x.b{j} <> y.b{j} THEN 1 ELSE 0 END)" for j in range(64)
+    ) + ")"
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id, lang AS blk,
+             unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents
+    ), hh AS (
+      SELECT id, blk, {_hexpoly('md5(tok)', 1, 8)} AS hi,
+             {_hexpoly('md5(tok)', 9, 8)} AS lo
+      FROM t
+    ), votes AS (
+      SELECT id, blk,
+         {votes}
+      FROM hh GROUP BY id, blk
+    ), bits AS (
+      SELECT id, blk,
+         {bits}
+      FROM votes
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM bands a JOIN bands b
+        ON a.bidx = b.bidx AND a.bval = b.bval AND a.blk = b.blk AND a.id < b.id
+    )
+    SELECT c.id1, c.id2, CAST({hamming} AS BIGINT) AS hamming
+    FROM cand c JOIN bits x ON x.id = c.id1 JOIN bits y ON y.id = c.id2
+    WHERE {hamming} <= {max_hamming}
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "sketch"),
+    bench=True,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming <= 8, a strong near-dup bar)
     blocked by language. The small-vocab fixture makes loose thresholds
     degenerate (hamming <= 12 pairs ~5% of all doc pairs); 8 keeps the
-    banding selective while the operator still supports any threshold."""
+    banding selective while the operator still supports any threshold. The
+    md5-derived token bits make the sketch hash-deterministic, so the
+    DuckDB oracle reproduces votes, banding, and hamming exactly."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
 
 
