@@ -22,6 +22,7 @@ from .registry import (
     JdbcService,
     PathService,
     ServiceRegistry,
+    create_postgresql_dbapi,
     create_postgresql_engine,
     create_postgresql_jdbc,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "DbapiService",
     "PathService",
     "create_postgresql_jdbc",
+    "create_postgresql_dbapi",
     "create_postgresql_engine",
     "Operation",
     "SELECT",

@@ -120,6 +120,39 @@ def create_postgresql_jdbc(
     )
 
 
+def create_postgresql_dbapi(
+    *, env: str = "POSTGRES", **kwargs: str
+) -> DbapiService:
+    """Build a Postgres DBAPI service on the in-repo pure-Python wire client
+    (``pgwire.py`` — no external driver needed), with the same
+    kwargs > env > defaults precedence as :func:`create_postgresql_jdbc`.
+
+    Extra keys beyond the reference DSN fields: ``socket_dir`` (connect
+    over a unix socket instead of TCP — how the live-server test reaches
+    its private instance).
+    """
+    import functools
+
+    from . import pgwire
+
+    def pick(key: str, default: str) -> str:
+        return str(kwargs.get(key) or os.environ.get(f"{env}_{key.upper()}") or default)
+
+    params = dict(
+        host=pick("host", "localhost"),
+        port=int(pick("port", "5432")),
+        dbname=pick("name", "postgres"),
+        user=pick("user", "postgres"),
+        password=pick("pass", "") or None,
+        unix_socket_dir=pick("socket_dir", "") or None,
+    )
+    return DbapiService(
+        connect=functools.partial(pgwire.connect, **params),
+        paramstyle="format",
+        dialect="postgresql",
+    )
+
+
 #: Drop-in name parity with the reference public helper
 #: (``bonobo_sqlalchemy.create_postgresql_engine``); returns the engine's
 #: JDBC service instead of a SQLAlchemy engine.
