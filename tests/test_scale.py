@@ -86,3 +86,72 @@ def test_jdbc_partition_requires_bounds():
     svc = JdbcService("jdbc:postgresql://h/db")
     with pytest.raises(ValueError):
         jdbc_read_options(svc, "t", partition_column="a")
+
+
+# ---------------------------------------------------------------------------
+# Skew hardening: pathological hot-key corpora through the dedup self-joins
+# ---------------------------------------------------------------------------
+
+def _skewed_docs(spark, n_hot=600, n_cold=600):
+    """A corpus where half the docs share ONE ultra-hot shingle ('hot hot
+    hot') but are otherwise pairwise-distinct — the worst case for an
+    inverted-index self-join: a single posting list of n_hot docs that
+    contributes n_hot*(n_hot-1)/2 candidate pairs, none of which is a true
+    near-duplicate (1 shared shingle out of ~13)."""
+    rows = [
+        (i, f"hot hot hot hot u{i} v{i} w{i} x{i} y{i} z{i}")
+        for i in range(n_hot)
+    ] + [
+        (i, f"p{i} q{i} r{i} s{i} t{i} m{i} n{i} o{i}")
+        for i in range(n_hot, n_hot + n_cold)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_stop_shingle_cap_bounds_hot_posting_lists(spark):
+    """Structural skew bound: without the cap the hot shingle's posting
+    list is n_hot docs (quadratic candidate blowup on one reducer); with
+    the cap it is gone entirely and the join's per-key work is bounded by
+    max_shingle_df, independent of how hot the key was."""
+    from bonobo_sqlalchemy_spark.operators.dedup import (
+        _cap_shingles,
+        _exploded_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _skewed_docs(spark)
+    ex = _exploded_shingles(docs, "text", "doc_id", 3, None)
+    hottest = ex.groupBy("g").count().agg(F.max("count")).first()[0]
+    assert hottest == 600  # the pathology is real
+
+    capped = _cap_shingles(ex, max_shingle_df=50)
+    hottest_capped = capped.groupBy("g").count().agg(F.max("count")).first()[0]
+    assert hottest_capped <= 50
+
+    # The full operator under the cap: completes with zero candidate pairs
+    # (the hot docs share nothing but the dropped stop-shingle).
+    assert (
+        ngram_jaccard_pairs(
+            docs, block_col=None, threshold=0.3, max_shingle_df=50
+        ).count()
+        == 0
+    )
+
+
+def test_minhash_lsh_on_skewed_corpus_stays_bounded(spark):
+    """LSH banding on the hot-shingle corpus: one shared shingle cannot
+    dominate 32 MIN lanes, so hot docs land in distinct buckets and the
+    candidate stream stays near-empty — banding is itself the skew guard
+    (plus exact verification kills any stragglers)."""
+    from bonobo_sqlalchemy_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _skewed_docs(spark)
+    assert minhash_lsh_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_skew_join_safety_nets_enabled(spark):
+    """The runtime guards the structural bounds rely on: AQE skew-join
+    splitting (covers genuinely hot LSH buckets of true duplicates, where
+    dropping the key would be wrong) stays enabled in the engine session."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
