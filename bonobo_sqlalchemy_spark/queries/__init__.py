@@ -13,6 +13,8 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import relational5  # noqa: E402,F401
+from . import relational6  # noqa: E402,F401
+from . import pipelineq  # noqa: E402,F401
 from . import datapipe  # noqa: E402,F401
 from . import datapipe2  # noqa: E402,F401
 from . import datapipe3  # noqa: E402,F401

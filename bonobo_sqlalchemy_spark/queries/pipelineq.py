@@ -1,0 +1,85 @@
+"""Pipeline-composition query: the reference's flagship round-trip pattern
+run end-to-end through the engine's Graph/run surface.
+
+Reference parity: ``tests/test_integration.py:173-207`` chains
+``Select -> InsertOrUpdate -> Select`` through ``bonobo.run`` and asserts the
+read-back rows. This registry entry does the same against a parquet
+warehouse: load a dimension through :class:`~..sources.select.Select`,
+transform it, upsert it twice through
+:class:`~..operators.upsert.InsertOrUpdate` (second pass updates a key
+subset, exercising the MERGE branch), then ``Select`` the final table state
+back. The oracle states the net effect as one SQL expression — the round
+trip must be semantically transparent.
+
+100 TB posture: every stage is a distributed DataFrame op; the upsert's
+MERGE emulation is the same path a Delta/Iceberg ``MERGE INTO`` would take
+(split by key existence, broadcast the small increment). Nothing collects.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import InsertOrUpdate
+from ..plans.graph import Graph, run
+from ..registry import DEFAULT_ENGINE_SERVICE, PathService
+from ..sources.select import Select
+from .base import query
+
+
+@query(
+    "z_pipeline_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CASE WHEN n_regionkey < 2 THEN lower(n_name) ELSE upper(n_name) END AS value,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    ORDER BY id
+    """,
+    tags=("graph", "pipeline", "sink"),
+)
+def z_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select -> transform -> upsert -> (update pass) -> select-back.
+
+    Pass 1 inserts all nations with uppercased values; pass 2 re-upserts the
+    ``n_regionkey < 2`` subset with lowercased values (UPDATE branch).
+    Final state: lowercase where regionkey < 2, uppercase elsewhere —
+    exactly the oracle's CASE expression.
+    """
+    warehouse = tempfile.mkdtemp(prefix="bss_pipeline_rt_")
+    services = {
+        DEFAULT_ENGINE_SERVICE: PathService(sf_dir),
+        "warehouse": PathService(warehouse),
+    }
+    sink = InsertOrUpdate("nation_dim", discriminant=("id",), engine="warehouse")
+    base = (
+        "SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS value,"
+        " CAST(n_regionkey AS BIGINT) AS regionkey FROM nation"
+    )
+    run(
+        Graph(
+            Select(base),
+            lambda df: df.withColumn("value", F.upper("value")),
+            sink,
+        ),
+        spark,
+        services,
+    )
+    run(
+        Graph(
+            Select(base + " WHERE n_regionkey < 2"),
+            lambda df: df.withColumn("value", F.lower("value")),
+            sink,
+        ),
+        spark,
+        services,
+    )
+    [out] = run(
+        Graph(Select("SELECT id, value, regionkey FROM nation_dim ORDER BY id", engine="warehouse")),
+        spark,
+        services,
+    )
+    return out

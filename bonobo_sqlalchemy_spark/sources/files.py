@@ -78,13 +78,27 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
 
 
 def register_views(
-    spark: SparkSession, sf_dir: str | None = None, tables: tuple[str, ...] = TABLES
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    tables: tuple[str, ...] | None = TABLES,
 ) -> dict[str, DataFrame]:
     """Register each corpus table as a temp view; returns name -> DataFrame.
 
     Idempotent: re-registering against a different sf_dir replaces the views.
+    ``tables=None`` discovers every ``<name>.parquet`` in the directory —
+    how a :class:`~..registry.PathService`-backed ``Select`` exposes an
+    arbitrary warehouse catalog (staging leftovers like ``*.__merge_tmp``
+    are excluded by the exact-suffix match).
     """
     sf_dir = sf_dir or default_sf_dir()
+    if tables is None:
+        tables = tuple(
+            sorted(
+                f[: -len(".parquet")]
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet") and "__" not in f
+            )
+        )
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

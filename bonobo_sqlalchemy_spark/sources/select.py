@@ -86,9 +86,11 @@ class Select:
             df = reader.load()
         elif isinstance(service, PathService):
             # Register the path catalog's tables then evaluate with Spark SQL.
+            # tables=None discovers whatever the catalog directory holds, so
+            # warehouse tables created by sinks are queryable too.
             from .files import register_views
 
-            register_views(spark, service.root)
+            register_views(spark, service.root, tables=None)
             df = spark.sql(query)
         else:
             # Spark-native: evaluate over whatever views are registered.
