@@ -29,11 +29,34 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder entry point — requires an image library (PIL/cv2) that
-    is intentionally not vendored here."""
+    """Real decoder entry point: uses PIL or cv2 when the image is present
+    in the runtime, else raises.
+
+    Probed 2026-08-14 (round 4): neither ``PIL`` nor ``cv2`` is importable
+    in this build, so the import-try falls through to
+    ``NotImplementedError`` and the pipeline exercises its plumbing via
+    :func:`fake_features`. On a cluster image that ships either library,
+    this function works as-is with no code change.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore
+        import numpy as np
+
+        return cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_COLOR)
+    except ImportError:
+        pass
     raise NotImplementedError(
-        "image decode requires a media library not present in this build; "
-        "wire PIL/cv2 here on a full cluster image"
+        "image decode requires a media library (PIL/cv2) not present in "
+        "this build; both import paths above activate automatically on a "
+        "full cluster image"
     )
 
 

@@ -499,3 +499,43 @@ def z_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").bitwiseAND(F.lit(65535)),
         ).alias("zkey"),
     )
+
+
+@query(
+    "z_udtf_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      FROM documents WHERE doc_id % 20 = 0
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id
+      FROM d
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(64, len(w) - chunk_id * 64) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(w[chunk_id*64+1 : chunk_id*64+64], ' ')) AS chunk_md5
+    FROM c
+    """,
+    tags=("text", "udtf"),
+)
+def z_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking through the Python-UDTF surface (SURVEY §2.3's
+    UDTF row: reference generator nodes are 1-row-in/N-rows-out,
+    ``readers.py:72-75``). Same semantics as the codegen ``text_chunks``
+    query — this entry proves the slow path agrees with the fast path; the
+    fast path is what a pipeline should use. A doc_id filter keeps the
+    Python row volume small (the point is parity, not throughput)."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 20 == 0
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens,
+               md5(CAST(c.chunk_text AS BINARY)) AS chunk_md5
+        FROM __udtf_docs d, LATERAL chunk_doc(d.text, 64) c
+        """
+    )

@@ -169,7 +169,23 @@ def test_multimodal_schema_and_determinism(spark, docs):
         assert rows[k] == again[k]  # deterministic featurizer
 
 
-def test_multimodal_decode_is_explicit_stub():
+def test_multimodal_decode_probes_then_stubs():
+    # decode_image import-tries PIL then cv2; in this build neither exists
+    # (probed round 4), so it must raise the documented NotImplementedError.
+    # On an image with either library, the same call decodes for real.
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        has_media = True
+    except ImportError:
+        try:
+            import cv2  # type: ignore  # noqa: F401
+
+            has_media = True
+        except ImportError:
+            has_media = False
+    if has_media:
+        pytest.skip("media library present: decode_image is live, not a stub")
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
 
