@@ -1,6 +1,7 @@
 """Fifth relational batch: the remaining classic TPC-H query shapes that the
-reduced test schema can express (no ``partsupp`` table ships, so Q2/Q11/Q16/
-Q20 are out of reach; Q12/Q19/Q21/Q22 are adapted to the columns that exist).
+reduced test schema expresses directly (Q12/Q19/Q21/Q22, adapted to the
+columns that exist; the partsupp-dependent Q2/Q11/Q16/Q20 shapes live in
+``relational6.py``, which derives the pair relation from lineitem).
 
 Shapes covered here:
 

@@ -62,16 +62,20 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z_q02_min_cost_supplier",
     oracle=f"""
     WITH ps AS ({_PS}),
-    minc AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM ps GROUP BY 1)
+    ranked AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+      FROM ps
+    )
     SELECT s_acctbal, s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey,
            ps_supplycost AS supplycost
-    FROM ps
-      JOIN minc ON ps.ps_partkey = minc.ps_partkey AND ps_supplycost = min_cost
-      JOIN part ON p_partkey = ps.ps_partkey
+    FROM ranked
+      JOIN part ON p_partkey = ps_partkey
       JOIN supplier ON s_suppkey = ps_suppkey
       JOIN nation ON n_nationkey = s_nationkey
       JOIN region ON r_regionkey = n_regionkey
-    WHERE p_size <= 5 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+    WHERE ps_supplycost = min_cost
+      AND p_size <= 5 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
@@ -81,13 +85,20 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: supplier(s) offering each part at its minimum cost.
 
-    The correlated ``MIN`` subquery becomes one extra hash aggregate over the
-    already-shuffled pair relation plus an equi-join back on
-    ``(partkey, cost)`` — no per-row re-evaluation. Equality on the double
-    cost is safe: both sides are the same MIN over the same IEEE divisions.
+    The correlated ``MIN`` subquery becomes a window MIN over the
+    already-aggregated pair relation — NOT a second aggregate joined back:
+    the groupBy+self-join formulation re-scans lineitem (column pruning
+    makes the two pair-agg subtrees differ, so exchange reuse can't kick
+    in), while the window form scans the fact table exactly once and adds
+    one shuffle on ``ps_partkey``. Equality on the double cost is safe:
+    both sides are the same MIN over the same IEEE divisions.
     """
+    from pyspark.sql import Window as W
+
     ps = _partsupp(spark, sf_dir)
-    minc = ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    ranked = ps.withColumn(
+        "min_cost", F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
+    )
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_size") <= 5) & (F.col("p_type") == "ECONOMY")
     )
@@ -95,10 +106,9 @@ def z_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     return (
-        ps.join(minc, "ps_partkey")
-        .where(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        ranked.where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("ps_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select(

@@ -251,3 +251,53 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "z_stream_dedup",
+    oracle="""
+    SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           user_id, event_type, value
+    FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def z_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest under at-least-once redelivery: the events
+    stream unioned with a full replay of itself (every event delivered
+    twice) flows through ``dropDuplicatesWithinWatermark`` keyed on
+    ``event_id`` — the streaming-state analog of the incremental batch
+    dedup. Output must equal the events table exactly (the oracle), since
+    surviving and dropped copies are identical rows.
+
+    100 TB posture: dedup state is bounded by the watermark horizon (24h
+    here) — keys older than the watermark are evicted, so state size tracks
+    the redelivery window, not the corpus. Real streaming run (availableNow
+    replay, append mode).
+    """
+    path = f"{sf_dir}/events.parquet"
+    s1 = read_events_stream(spark, path)
+    s2 = read_events_stream(spark, path)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    name = "z_stream_dedup_tbl"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
