@@ -539,3 +539,38 @@ def z_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL chunk_doc(d.text, 64) c
         """
     )
+
+
+@query(
+    "z_events_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "json", "variant"),
+)
+def z_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VariantType:
+    ``parse_json`` ingests the payload once into the binary variant
+    encoding, ``variant_get`` extracts typed fields without re-parsing —
+    the engine-native upgrade over per-access ``get_json_object``
+    (`z_events_json`), and the right 100 TB shape when several fields are
+    read per row: parse once at ingest, store the variant column, extract
+    many times at codegen speed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("pv"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy(
+        "event_type", F.floor(F.col("k") / 10).cast("bigint").alias("k_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("k").cast("bigint").alias("n_k"),
+    )

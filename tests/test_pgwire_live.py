@@ -296,3 +296,47 @@ def test_upsert_live_prohibited_insert(spark, pg_server, pg_conn):
     cur.execute("SELECT COUNT(*) FROM upd_only")
     assert cur.fetchone() == (1,)
     pg_conn.commit()
+
+
+def test_streaming_foreachbatch_lands_in_live_postgres(spark, pg_server, pg_conn):
+    """Streaming landing into a real RDBMS: events stream -> foreachBatch ->
+    InsertOrUpdate upsert over the wire client, keyed on event_id. A full
+    second replay of the stream must leave the table unchanged (idempotent
+    exactly-once landing — the streaming twin of the reference's
+    insert-or-update semantics)."""
+    from bonobo_sqlalchemy_spark.streaming.windows import read_events_stream
+
+    cur = pg_conn.cursor()
+    cur.execute(
+        "CREATE TABLE event_log (event_id bigint PRIMARY KEY,"
+        " user_id bigint, value float8)"
+    )
+    pg_conn.commit()
+
+    services = ServiceRegistry({"sqlalchemy.engine": _service(pg_server)})
+    sink = InsertOrUpdate("event_log", discriminant=("event_id",))
+
+    def land(bdf, _bid):
+        sink.write(bdf.select("event_id", "user_id", "value"), spark, services)
+
+    def run_once():
+        ev = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+        q = (
+            ev.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    cur.execute("SELECT COUNT(*), COUNT(DISTINCT event_id) FROM event_log")
+    n1, d1 = cur.fetchone()
+    pg_conn.commit()
+    assert n1 == d1 == 1000
+
+    run_once()  # full redelivery: every row re-upserts as an UPDATE
+    cur.execute("SELECT COUNT(*) FROM event_log")
+    assert cur.fetchone() == (1000,)
+    cur.execute("SELECT COUNT(*) FROM event_log WHERE value IS NULL")
+    assert cur.fetchone() == (0,)
+    pg_conn.commit()

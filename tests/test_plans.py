@@ -72,6 +72,9 @@ NO_CARTESIAN_EXEMPT = {
     # 1-row average-balance aggregate broadcast-crossed into the customer
     # filter (TPC-H Q22's scalar subquery) — not a data join
     "q22_dormant_customers",
+    # 1-row total-value threshold aggregate broadcast-crossed into the
+    # per-part values (TPC-H Q11's scalar subquery) — not a data join
+    "z_q11_value_concentration",
 }
 
 
