@@ -247,6 +247,12 @@ class Connection:
         self._sock.settimeout(None)
         self._in_tx = False
         self._closed = False
+        #: psycopg2-style autocommit: when True, no implicit BEGIN is
+        #: issued, so statements that refuse to run in a transaction block
+        #: (CREATE/DROP DATABASE, CREATE ROLE ...) work — the engine analog
+        #: of the reference's `conn.execute("COMMIT")` DDL trick
+        #: (examples/commands.py:12).
+        self.autocommit = False
         self._auth(user, dbname, password)
 
     # -- session startup ---------------------------------------------------
@@ -342,7 +348,7 @@ class Connection:
                 raise InterfaceError(f"unexpected message {mtype!r} in query cycle")
 
     def _begin_if_needed(self) -> None:
-        if not self._in_tx:
+        if not self._in_tx and not self.autocommit:
             self._simple_query("BEGIN")
             self._in_tx = True
 

@@ -166,6 +166,11 @@ def z_q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("ps_supplycost") * F.col("ps_qty") * 100).cast("bigint")
             ).alias("cents")
         )
+        # Two consumers (threshold aggregate + the filtered output) and
+        # column pruning defeats static exchange reuse, so without this the
+        # whole lineitem pair-agg subtree runs twice. One slim row per part
+        # — cheap to materialize, same pattern as the minhash shingle stage.
+        .localCheckpoint()
     )
     total = val.agg((F.sum("cents") * F.lit(0.0015)).alias("__threshold"))
     return (

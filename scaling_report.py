@@ -103,7 +103,16 @@ def main() -> None:
         lines.append("")
 
     out = Path(__file__).parent / "SCALING.md"
-    out.write_text("\n".join(lines))
+    # Preserve hand-written appendices (e.g. the skew-hardening measurements)
+    # across regenerations: everything from the first '## Skew hardening'
+    # heading onward is carried over verbatim.
+    appendix = ""
+    if out.exists():
+        prev = out.read_text()
+        idx = prev.find("## Skew hardening")
+        if idx != -1:
+            appendix = "\n" + prev[idx:]
+    out.write_text("\n".join(lines) + appendix)
     print(f"{len(names)} queries x {len(SFS)} sfs -> {out}; flagged: {len(flagged)}")
 
 

@@ -340,3 +340,56 @@ def test_streaming_foreachbatch_lands_in_live_postgres(spark, pg_server, pg_conn
     cur.execute("SELECT COUNT(*) FROM event_log WHERE value IS NULL")
     assert cur.fetchone() == (0,)
     pg_conn.commit()
+
+
+def test_example_commands_create_flow_live(pg_server, monkeypatch):
+    """The reference's CLI-driven DDL flow (examples/commands.py:20-31 —
+    --create makes role + database as superuser, then create_all in
+    userland) against the real server through the example wiring."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    monkeypatch.setenv("POSTGRES_SOCKET_DIR", pg_server["socket_dir"])
+    monkeypatch.setenv("POSTGRES_PORT", str(pg_server["port"]))
+    monkeypatch.setenv("POSTGRES_USER", pg_server["user"])
+    monkeypatch.setenv("POSTGRES_NAME", pg_server["name"])
+    monkeypatch.setenv("EXAMPLE_DATABASE_TYPE", "postgres")
+    monkeypatch.setenv("EXAMPLE_DATABASE_NAME", "cmdflow")
+    monkeypatch.setenv("EXAMPLE_DATABASE_USERNAME", "cmduser")
+
+    examples = str(Path(__file__).resolve().parent.parent / "examples")
+    if examples not in sys.path:
+        sys.path.insert(0, examples)
+    importlib.reload(importlib.import_module("settings"))
+    importlib.reload(importlib.import_module("services"))
+    commands = importlib.reload(importlib.import_module("commands"))
+
+    with commands.parse_args(argv=["--create"]) as options:
+        assert options["create"]
+
+    # userland database + table exist; the example user can read its table
+    conn = pgwire.connect(
+        unix_socket_dir=pg_server["socket_dir"],
+        port=int(pg_server["port"]),
+        user="cmduser",
+        dbname="cmdflow",
+    )
+    cur = conn.cursor()
+    cur.execute("SELECT COUNT(*) FROM example")
+    assert cur.fetchone() == (0,)
+    conn.close()
+
+    # --drop tears the role/database back down (fresh connection as super)
+    with commands.parse_args(argv=["--drop"]) as options:
+        assert options["drop"]
+    super_conn = pgwire.connect(
+        unix_socket_dir=pg_server["socket_dir"],
+        port=int(pg_server["port"]),
+        user=pg_server["user"],
+        dbname=pg_server["name"],
+    )
+    cur = super_conn.cursor()
+    cur.execute("SELECT COUNT(*) FROM pg_database WHERE datname = 'cmdflow'")
+    assert cur.fetchone() == (0,)
+    super_conn.close()
