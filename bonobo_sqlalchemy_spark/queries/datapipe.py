@@ -33,24 +33,32 @@ def _hexpoly(hex_expr: str, start: int, length: int) -> str:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+#: DuckDB rendition of ``functions.text.quality_score('text')`` — shared by
+#: the text_stats and z_dedup_quality_survivor oracles so the two can never
+#: drift apart.
+QUALITY_SQL = """
+    round(least(CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) / 100.0, 1.0) * 0.5
+          + (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1))
+            * 0.3
+          + least(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+                  + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+                  + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+                  + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS DOUBLE)
+                  / greatest(CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 1.0), 1.0)
+            * 0.2,
+          6)
+"""
+
+
 @query(
     "text_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_measured,
            CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
            CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-           round(least(CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) / 100.0, 1.0) * 0.5
-                 + (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-                          / greatest(length(text), 1))
-                   * 0.3
-                 + least(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
-                         + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
-                         + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
-                         + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS DOUBLE)
-                         / greatest(CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 1.0), 1.0)
-                   * 0.2,
-                 6) AS quality
+           {QUALITY_SQL} AS quality
     FROM documents
     """,
     tags=("text",),

@@ -119,9 +119,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.survivors(docs, pairs).select("doc_id", "lang", "source")
 
 
-@query(
-    "dedup_components",
-    oracle="""
+#: Recursive-CTE transitive closure over the bigram-Jaccard near-dup graph
+#: (components + sizes) — shared by the dedup_components and
+#: z_dedup_quality_survivor oracles.
+COMPONENT_CTES = """
     WITH RECURSIVE d AS (
       SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents
     ), s AS (
@@ -149,6 +150,13 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
     sz AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    {COMPONENT_CTES}
     SELECT doc_id, component, component_size FROM comp JOIN sz USING (component)
     """,
     tags=("dedup", "iterative"),

@@ -574,3 +574,59 @@ def z_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("k").cast("bigint").alias("n_k"),
     )
+
+
+@query(
+    "z_dedup_quality_survivor",
+    oracle=None,  # assembled below (shared CTE + quality constants)
+    tags=("dedup", "quality"),
+)
+def z_dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: within every near-dup component,
+    keep the HIGHEST-quality document (tie-break lowest id) instead of the
+    greedy lowest-id policy — what a training pipeline actually wants when
+    duplicates differ in cleanliness. Composition of two oracle-checked
+    stages (connected components x quality score) plus one window; the
+    extra cost over `dedup_survivors` is a broadcast-sized join and a
+    per-component rank."""
+    from pyspark.sql import Window as W
+
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
+    comp = D.connected_components(docs, pairs)
+    q = docs.select("doc_id", T.quality_score("text").alias("quality"))
+    w = W.partitionBy("component").orderBy(F.desc("quality"), F.col("doc_id"))
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            "quality",
+            "component_size",
+        )
+    )
+
+
+def _install_quality_survivor_oracle() -> None:
+    from .base import REGISTRY
+    from .datapipe import QUALITY_SQL
+    from .datapipe2 import COMPONENT_CTES
+
+    REGISTRY["z_dedup_quality_survivor"].oracle = f"""
+    {COMPONENT_CTES},
+    q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+    ranked AS (
+      SELECT component, comp.doc_id AS survivor_id, quality, component_size,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN sz USING (component) JOIN q ON q.doc_id = comp.doc_id
+    )
+    SELECT component, survivor_id, quality, component_size FROM ranked WHERE rn = 1
+    """
+
+
+_install_quality_survivor_oracle()

@@ -83,3 +83,31 @@ def z_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         services,
     )
     return out
+
+
+@query(
+    "z_select_offset_page",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    ORDER BY c_custkey LIMIT 25 OFFSET 40
+    """,
+    tags=("relational", "source"),
+)
+def z_select_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page of the reference's LIMIT/OFFSET pagination
+    (``readers.py:60-65``: page m = ``LIMIT pack_size OFFSET m*pack_size``)
+    as a declarative ``Select(limit=, offset=)`` — Catalyst folds
+    skip-then-cap into the scan (GlobalLimit with offset), replacing the
+    reference's per-page round-trips. The snapshot-consistency caveat the
+    reference documents for concurrent writers (``readers.py:17-28``)
+    disappears: one plan, one snapshot."""
+    from ..sources.files import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    node = Select(
+        "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+        limit=25,
+        offset=40,
+    )
+    [df] = run(Graph(node), spark)
+    return df

@@ -53,11 +53,17 @@ class Select:
         *,
         pack_size: int = 1000,
         limit: int | None = None,
+        offset: int | None = None,
         engine: str = DEFAULT_ENGINE_SERVICE,
     ) -> None:
         self.query = query
         self.pack_size = pack_size
         self.limit = limit
+        #: Row skip before the cap — the reference only uses OFFSET
+        #: internally for its page loop (``readers.py:60-65``); exposed here
+        #: because ``df.offset`` makes single-page extraction declarative
+        #: (SQL ``LIMIT n OFFSET m`` semantics: skip, then cap).
+        self.offset = offset
         self.engine = engine
 
     def _normalized_query(self) -> str:
@@ -96,9 +102,11 @@ class Select:
             # Spark-native: evaluate over whatever views are registered.
             df = spark.sql(query)
 
+        if self.offset is not None:
+            df = df.offset(self.offset)
         if self.limit is not None:
             df = df.limit(self.limit)
         return df
 
     def __repr__(self) -> str:
-        return f"Select({self.query!r}, limit={self.limit})"
+        return f"Select({self.query!r}, limit={self.limit}, offset={self.offset})"

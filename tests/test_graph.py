@@ -59,3 +59,13 @@ def test_dataframe_as_source(spark):
     src = spark.range(5).withColumn("v", F.col("id") * 2)
     [df] = run(Graph(src, lambda d: d.where(F.col("id") > 1)), spark)
     assert df.count() == 3
+
+
+def test_select_offset_page(spark, sf_small):
+    # Reference pagination parity (readers.py:60-65): LIMIT n OFFSET m.
+    register_views(spark, sf_small, ("nation",))
+    node = Select(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey", limit=5, offset=10
+    )
+    [df] = run(Graph(node), spark)
+    assert [r[0] for r in df.collect()] == [10, 11, 12, 13, 14]
