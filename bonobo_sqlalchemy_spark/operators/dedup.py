@@ -597,3 +597,36 @@ def connected_components(
         F.col("comp").alias("component"),
         "component_size",
     )
+
+
+def best_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivorship: one row per near-dup component —
+    ``(component, survivor_id, <score_col>, component_size)`` — keeping the
+    HIGHEST-scoring member (tie-break lowest id). Singletons survive as
+    their own component.
+
+    The upgrade over the greedy :func:`survivors` (drop the higher id of
+    every pair): when duplicates differ in cleanliness, the pipeline keeps
+    the best copy, not the first-crawled one. Cost on top of
+    :func:`connected_components` is one broadcast-sized score join and a
+    per-component rank — both shuffle on keys already clustered by the
+    component aggregation.
+    """
+    comp = connected_components(df, pairs, id_col)
+    w = W.partitionBy("component").orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        comp.join(df.select(id_col, score_col), id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("survivor_id"),
+            score_col,
+            "component_size",
+        )
+    )

@@ -589,26 +589,11 @@ def z_dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages (connected components x quality score) plus one window; the
     extra cost over `dedup_survivors` is a broadcast-sized join and a
     per-component rank."""
-    from pyspark.sql import Window as W
-
-    from ..operators import dedup as D
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
-    comp = D.connected_components(docs, pairs)
-    q = docs.select("doc_id", T.quality_score("text").alias("quality"))
-    w = W.partitionBy("component").orderBy(F.desc("quality"), F.col("doc_id"))
-    return (
-        comp.join(q, "doc_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "component",
-            F.col("doc_id").alias("survivor_id"),
-            "quality",
-            "component_size",
-        )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", T.quality_score("text")
     )
+    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
+    return D.best_survivors(docs, pairs, "quality")
 
 
 def _install_quality_survivor_oracle() -> None:

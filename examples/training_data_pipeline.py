@@ -42,19 +42,22 @@ def main() -> None:
     n1 = docs.count()
 
     # 2. fuzzy dedup: cluster transitive near-duplicates (connected
-    #    components over the pair graph) and keep each cluster's min-id doc
+    #    components over the pair graph) and keep each cluster's
+    #    HIGHEST-quality doc — not the first-crawled one
+    docs = docs.withColumn("quality", T.quality_score("text"))
     pairs = D.ngram_jaccard_pairs(
         docs, block_col="lang", n=3, threshold=0.5, max_shingle_df=1000
     )
-    comps = D.connected_components(docs, pairs)
-    keep = comps.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    keep = D.best_survivors(docs, pairs, "quality").select(
+        F.col("survivor_id").alias("doc_id")
+    )
     docs = docs.join(keep, "doc_id", "left_semi")
     n2 = docs.count()
 
-    # 3. quality gate + text metrics (all JVM-side column functions)
+    # 3. quality gate + text metrics (all JVM-side column functions;
+    #    quality was already attached for the survivor selection)
     scored = docs.select(
         "*",
-        T.quality_score("text").alias("quality"),
         T.n_tokens("text").alias("n_tokens"),
         T.fingerprint_md5("text").alias("fingerprint"),
     )

@@ -70,3 +70,26 @@ def test_csv_json_round_trip_with_schema(spark, sf_small, tmp_path):
             for r in back.select(*orders.columns).collect()
         }
         assert got == expected, f"{fmt} round trip mismatch"
+
+
+def test_orc_round_trip_with_pruning(spark, sf_small, tmp_path):
+    """ORC is the second self-describing columnar format the catalog
+    supports (typed, no schema needed on read); partition pruning works the
+    same as parquet (PartitionFilters on the directory layout)."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year(F.col("o_orderdate")).alias("order_year"),
+    )
+    out = str(tmp_path / "orders_orc")
+    write_partitioned(orders, out, ["order_year"], fmt="orc")
+    back = read_partitioned(spark, out, fmt="orc")
+    assert {tuple(r) for r in back.select(*orders.columns).collect()} == {
+        tuple(r) for r in orders.collect()
+    }
+    one_year = back.where(F.col("order_year") == 1996)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one_year.count() == orders.where(F.col("order_year") == 1996).count()
