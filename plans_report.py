@@ -45,7 +45,18 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
-def audit(name: str, text: str) -> list[str]:
+def simple_plan_text(df) -> str:
+    """Executed (AQE-final) physical tree — the only rendering that shows
+    ``WholeStageCodegen (N)`` / ``*(N)`` span markers: under AQE the
+    pre-execution plan is an unplanned AdaptiveSparkPlan shell, so the
+    query runs first (sf0.01 — cheap) and the final plan is inspected."""
+    df.collect()
+    return (
+        df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+
+
+def audit(name: str, text: str, simple_text: str = "") -> list[str]:
     notes = []
     for bad in FORBIDDEN:
         if bad in text:
@@ -62,7 +73,12 @@ def audit(name: str, text: str) -> list[str]:
         notes.append(
             "joins: " + ", ".join(f"{k}×{v}" for k, v in Counter(joins).items())
         )
-    n_codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+    # Codegen markers only render in simple mode: `*(N) Node` prefixes (and
+    # `WholeStageCodegen (N)` wrappers pre-AQE) — counted from simple_text.
+    n_codegen = len(
+        set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_text))
+        | set(re.findall(r"\*\((\d+)\)", simple_text))
+    )
     notes.append(f"codegen spans: {n_codegen}")
     if "ReusedExchange" in text:
         notes.append("reuses exchange (input scanned once)")
@@ -107,7 +123,7 @@ def main() -> None:
     for name in names:
         df = REGISTRY[name].spark(spark, sf_dir)
         text = plan_text(df)
-        notes = audit(name, text)
+        notes = audit(name, text, simple_plan_text(df))
         bad_total += sum(1 for n in notes if n.startswith("!!"))
         lines.append(f"## {name}")
         lines.append("")
