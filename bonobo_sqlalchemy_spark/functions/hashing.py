@@ -1,9 +1,14 @@
-"""Hash-sketch functions: MinHash signatures, LSH bands, SimHash.
+"""Hash-sketch helpers: permutation parameters for MinHash, plus legacy
+xxhash64-based sketch columns.
 
-xxhash64 (Spark built-in, JVM-side) supplies the base 64-bit hashes; the
-signature arithmetic is all higher-order array functions — no UDFs. These
-sketches are engine-internal (no DuckDB equivalent), so queries built on
-them are rows-only checked by design.
+The dedup operators' production sketch paths (``operators/dedup.py``) use
+md5-derived base hashes so the ENTIRE pipeline is reproducible in DuckDB —
+`dedup_minhash_lsh` and `dedup_simhash` carry exact value-level oracles as
+of round 4; they import only `_perm_params` / `_MERSENNE_P` / `hamming64`
+from here. The xxhash64 array-lambda sketch columns below are the
+documentation/reference form (interpreted, small-data only — the codegen
+explode+aggregate shape in dedup.py is the corpus-scale path) and back the
+property tests.
 """
 
 from __future__ import annotations
