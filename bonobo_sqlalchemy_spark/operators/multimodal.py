@@ -50,7 +50,10 @@ def decode_image(payload: bytes) -> "object":
         import cv2  # type: ignore
         import numpy as np
 
-        return cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_COLOR)
+        img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_COLOR)
+        if img is None:  # cv2 signals undecodable payloads by returning None
+            raise ValueError("cv2.imdecode failed: payload is not a decodable image")
+        return img
     except ImportError:
         pass
     raise NotImplementedError(

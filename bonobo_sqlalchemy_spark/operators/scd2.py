@@ -83,6 +83,7 @@ def scd2_merge(
     keys: list[str],
     as_of: str,
     tracked: list[str] | None = None,
+    validate_as_of: bool = True,
 ) -> DataFrame:
     """Merge ``batch`` (one row per key — latest state) into an SCD2 history.
 
@@ -133,17 +134,19 @@ def scd2_merge(
     )
     # An as_of earlier than an open version's valid_from would write
     # inverted intervals (valid_to < valid_from) with no error — reject it.
-    # One 1-row scalar aggregate on the driver (O(1), same class as the
-    # sink's count()); equality is allowed (same-timestamp re-merge is the
-    # documented idempotent no-op path).
-    row = cur.agg(F.max("valid_from")).first()
-    max_vf = row[0] if row else None
-    if max_vf is not None and as_of < max_vf:
-        raise ValueError(
-            f"as_of {as_of!r} precedes the newest open version's valid_from "
-            f"({max_vf!r}); out-of-order merges would write inverted "
-            "validity intervals"
-        )
+    # The 1-row aggregate is O(1) on the driver but costs one extra READ
+    # PASS over the current table per merge, so repeated-merge callers that
+    # can prove monotonic as_of themselves (Scd2Sink's streaming landing
+    # tracks its own high-water mark) pass validate_as_of=False to skip it.
+    if validate_as_of:
+        row = cur.agg(F.max("valid_from")).first()
+        max_vf = row[0] if row else None
+        if max_vf is not None and as_of < max_vf:
+            raise ValueError(
+                f"as_of {as_of!r} precedes the newest open version's "
+                f"valid_from ({max_vf!r}); out-of-order merges would write "
+                "inverted validity intervals"
+            )
 
     joined = cur.alias("c").join(
         b.select(*keys, "__bh").alias("n"), keys, "left"
@@ -192,12 +195,26 @@ class Scd2Sink:
         self.keys = list(keys)
         self.tracked = tracked
         self.last_stats: dict[str, int] = {}
+        #: High-water mark of as_of values this sink has merged. When a new
+        #: as_of is >= the mark, the merge's out-of-order scan-validation is
+        #: redundant and skipped — the streaming foreachBatch path pays no
+        #: extra read pass per micro-batch.
+        self._max_as_of: str | None = None
 
     def write(
         self, batch: DataFrame, spark: SparkSession, path: str, as_of: str
     ) -> DataFrame:
         current = spark.read.parquet(path) if os.path.exists(path) else None
-        merged = scd2_merge(current, batch, self.keys, as_of, self.tracked)
+        as_of_norm = _normalize_as_of(as_of)
+        monotonic = self._max_as_of is not None and as_of_norm >= self._max_as_of
+        merged = scd2_merge(
+            current,
+            batch,
+            self.keys,
+            as_of,
+            self.tracked,
+            validate_as_of=not monotonic,
+        )
         n_total = merged.count()
         n_open = merged.where(F.col("is_current")).count()
 
@@ -210,6 +227,8 @@ class Scd2Sink:
         shutil.move(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
         self.last_stats = {"rows": n_total, "open": n_open}
+        if self._max_as_of is None or as_of_norm > self._max_as_of:
+            self._max_as_of = as_of_norm
         return spark.read.parquet(path)
 
 

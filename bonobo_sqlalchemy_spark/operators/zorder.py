@@ -100,7 +100,9 @@ def quantile_bucket(
                 f"fit out_range={out_range}; lower `buckets` or raise "
                 "`out_range` so each bucket keeps a distinct code"
             )
-        out = out * F.lit(max(1, (out_range - 1) // len(uniq)))
+        # len(uniq) < out_range is guaranteed by the guard above, so the
+        # stride is always >= 1.
+        out = out * F.lit((out_range - 1) // len(uniq))
     return out
 
 

@@ -76,18 +76,41 @@ def _literal(v) -> str:
 
 
 def mogrify(sql: str, params) -> str:
-    """Substitute ``%s`` placeholders with safely quoted literals."""
+    """Substitute ``%s`` placeholders with safely quoted literals.
+
+    psycopg2-compatible escaping: ``%%`` renders a literal ``%`` (the only
+    way to put ``%`` in a parameterized query — e.g. LIKE patterns), and is
+    never counted as a placeholder. With ``params is None`` the SQL passes
+    through verbatim, also as in psycopg2.
+    """
     if params is None:
         return sql
-    pieces = sql.split("%s")
-    if len(pieces) - 1 != len(params):
+    out = []
+    n_used = 0
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "%" and i + 1 < len(sql):
+            nxt = sql[i + 1]
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+            if nxt == "s":
+                if n_used >= len(params):
+                    raise InterfaceError(
+                        f"query expects more than the {len(params)} parameters given"
+                    )
+                out.append(_literal(params[n_used]))
+                n_used += 1
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    if n_used != len(params):
         raise InterfaceError(
-            f"query expects {len(pieces) - 1} parameters, got {len(params)}"
+            f"query expects {n_used} parameters, got {len(params)}"
         )
-    out = [pieces[0]]
-    for piece, v in zip(pieces[1:], params):
-        out.append(_literal(v))
-        out.append(piece)
     return "".join(out)
 
 
@@ -189,23 +212,34 @@ class Cursor:
     # `conn.cursor().execute(...).fetchall()` chaining parity with sqlite3
     def execute(self, sql: str, params=None) -> "Cursor":
         self.connection._begin_if_needed()
-        desc, rows = self.connection._simple_query(mogrify(sql, params))
+        desc, rows, affected = self.connection._simple_query(mogrify(sql, params))
         self.description = desc
         self._rows = rows
         self._idx = 0
-        self.rowcount = len(rows) if desc else -1
+        # DBAPI rowcount: result-set size for SELECT-like statements,
+        # CommandComplete affected-row count for DML, else -1.
+        self.rowcount = len(rows) if desc else affected
         return self
 
     def executemany(self, sql: str, seq_of_params) -> "Cursor":
         self.connection._begin_if_needed()
         # Batched multi-statement Query messages: one round trip per 200
-        # rows inside the surrounding explicit transaction.
+        # rows inside the surrounding explicit transaction. rowcount sums
+        # each statement's CommandComplete count (DBAPI: total affected).
         stmts = [mogrify(sql, p) for p in seq_of_params]
+        total = 0
+        saw_count = False
         for i in range(0, len(stmts), 200):
-            self.connection._simple_query("; ".join(stmts[i : i + 200]))
+            _d, _r, affected = self.connection._simple_query(
+                "; ".join(stmts[i : i + 200])
+            )
+            if affected >= 0:
+                total += affected
+                saw_count = True
         self.description = None
         self._rows = []
         self._idx = 0
+        self.rowcount = total if saw_count else -1
         return self
 
     def fetchall(self) -> list[tuple]:
@@ -298,12 +332,16 @@ class Connection:
 
     # -- query cycle -------------------------------------------------------
     def _simple_query(self, sql: str):
-        """One simple-query cycle; returns (description, rows) of the LAST
-        result set in the message (multi-statement strings return the last)."""
+        """One simple-query cycle; returns (description, rows, affected) of
+        the LAST result set in the message (multi-statement strings return
+        the last). ``affected`` sums every CommandComplete row count in the
+        cycle (multi-statement DML sums all statements), or -1 if no
+        statement reported one."""
         _send_message(self._sock, b"Q", sql.encode() + b"\x00")
         desc = None
         oids: list[int] = []
         rows: list[tuple] = []
+        affected = -1
         error: dict[str, str] | None = None
         while True:
             mtype, body = _read_message(self._sock)
@@ -334,7 +372,12 @@ class Connection:
                         vals.append(_decode(oids[i], body[off : off + vlen]))
                         off += vlen
                 rows.append(tuple(vals))
-            elif mtype in (b"C", b"I"):  # CommandComplete / EmptyQuery
+            elif mtype == b"C":  # CommandComplete: tag like 'UPDATE 3'
+                tag = body.rstrip(b"\x00").decode()
+                last = tag.rsplit(" ", 1)[-1]
+                if last.isdigit():
+                    affected = (affected if affected > 0 else 0) + int(last)
+            elif mtype == b"I":  # EmptyQueryResponse
                 continue
             elif mtype in (b"N", b"S", b"A"):  # Notice / ParameterStatus / Notify
                 continue
@@ -343,7 +386,7 @@ class Connection:
             elif mtype == b"Z":  # ReadyForQuery — cycle complete
                 if error is not None:
                     raise PgError(error)
-                return desc, rows
+                return desc, rows, affected
             else:
                 raise InterfaceError(f"unexpected message {mtype!r} in query cycle")
 

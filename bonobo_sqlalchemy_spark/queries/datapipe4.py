@@ -503,10 +503,14 @@ def z_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "z_udtf_chunks",
-    oracle="""
+    oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), ' +') AS w
-      FROM documents WHERE doc_id % 20 = 0
+      -- mirror Python .strip()/.split(): any-whitespace tokenization and
+      -- zero rows for empty/whitespace-only docs (the UDTF never yields)
+      SELECT doc_id,
+             string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+      FROM documents
+      WHERE doc_id % 20 = 0 AND regexp_replace(text, '\s', '', 'g') <> ''
     ), c AS (
       SELECT doc_id, w,
              unnest(range(0, CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_id
@@ -545,7 +549,7 @@ def z_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z_events_variant",
     oracle="""
     SELECT event_type,
-           CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+           CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) AS k_decile,
            COUNT(*) AS n_events,
            CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k
     FROM events

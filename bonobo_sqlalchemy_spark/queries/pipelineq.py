@@ -18,6 +18,7 @@ MERGE emulation is the same path a Delta/Iceberg ``MERGE INTO`` would take
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,19 @@ def z_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final state: lowercase where regionkey < 2, uppercase elsewhere —
     exactly the oracle's CASE expression.
     """
-    warehouse = tempfile.mkdtemp(prefix="bss_pipeline_rt_")
+    # One stable staging dir per (process, sf_dir) — repeated invocations
+    # (parity sweep + driver + bench) rewrite it in place instead of leaking
+    # a fresh mkdtemp each call. The upsert's own swap protocol handles the
+    # table already existing; the first pass here recreates it from scratch.
+    import hashlib
+    import shutil
+
+    warehouse = os.path.join(
+        tempfile.gettempdir(),
+        "bss_pipeline_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(warehouse, ignore_errors=True)
+    os.makedirs(warehouse, exist_ok=True)
     services = {
         DEFAULT_ENGINE_SERVICE: PathService(sf_dir),
         "warehouse": PathService(warehouse),

@@ -87,8 +87,10 @@ def register_views(
     Idempotent: re-registering against a different sf_dir replaces the views.
     ``tables=None`` discovers every ``<name>.parquet`` in the directory —
     how a :class:`~..registry.PathService`-backed ``Select`` exposes an
-    arbitrary warehouse catalog (staging leftovers like ``*.__merge_tmp``
-    are excluded by the exact-suffix match).
+    arbitrary warehouse catalog. Staging leftovers (``*.parquet.__merge_tmp``
+    etc.) are excluded by the exact ``.parquet`` suffix match; dot-prefixed
+    entries are hidden staging by convention. Table names themselves may
+    contain any characters, including double underscores.
     """
     sf_dir = sf_dir or default_sf_dir()
     if tables is None:
@@ -96,7 +98,7 @@ def register_views(
             sorted(
                 f[: -len(".parquet")]
                 for f in os.listdir(sf_dir)
-                if f.endswith(".parquet") and "__" not in f
+                if f.endswith(".parquet") and not f.startswith(".")
             )
         )
     out: dict[str, DataFrame] = {}

@@ -65,6 +65,18 @@ def parse_args(parser: argparse.ArgumentParser | None = None, argv=None):
         logging.getLogger("bonobo_sqlalchemy_spark").setLevel(logging.INFO)
 
     if (options["drop"] or options["create"]) and settings.DATABASE_TYPE == "postgres":
+        # Identifiers can't be parameterized — validate them; the password
+        # is a string literal — escape it ('' doubling, as the wire client's
+        # own literal quoting does).
+        import re
+
+        for ident in (settings.DATABASE_NAME, settings.DATABASE_USERNAME):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+                raise ValueError(
+                    f"unsafe database identifier {ident!r}: only "
+                    "[A-Za-z_][A-Za-z0-9_]* is accepted for DDL"
+                )
+        password_lit = settings.DATABASE_PASSWORD.replace("'", "''")
         root = services.create_service(superuser=True)
         if options["drop"]:
             _execute_sql(root, f"DROP DATABASE {settings.DATABASE_NAME}")
@@ -73,7 +85,7 @@ def parse_args(parser: argparse.ArgumentParser | None = None, argv=None):
             _execute_sql(
                 root,
                 f"CREATE ROLE {settings.DATABASE_USERNAME} WITH LOGIN"
-                f" PASSWORD '{settings.DATABASE_PASSWORD}'",
+                f" PASSWORD '{password_lit}'",
             )
             _execute_sql(
                 root,

@@ -393,3 +393,18 @@ def test_example_commands_create_flow_live(pg_server, monkeypatch):
     cur.execute("SELECT COUNT(*) FROM pg_database WHERE datname = 'cmdflow'")
     assert cur.fetchone() == (0,)
     super_conn.close()
+
+
+def test_wire_rowcount_dml(pg_conn):
+    """DBAPI rowcount: DML statements report CommandComplete counts."""
+    cur = pg_conn.cursor()
+    cur.execute("CREATE TABLE rc (k int)")
+    cur.executemany("INSERT INTO rc VALUES (%s)", [(i,) for i in range(7)])
+    assert cur.rowcount == 7
+    cur.execute("UPDATE rc SET k = k + 1 WHERE k < 3")
+    assert cur.rowcount == 3
+    cur.execute("DELETE FROM rc WHERE k > 100")
+    assert cur.rowcount == 0
+    cur.execute("SELECT * FROM rc")
+    assert cur.rowcount == 7
+    pg_conn.commit()
