@@ -210,3 +210,35 @@ def test_snapshot_as_of_normalizes_ts(spark):
     t0 = "2024-01-01 00:00:00"
     h = scd2_merge(None, _batch(spark, [(1, "a", 10.0)]), ["id"], t0)
     assert snapshot_as_of(h, "2024-06-01T00:00:00").count() == 1
+
+
+def test_sink_rejects_out_of_order_as_of_even_after_monotonic_runs(spark, tmp_path):
+    """The sink's monotonic fast path (skip the validation scan when as_of
+    >= its high-water mark) must NOT weaken the out-of-order rejection: a
+    merge with an earlier as_of still raises."""
+    import pytest
+
+    from bonobo_sqlalchemy_spark.operators.scd2 import Scd2Sink
+
+    path = str(tmp_path / "hist")
+    sink = Scd2Sink(keys=["id"])
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    sink.write(df1, spark, path, "2024-01-01 00:00:00")
+    df2 = spark.createDataFrame([(1, "b")], "id int, v string")
+    sink.write(df2, spark, path, "2024-02-01 00:00:00")  # monotonic: no scan
+    with pytest.raises(ValueError, match="precedes"):
+        sink.write(
+            spark.createDataFrame([(1, "c")], "id int, v string"),
+            spark,
+            path,
+            "2024-01-15 00:00:00",
+        )
+    # A FRESH sink (no high-water mark, e.g. after restart) also rejects —
+    # via the scan-validation path.
+    with pytest.raises(ValueError, match="precedes"):
+        Scd2Sink(keys=["id"]).write(
+            spark.createDataFrame([(1, "c")], "id int, v string"),
+            spark,
+            path,
+            "2024-01-15 00:00:00",
+        )
