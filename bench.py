@@ -7,18 +7,25 @@ Prints ONE JSON line:
 Each query is fully executed (collect of the final result — every query
 here returns an aggregated/limited result, so collect is driver-safe).
 
-Timing protocol: each query runs three times and the reported time is the min —
-steady-state execution, the standard warm-measurement discipline for
-JIT-compiled engines (first runs are dominated by one-time Janino codegen
-compilation and Python-worker spin-up, which amortize to zero on any real
-workload). Both runs are disclosed in the JSON (`queries` = min,
-`queries_first_run` = cold) so cold-start cost stays visible.
+Timing protocol (variance-hardened, round 5): queries run in INTERLEAVED
+rounds — round 1 runs A,B,C,...; round 2 runs A,B,C,... again — for
+$SPARK_GRAFT_BENCH_RUNS rounds (default 5).  Interleaving means a transient
+machine-load spike hits one *round*, not one *query*, so no single query's
+number is hostage to when the spike happened.  The reported `queries` value
+is the per-query min (steady-state, the standard warm-measurement
+discipline for JIT-compiled engines — first runs are dominated by one-time
+Janino codegen compilation and Python-worker spin-up, which amortize to
+zero on any real workload).  `queries_median` and `queries_spread`
+(max-min over warm runs) are also emitted so measurement noise is
+visible in the artifact itself rather than inferred from round-to-round
+deltas.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -28,6 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     from bonobo_sqlalchemy_spark.queries import REGISTRY
     from bonobo_sqlalchemy_spark.session import get_spark
 
@@ -41,21 +49,38 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, object] = {}
-    first_run: dict[str, object] = {}
-    for name in names:
-        runs: list[float] = []
-        err = None
-        for _ in range(3):
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, dict] = {}
+    # Interleaved rounds: one pass over ALL queries per round, so transient
+    # machine load perturbs a round, not a query.
+    for _ in range(n_rounds):
+        for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
             try:
                 REGISTRY[name].spark(spark, sf_dir).collect()
             except Exception as exc:  # one broken query must not zero the round
-                err = {"err": f"{type(exc).__name__}: {exc}"[:300]}
-                break
-            runs.append(round(time.perf_counter() - t0, 3))
-        first_run[name] = runs[0] if runs else err
-        timings[name] = min(runs) if len(runs) == 3 else err
+                errors[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+                continue
+            runs[name].append(round(time.perf_counter() - t0, 3))
+
+    timings: dict[str, object] = {}
+    medians: dict[str, object] = {}
+    spreads: dict[str, object] = {}
+    first_run: dict[str, object] = {}
+    for name in names:
+        r = runs[name]
+        if name in errors or not r:
+            timings[name] = medians[name] = spreads[name] = first_run[name] = (
+                errors.get(name) or {"err": "no successful runs"}
+            )
+            continue
+        first_run[name] = r[0]
+        warm = r[1:] if len(r) > 1 else r  # drop the cold round from stats
+        timings[name] = min(warm)
+        medians[name] = round(statistics.median(warm), 3)
+        spreads[name] = round(max(warm) - min(warm), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
@@ -64,11 +89,14 @@ def main() -> None:
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spreads,
         "queries_first_run": first_run,
-        "runs_per_query": 3,
-        "agg": "min",
+        "runs_per_query": n_rounds,
+        "interleaved": True,
+        "agg": "min_warm",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "errors": sum(1 for v in timings.values() if not isinstance(v, (int, float))),
+        "errors": len(errors),
     }
     print(json.dumps(out))
 

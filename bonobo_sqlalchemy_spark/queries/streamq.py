@@ -84,18 +84,18 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_sessionize",
     oracle="""
     WITH e AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
              LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ), flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN prev_ts IS NULL
                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )

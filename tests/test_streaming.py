@@ -237,3 +237,42 @@ def test_stateful_fold_skips_empty_chunks():
     assert max_us == int(pd.Timestamp("2024-01-01 00:00:09").value // 1000)
     # all-empty iterator: no timestamp fabricated
     assert _fold_chunks(0, 0, set(), None, [empty]) == (0, 0, set(), None)
+
+
+def test_sessionize_oracle_tie_stability(spark, tmp_path):
+    """Duplicate timestamps within a user must sessionize identically on the
+    Spark side and the DuckDB oracle: both order the gaps-and-islands windows
+    by (ts, event_id), so ties cannot flip a row's session id (VERDICT r4
+    latent-parity-trap fix). The fixture puts two events at the SAME instant
+    straddling a 30-min gap boundary: whichever is deemed 'first' decides
+    whether the next event opens a new session."""
+    import datetime as dt
+
+    from bonobo_sqlalchemy_spark.oracle import compare_query
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for uid in (1, 2):
+        rows += [
+            # two events at the exact same instant — the tie
+            (uid * 10 + 1, t0, uid, "view", 1.0, "{}"),
+            (uid * 10 + 2, t0, uid, "click", 2.0, "{}"),
+            # exactly 30min+1s later: new session iff gap measured from the
+            # *latest* of the tied pair — tie order decides prev_ts chains
+            (uid * 10 + 3, t0 + dt.timedelta(minutes=30, seconds=1), uid, "view", 3.0, "{}"),
+            (uid * 10 + 4, t0 + dt.timedelta(minutes=90), uid, "purchase", 4.0, "{}"),
+        ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    fixture_dir = tmp_path / "tie_fixture"
+    fixture_dir.mkdir()
+    # single flat file so both Spark and DuckDB read the same path
+    pdf.to_parquet(str(fixture_dir / "events.parquet"), index=False)
+
+    for name in ("q_events_sessionize", "q_events_session_attach"):
+        result = compare_query(spark, name, str(fixture_dir))
+        assert result.ok, str(result)
