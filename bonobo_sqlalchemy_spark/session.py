@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Put any locally-cached JDBC driver jars on the classpath so the live
+    # JDBC read path works without per-caller config. No-op when absent or
+    # when an existing session is reused (getOrCreate ignores config then —
+    # callers needing the jar in a fresh JVM go through this factory first).
+    from .sources.jdbc import find_jdbc_driver_jar
+
+    jar = find_jdbc_driver_jar()
+    if jar:
+        builder = builder.config("spark.jars", jar)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

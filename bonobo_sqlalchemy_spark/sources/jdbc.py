@@ -9,16 +9,58 @@ replaces the page loop with N concurrent range-partitioned queries
 statement; ``fetchsize`` (the reference's ``pack_size``) only controls
 driver-level row batching inside each partition.
 
-No live database ships in this build, so these helpers are exercised at the
-options-construction level in tests and by the JDBC branch of ``Select``;
-the code path is the standard production surface.
+Live coverage: no RDBMS *server* ships in this build, but a DuckDB JDBC
+driver jar is discoverable in the local jar caches
+(:func:`find_jdbc_driver_jar`), so the whole read path — driver class
+loading, partitioned range predicates, fetchsize, Select's query push —
+runs end-to-end against a real database file in ``tests/test_jdbc_live.py``.
+:func:`duckdb_jdbc_service` builds the service; ``session.get_spark`` puts
+any discovered driver jars on the session classpath automatically.
 """
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import JdbcService
+
+#: Jar-cache roots probed for JDBC driver jars, in order. All are standard
+#: local caches (coursier, maven, ivy); nothing is downloaded.
+_JAR_SEARCH_ROOTS = ("~/.cache", "~/.m2", "~/.ivy2")
+
+
+@functools.lru_cache(maxsize=None)
+def find_jdbc_driver_jar(artifact: str = "duckdb_jdbc") -> str | None:
+    """Locate a JDBC driver jar named ``<artifact>*.jar`` in local caches.
+
+    Returns the first match (or None). Cached: the scan walks cache trees.
+    """
+    for root in _JAR_SEARCH_ROOTS:
+        hits = glob.glob(
+            os.path.join(os.path.expanduser(root), "**", f"{artifact}*.jar"),
+            recursive=True,
+        )
+        if hits:
+            return sorted(hits)[0]
+    return None
+
+
+def duckdb_jdbc_service(db_path: str, *, read_only: bool = True) -> JdbcService:
+    """JDBC service for a DuckDB database file.
+
+    ``read_only=True`` lets Spark's N concurrent partition connections share
+    the in-process database instance safely; writes must use a single
+    partition (DuckDB files are single-writer — same rule as the sqlite
+    DBAPI backend, ``operators/upsert.py``).
+    """
+    props = {"driver": "org.duckdb.DuckDBDriver"}
+    if read_only:
+        props["duckdb.read_only"] = "true"
+    return JdbcService(url=f"jdbc:duckdb:{db_path}", properties=props)
 
 
 def jdbc_read_options(

@@ -1,0 +1,129 @@
+"""Live Spark-JDBC coverage (VERDICT r4 item 4).
+
+The reference's ``Select`` executes against a real RDBMS
+(``bonobo_sqlalchemy/readers.py:60-67``). Until round 5 the engine's JDBC
+source was covered at option-construction level only; a DuckDB JDBC driver
+jar discovered in the local jar caches now lets the whole path run
+end-to-end against a real database file:
+
+- driver class loading (``org.duckdb.DuckDBDriver`` via ``spark.jars``),
+- partitioned range reads (numPartitions concurrent connections),
+- query pushdown through ``Select``'s JDBC branch (O1),
+- the Spark JDBC *write* path (single partition — DuckDB files are
+  single-writer, same rule as the sqlite DBAPI sink).
+
+The database file is created by the Python duckdb client (same 1.0.0
+storage format as the jar), so the data crosses a real storage boundary:
+written by one engine, read over JDBC by another.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bonobo_sqlalchemy_spark.sources.jdbc import (
+    duckdb_jdbc_service,
+    find_jdbc_driver_jar,
+    read_jdbc,
+)
+
+pytestmark = pytest.mark.skipif(
+    find_jdbc_driver_jar() is None,
+    reason="no duckdb_jdbc jar in local caches (environment-dependent)",
+)
+
+N_ROWS = 5_000
+
+
+@pytest.fixture(scope="module")
+def db_path(tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("jdbc") / "live.db")
+    con = duckdb.connect(path)
+    con.execute(
+        f"""
+        CREATE TABLE orders_live AS
+        SELECT range AS o_id,
+               range % 97 AS cust,
+               CAST(range AS DOUBLE) * 1.5 AS total,
+               'status_' || (range % 3) AS status
+        FROM range({N_ROWS})
+        """
+    )
+    con.close()
+    return path
+
+
+def test_partitioned_read_matches_source(spark, db_path):
+    svc = duckdb_jdbc_service(db_path)
+    df = read_jdbc(
+        spark,
+        svc,
+        "orders_live",
+        partition_column="o_id",
+        lower_bound=0,
+        upper_bound=N_ROWS,
+        num_partitions=4,
+    )
+    # the partitioned read really fans out into N concurrent range scans
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == N_ROWS
+    got = {(int(r.o_id), float(r.total)) for r in df.collect()}
+    con = duckdb.connect(db_path, read_only=True)
+    want = {(int(a), float(b)) for a, b in con.execute(
+        "SELECT o_id, total FROM orders_live"
+    ).fetchall()}
+    con.close()
+    assert got == want
+
+
+def test_select_o1_live_query_push(spark, db_path):
+    """O1 ``Select`` against a live database: the SQL text executes inside
+    the database (query push), limit applies after (readers.py:45-49
+    semantics)."""
+    from bonobo_sqlalchemy_spark import Select
+
+    sel = Select(
+        "SELECT status, COUNT(*) AS n, SUM(total) AS sum_total "
+        "FROM orders_live GROUP BY status ORDER BY status;",
+        pack_size=500,
+    )
+    rows = sel(
+        spark, {"sqlalchemy.engine": duckdb_jdbc_service(db_path)}
+    ).collect()
+    assert [r.status for r in rows] == ["status_0", "status_1", "status_2"]
+    assert sum(r.n for r in rows) == N_ROWS
+
+    limited = Select("SELECT o_id FROM orders_live", limit=7)(
+        spark, {"sqlalchemy.engine": duckdb_jdbc_service(db_path)}
+    )
+    assert limited.count() == 7
+
+
+def test_jdbc_write_then_read_roundtrip(spark, tmp_path):
+    """Spark JDBC write (single partition, single-writer file) then a
+    JDBC read-back must be lossless."""
+    out_db = str(tmp_path / "written.db")
+    # pre-create the target (DDL through the Python client): Spark's
+    # driver-side CREATE TABLE and the executor's INSERT connection do not
+    # share an uncommitted catalog, so append-into-existing is the shape
+    # that works — and the one production uses (schema owned by the DBA).
+    con = duckdb.connect(out_db)
+    con.execute("CREATE TABLE landed (id BIGINT, dbl DOUBLE, k VARCHAR)")
+    con.close()
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS dbl", "CONCAT('k', id % 10) AS k"
+    )
+    svc_rw = duckdb_jdbc_service(out_db, read_only=False)
+    (
+        df.coalesce(1)  # DuckDB file = single writer
+        .write.format("jdbc")
+        .option("url", svc_rw.url)
+        .option("dbtable", "landed")
+        .options(**svc_rw.properties)
+        .mode("append")
+        .save()
+    )
+    back = read_jdbc(spark, duckdb_jdbc_service(out_db), "landed")
+    assert back.count() == 1000
+    assert {int(r.id) for r in back.collect()} == set(range(1000))
