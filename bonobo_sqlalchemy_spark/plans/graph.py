@@ -85,21 +85,39 @@ def producer(fn=None, *, fields: Iterable[str] | None = None):
 
 
 class Graph:
-    """A DAG of chains. ``Graph(a, b, c)`` is one chain a -> b -> c."""
+    """A DAG of chains. ``Graph(a, b, c)`` is one chain a -> b -> c.
+
+    ``add_chain(d, _input=a)`` forks: if ``a`` is a node of an
+    already-added chain, the new chain consumes ``a``'s OUTPUT stream —
+    bonobo's fork semantics (one producer feeding several downstream
+    chains). In Spark terms both consumers share ``a``'s logical plan
+    subtree, so the fork costs nothing at plan time and Catalyst/AQE reuse
+    the exchange where possible. If ``a`` is not part of any prior chain it
+    is simply prepended as the new chain's source (the pre-fork behavior).
+    """
 
     def __init__(self, *nodes: Any) -> None:
+        #: (nodes, input_ref) per chain; input_ref is the fork point or None.
         self.chains: list[list[Any]] = []
+        self._inputs: list[Any] = []
         if nodes:
             self.add_chain(*nodes)
 
     def add_chain(self, *nodes: Any, _input: Any = None) -> "Graph":
         chain = list(nodes)
+        input_ref = None
         if _input is not None:
-            chain.insert(0, _input)
+            if any(any(n is _input for n in c) for c in self.chains):
+                input_ref = _input  # fork off an existing node's output
+            else:
+                chain.insert(0, _input)
         self.chains.append(chain)
+        self._inputs.append(input_ref)
         return self
 
     def __len__(self) -> int:
+        # distinct node count: a fork's input node already lives (and is
+        # counted) in the chain it was first added to
         return sum(len(c) for c in self.chains)
 
 
@@ -185,11 +203,26 @@ def run(
         graph = Graph(graph)
 
     results: list[DataFrame] = []
-    for chain in graph.chains:
+    outputs: dict[int, DataFrame] = {}  # id(node) -> that node's output stream
+    for chain, input_ref in zip(graph.chains, graph._inputs):
         ctx = NodeExecutionContext(spark, registry)
-        head, *rest = chain
-        df = _materialize_source(head, spark, registry, ctx)
-        for node in rest:
+        if input_ref is not None:
+            # fork: consume the recorded node's output (already evaluated —
+            # chains run in add order and forks may only reference earlier
+            # chains' nodes)
+            if id(input_ref) not in outputs:
+                raise ValueError(
+                    f"fork input {input_ref!r} has not produced output yet; "
+                    "add_chain order must put the producer chain first"
+                )
+            df = outputs[id(input_ref)]
+            nodes = chain
+        else:
+            head, *nodes = chain
+            df = _materialize_source(head, spark, registry, ctx)
+            outputs[id(head)] = df
+        for node in nodes:
             df = _apply_node(node, df, spark, registry, ctx)
+            outputs[id(node)] = df
         results.append(df)
     return results

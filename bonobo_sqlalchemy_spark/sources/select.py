@@ -32,6 +32,27 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import DEFAULT_ENGINE_SERVICE, JdbcService, PathService, ServiceRegistry
 
 
+def _apply_table_labels(df: DataFrame) -> DataFrame:
+    """Rename table-sourced output columns to ``table_column``.
+
+    SQLAlchemy's ``use_labels`` label style, re-expressed over Catalyst: the
+    analyzed plan's output attributes carry their source qualifier (view
+    name or alias), which becomes the prefix. Computed/aggregate columns
+    have no qualifier and keep their names — same as SQLAlchemy, which only
+    labels table columns.
+    """
+    attrs = df._jdf.queryExecution().analyzed().output()
+    names: list[str] = []
+    for i in range(attrs.length()):
+        a = attrs.apply(i)
+        q = a.qualifier()
+        # last qualifier part is the view/alias (earlier parts are
+        # catalog/database when present)
+        prefix = q.apply(q.size() - 1) if q.size() > 0 else None
+        names.append(f"{prefix}_{a.name()}" if prefix else a.name())
+    return df.toDF(*names)
+
+
 class Select:
     """Source node: SQL text -> DataFrame.
 
@@ -45,6 +66,14 @@ class Select:
     - ``limit``: total row cap (``df.limit``).
     - ``engine``: service name resolved from the run's services
       (``'sqlalchemy.engine'`` by default, as in ``readers.py:49``).
+    - ``label_columns``: reference ``use_labels=True`` parity
+      (``readers.py:66``) — output columns that originate from a table are
+      renamed ``table_column``, so ``SELECT *`` over a join of registered
+      views yields collision-free names instead of duplicates. Off by
+      default (the reference always labels; here it is opt-in because
+      unlabeled single-table names are what every other query in the
+      registry expects). Applies to Spark-evaluated queries; a JDBC backend
+      resolves names server-side.
     """
 
     def __init__(
@@ -55,6 +84,7 @@ class Select:
         limit: int | None = None,
         offset: int | None = None,
         engine: str = DEFAULT_ENGINE_SERVICE,
+        label_columns: bool = False,
     ) -> None:
         self.query = query
         self.pack_size = pack_size
@@ -65,6 +95,7 @@ class Select:
         #: (SQL ``LIMIT n OFFSET m`` semantics: skip, then cap).
         self.offset = offset
         self.engine = engine
+        self.label_columns = label_columns
 
     def _normalized_query(self) -> str:
         return self.query.strip(" \n;")
@@ -102,6 +133,8 @@ class Select:
             # Spark-native: evaluate over whatever views are registered.
             df = spark.sql(query)
 
+        if self.label_columns and not isinstance(service, JdbcService):
+            df = _apply_table_labels(df)
         if self.offset is not None:
             df = df.offset(self.offset)
         if self.limit is not None:

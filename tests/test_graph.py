@@ -69,3 +69,122 @@ def test_select_offset_page(spark, sf_small):
     )
     [df] = run(Graph(node), spark)
     assert [r[0] for r in df.collect()] == [10, 11, 12, 13, 14]
+
+
+def test_fork_one_select_feeds_two_sinks(spark, sf_small, tmp_path):
+    """bonobo fork semantics (`add_chain(..., _input=node)`): one producer's
+    OUTPUT feeds two downstream chains — both sinks land the same stream."""
+    import sqlite3
+    from functools import partial
+
+    from bonobo_sqlalchemy_spark import DbapiService, InsertOrUpdate
+
+    register_views(spark, sf_small, ("region",))
+    db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
+    for db in (db_a, db_b):
+        with sqlite3.connect(db) as con:
+            con.execute("CREATE TABLE landed (r_regionkey INTEGER PRIMARY KEY, r_name TEXT)")
+
+    sel = Select("SELECT r_regionkey, r_name FROM region")
+    g = Graph(sel, InsertOrUpdate("landed", discriminant=("r_regionkey",), engine="db_a"))
+    # fork OFF sel's output (not a fresh re-run of the source)
+    g.add_chain(
+        lambda df: df.where(F.col("r_regionkey") < 3),
+        InsertOrUpdate("landed", discriminant=("r_regionkey",), engine="db_b"),
+        _input=sel,
+    )
+    services = {
+        "db_a": DbapiService(connect=partial(sqlite3.connect, db_a)),
+        "db_b": DbapiService(connect=partial(sqlite3.connect, db_b)),
+    }
+    [out_a, out_b] = run(g, spark, services)
+    assert out_a.count() == 5 and out_b.count() == 3
+    with sqlite3.connect(db_a) as con:
+        assert con.execute("SELECT COUNT(*) FROM landed").fetchone()[0] == 5
+    with sqlite3.connect(db_b) as con:
+        assert sorted(
+            k for (k,) in con.execute("SELECT r_regionkey FROM landed")
+        ) == [0, 1, 2]
+
+
+def test_fork_mid_chain_node(spark, sf_small):
+    """Forks may reference any node, not just the head: the new chain sees
+    the stream AS OF that node (transform applied)."""
+    register_views(spark, sf_small, ("nation",))
+    sel = Select("SELECT n_nationkey, n_regionkey FROM nation")
+    half = lambda df: df.where(F.col("n_nationkey") < 10)  # noqa: E731
+    g = Graph(sel, half, lambda df: df.select("n_nationkey"))
+    g.add_chain(lambda df: df.groupBy("n_regionkey").count(), _input=half)
+    [full, by_region] = run(g, spark)
+    assert full.count() == 10
+    assert by_region.agg(F.sum("count")).collect()[0][0] == 10
+
+
+def test_fork_unknown_input_still_prepends(spark, sf_small):
+    """Pre-fork compatibility: `_input` that is not part of any existing
+    chain is prepended as the new chain's source."""
+    register_views(spark, sf_small, ("region",))
+    g = Graph()
+    g.add_chain(lambda df: df.limit(2), _input=Select("SELECT * FROM region"))
+    [df] = run(g, spark)
+    assert df.count() == 2
+
+
+def test_fork_before_producer_errors(spark):
+    src = spark.range(3)
+    g = Graph()
+    tail = lambda df: df  # noqa: E731
+    g.add_chain(src, tail)
+    bad = Graph()
+    bad.chains = [[tail]]
+    bad._inputs = [src]  # src never produced in `bad`
+    import pytest
+
+    with pytest.raises(ValueError, match="fork input"):
+        run(bad, spark)
+
+
+def test_select_label_columns_disambiguates_join(spark, sf_small):
+    """Reference `use_labels=True` parity (readers.py:66): SELECT * over a
+    join of registered views yields table_column names, collision-free."""
+    register_views(spark, sf_small, ("region", "nation"))
+    node = Select(
+        "SELECT * FROM nation JOIN region ON n_regionkey = r_regionkey",
+        label_columns=True,
+    )
+    [df] = run(Graph(node), spark)
+    assert df.columns == [
+        "nation_n_nationkey",
+        "nation_n_name",
+        "nation_n_regionkey",
+        "region_r_regionkey",
+        "region_r_name",
+    ]
+    assert len(set(df.columns)) == len(df.columns)
+    assert df.count() == 25
+
+    # aliases become the prefix; computed columns keep their own names
+    node2 = Select(
+        "SELECT a.n_name, b.n_name, a.n_nationkey + 1 AS next_key "
+        "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey",
+        label_columns=True,
+    )
+    [df2] = run(Graph(node2), spark)
+    assert df2.columns == ["a_n_name", "b_n_name", "next_key"]
+
+
+def test_select_unlabeled_join_duplicate_names(spark, sf_small):
+    """Documented divergence check: without label_columns, SELECT * over a
+    self-join carries duplicate column names (Spark allows them in output;
+    selecting one by name then errors with AMBIGUOUS_REFERENCE)."""
+    register_views(spark, sf_small, ("nation",))
+    node = Select(
+        "SELECT * FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey"
+    )
+    [df] = run(Graph(node), spark)
+    assert df.columns.count("n_name") == 2
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        df.select("n_name").collect()
