@@ -29,14 +29,18 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder entry point: uses PIL or cv2 when the image is present
-    in the runtime, else raises.
+    """Real decoder entry point: uses PIL or cv2 when the library is present
+    in the runtime; uncompressed BMP decodes with no library at all.
 
-    Probed 2026-08-14 (round 4): neither ``PIL`` nor ``cv2`` is importable
-    in this build, so the import-try falls through to
-    ``NotImplementedError`` and the pipeline exercises its plumbing via
-    :func:`fake_features`. On a cluster image that ships either library,
-    this function works as-is with no code change.
+    Probed 2026-08-14 (round 4, re-verified round 5): neither ``PIL`` nor
+    ``cv2`` is importable in this build, so compressed formats fall through
+    to ``NotImplementedError`` and the pipeline exercises its plumbing via
+    :func:`fake_features`. Uncompressed 24-bit BMP payloads decode through
+    the pure-Python branch below (file format per the public Windows
+    BITMAPFILEHEADER/BITMAPINFOHEADER layout), so the decode path is
+    genuinely executed — not 100% stubbed — even in this container. On a
+    cluster image that ships either library, the full-format paths activate
+    with no code change.
     """
     try:
         import io
@@ -56,11 +60,50 @@ def decode_image(payload: bytes) -> "object":
         return img
     except ImportError:
         pass
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
     raise NotImplementedError(
         "image decode requires a media library (PIL/cv2) not present in "
-        "this build; both import paths above activate automatically on a "
-        "full cluster image"
+        "this build (uncompressed BMP decodes library-free above); both "
+        "import paths activate automatically on a full cluster image"
     )
+
+
+def _decode_bmp24(payload: bytes) -> "object":
+    """Library-free decode of an uncompressed 24-bit BMP into an (h, w, 3)
+    uint8 RGB ndarray.
+
+    Handles the standard layout: 14-byte file header (pixel-array offset at
+    byte 10), BITMAPINFOHEADER (width at 18, height at 22 — negative height
+    = top-down, bpp at 28, compression at 30; only BI_RGB=0 / 24bpp here),
+    rows padded to 4-byte boundaries, pixels stored BGR bottom-up.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("BMP payload truncated: shorter than the two headers")
+    (px_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"library-free BMP branch handles uncompressed 24bpp only "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = px_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"BMP pixel array truncated: need {need} bytes, have {len(payload)}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=px_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]  # stored bottom-up
+    return img[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def fake_features(payload: bytes, n_chars: int) -> tuple[str, str, float, float]:

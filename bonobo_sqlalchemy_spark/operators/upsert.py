@@ -262,6 +262,16 @@ class InsertOrUpdate:
             )
             errors: dict[tuple, int] = {}
             n_ins = n_upd = 0
+            # Postgres bulk path: COPY ... FROM STDIN when the connection
+            # exposes copy-in (pgwire.Connection.copy_rows) — one round trip
+            # per chunk instead of one INSERT statement per row. Chunk
+            # failure falls back to per-row INSERTs below, which also
+            # identifies the offending rows for the dead-letter channel.
+            copy_rows = (
+                getattr(conn, "copy_rows", None)
+                if params["dialect"] == "postgresql"
+                else None
+            )
 
             def rows_of(pdf: "pd.DataFrame"):
                 iso_ts = params["dialect"] == "sqlite"  # py3.12 sqlite3 has no datetime adapter
@@ -336,7 +346,10 @@ class InsertOrUpdate:
                     # O2c: one transaction per chunk; O2d: per-row fallback.
                     try:
                         if ins_rows:
-                            cur.executemany(insert_sql, ins_rows)
+                            if copy_rows is not None:
+                                copy_rows(q_table, [_quote(c) for c in cols], ins_rows)
+                            else:
+                                cur.executemany(insert_sql, ins_rows)
                         if upd_rows and update_sql:
                             cur.executemany(update_sql, upd_rows)
                         conn.commit()

@@ -12,9 +12,12 @@ Scope — exactly the DBAPI surface the per-partition upsert sink uses
 (``operators/upsert.py``): ``cursor()``, ``execute``/``executemany`` with
 client-side ``%s`` mogrification, ``fetchall``/``fetchone``,
 ``description``, ``commit``/``rollback``/``close`` with an implicit
-``BEGIN`` per DBAPI transaction semantics. Deliberately NOT a general
-driver: no extended protocol, no COPY, no SSL, no SCRAM (test servers run
-trust/md5 auth on a private unix socket).
+``BEGIN`` per DBAPI transaction semantics — plus copy-in
+(``Connection.copy_rows``): ``COPY ... FROM STDIN`` with text-format
+CopyData framing, the canonical Postgres bulk-insert path (the upsert
+sink's insert branch uses it when the target connection exposes it).
+Deliberately NOT a general driver: no extended protocol, no copy-out, no
+SSL, no SCRAM (test servers run trust/md5 auth on a private unix socket).
 """
 
 from __future__ import annotations
@@ -90,8 +93,8 @@ def mogrify(sql: str, params) -> str:
     i = 0
     while i < len(sql):
         ch = sql[i]
-        if ch == "%" and i + 1 < len(sql):
-            nxt = sql[i + 1]
+        if ch == "%":
+            nxt = sql[i + 1] if i + 1 < len(sql) else None
             if nxt == "%":
                 out.append("%")
                 i += 2
@@ -105,6 +108,13 @@ def mogrify(sql: str, params) -> str:
                 n_used += 1
                 i += 2
                 continue
+            # psycopg2 parity: any other character after % (or a trailing
+            # %) is an error, not silent literal SQL — a typo'd %d would
+            # otherwise surface later as a confusing count mismatch.
+            raise InterfaceError(
+                "unsupported format character "
+                f"{nxt!r} at index {i + 1} (only %s and %% are recognized)"
+            )
         out.append(ch)
         i += 1
     if n_used != len(params):
@@ -112,6 +122,43 @@ def mogrify(sql: str, params) -> str:
             f"query expects {n_used} parameters, got {len(params)}"
         )
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# COPY text-format field encoding (documented "Text Format" of the COPY
+# command: tab-separated fields, \N for NULL, backslash escapes for the
+# delimiter/newline/backslash characters themselves).
+# ---------------------------------------------------------------------------
+
+_COPY_ESCAPES = str.maketrans(
+    {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+)
+
+
+def _copy_field(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (int, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "\\\\x" + bytes(v).hex()  # literal backslash-x, hex bytea
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, (_dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, str):
+        if "\x00" in v:
+            raise InterfaceError("NUL byte in string is not representable")
+        return v.translate(_COPY_ESCAPES)
+    raise InterfaceError(f"cannot adapt parameter of type {type(v).__name__}")
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +436,80 @@ class Connection:
                 return desc, rows, affected
             else:
                 raise InterfaceError(f"unexpected message {mtype!r} in query cycle")
+
+    def copy_rows(
+        self, table: str, columns: list[str], rows, chunk_bytes: int = 256 * 1024
+    ) -> int:
+        """Bulk insert via ``COPY table (cols) FROM STDIN`` (text format).
+
+        One round trip for the whole batch instead of one INSERT statement
+        per row — the canonical Postgres bulk path. Runs inside the
+        connection's current transaction (implicit BEGIN as usual), so a
+        failed COPY rolls back with everything else. Returns the number of
+        rows copied (CommandComplete ``COPY n`` tag).
+
+        Protocol (public docs, "COPY Operations"): Query -> CopyInResponse
+        ('G') -> CopyData ('d') frames -> CopyDone ('c') -> CommandComplete
+        -> ReadyForQuery. On client-side encoding failure a CopyFail ('f')
+        is sent so the server aborts cleanly instead of waiting for data.
+        """
+        self._begin_if_needed()
+        collist = ", ".join(columns)
+        _send_message(
+            self._sock, b"Q", f"COPY {table} ({collist}) FROM STDIN".encode() + b"\x00"
+        )
+        error: dict[str, str] | None = None
+        started = False
+        while True:  # wait for CopyInResponse (or error)
+            mtype, body = _read_message(self._sock)
+            if mtype == b"G":
+                started = True
+                break
+            if mtype == b"E":
+                error = _parse_error_fields(body)
+            elif mtype == b"Z":
+                raise PgError(error or {"M": "COPY refused without error"})
+            elif mtype in (b"N", b"S", b"A", b"C"):
+                continue
+            else:
+                raise InterfaceError(f"unexpected message {mtype!r} awaiting CopyInResponse")
+        try:
+            buf = bytearray()
+            for row in rows:
+                buf += "\t".join(_copy_field(v) for v in row).encode() + b"\n"
+                if len(buf) >= chunk_bytes:
+                    _send_message(self._sock, b"d", bytes(buf))
+                    buf.clear()
+            if buf:
+                _send_message(self._sock, b"d", bytes(buf))
+        except Exception as exc:
+            if started:
+                _send_message(self._sock, b"f", str(exc).encode()[:200] + b"\x00")
+                # drain the aborted cycle so the connection stays usable
+                while True:
+                    mtype, body = _read_message(self._sock)
+                    if mtype == b"Z":
+                        break
+            raise
+        _send_message(self._sock, b"c", b"")  # CopyDone
+        affected = 0
+        while True:
+            mtype, body = _read_message(self._sock)
+            if mtype == b"C":
+                tag = body.rstrip(b"\x00").decode()
+                last = tag.rsplit(" ", 1)[-1]
+                if last.isdigit():
+                    affected = int(last)
+            elif mtype == b"E":
+                error = _parse_error_fields(body)
+            elif mtype in (b"N", b"S", b"A"):
+                continue
+            elif mtype == b"Z":
+                if error is not None:
+                    raise PgError(error)
+                return affected
+            else:
+                raise InterfaceError(f"unexpected message {mtype!r} completing COPY")
 
     def _begin_if_needed(self) -> None:
         if not self._in_tx and not self.autocommit:

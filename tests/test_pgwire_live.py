@@ -87,7 +87,7 @@ def pg_server():
     r = _as_pg(["pg_ctl", "-D", data, "-l", log, "-w", "start"])
     assert r.returncode == 0, r.stderr + open(log).read()
     try:
-        yield {"socket_dir": sock, "port": str(PG_PORT), "user": "postgres", "name": "postgres"}
+        yield {"socket_dir": sock, "port": str(PG_PORT), "user": "postgres", "name": "postgres", "log": log}
     finally:
         _as_pg(["pg_ctl", "-D", data, "-m", "immediate", "stop"])
         shutil.rmtree(base, ignore_errors=True)
@@ -408,3 +408,117 @@ def test_wire_rowcount_dml(pg_conn):
     cur.execute("SELECT * FROM rc")
     assert cur.rowcount == 7
     pg_conn.commit()
+
+
+# ---------------------------------------------------------------------------
+# COPY ... FROM STDIN (bulk insert path)
+# ---------------------------------------------------------------------------
+
+
+def test_copy_rows_values_and_rowcount(pg_conn):
+    cur = pg_conn.cursor()
+    cur.execute(
+        "CREATE TABLE copy_vals (id INT, txt TEXT, val DOUBLE PRECISION, "
+        "flag BOOLEAN, ts TIMESTAMP, blob BYTEA)"
+    )
+    import datetime as dt
+
+    rows = [
+        (1, "plain", 1.5, True, dt.datetime(2024, 1, 2, 3, 4, 5), b"\x01\xfe"),
+        (2, "tab\there\nand newline \\ backslash 'quote'", None, False, None, None),
+        (3, None, float("nan"), None, dt.datetime(1999, 12, 31, 23, 59, 59), b""),
+    ]
+    n = pg_conn.copy_rows("copy_vals", ["id", "txt", "val", "flag", "ts", "blob"], rows)
+    pg_conn.commit()
+    assert n == 3
+    got = cur.execute("SELECT * FROM copy_vals ORDER BY id").fetchall()
+    assert got[0] == rows[0]
+    assert got[1] == rows[1]
+    assert got[2][1] is None and got[2][4] == rows[2][4] and got[2][5] == b""
+    import math
+
+    assert math.isnan(got[2][2])
+
+
+def test_copy_rows_bulk_faster_than_inserts(pg_conn):
+    """The 10k-row fixture: COPY must land identical rows and beat the
+    batched-INSERT path on wall-clock (it is one round trip per chunk and
+    no per-row SQL parse)."""
+    import time
+
+    cur = pg_conn.cursor()
+    cur.execute("CREATE TABLE copy_bulk (id INT, txt TEXT, val DOUBLE PRECISION)")
+    cur.execute("CREATE TABLE ins_bulk (id INT, txt TEXT, val DOUBLE PRECISION)")
+    pg_conn.commit()
+    rows = [(i, f"value for {i}", i * 0.5) for i in range(10_000)]
+
+    t0 = time.perf_counter()
+    cur.executemany("INSERT INTO ins_bulk VALUES (%s, %s, %s)", rows)
+    pg_conn.commit()
+    t_insert = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n = pg_conn.copy_rows("copy_bulk", ["id", "txt", "val"], rows)
+    pg_conn.commit()
+    t_copy = time.perf_counter() - t0
+
+    assert n == 10_000
+    a = cur.execute("SELECT * FROM copy_bulk ORDER BY id").fetchall()
+    b = cur.execute("SELECT * FROM ins_bulk ORDER BY id").fetchall()
+    assert a == b
+    assert t_copy < t_insert, f"COPY {t_copy:.3f}s not faster than INSERT {t_insert:.3f}s"
+
+
+def test_copy_fail_mid_stream_recovers(pg_conn):
+    """A client-side encoding error mid-COPY sends CopyFail; the server
+    aborts that statement and the connection stays usable."""
+    cur = pg_conn.cursor()
+    cur.execute("CREATE TABLE copy_fail (id INT)")
+    pg_conn.commit()
+    with pytest.raises(pgwire.InterfaceError):
+        pg_conn.copy_rows("copy_fail", ["id"], [(1,), (object(),)])
+    pg_conn.rollback()
+    assert cur.execute("SELECT COUNT(*) FROM copy_fail").fetchone()[0] == 0
+    # server-side failure (bad type) surfaces as PgError, also recoverable
+    with pytest.raises(pgwire.PgError):
+        pg_conn.copy_rows("copy_fail", ["id"], [("not-an-int",)])
+    pg_conn.rollback()
+    n = pg_conn.copy_rows("copy_fail", ["id"], [(7,)])
+    pg_conn.commit()
+    assert n == 1
+    assert cur.execute("SELECT id FROM copy_fail").fetchone() == (7,)
+
+
+def test_upsert_insert_branch_goes_through_copy(spark, pg_server, pg_conn):
+    """The sink's insert branch must route through copy_rows for the
+    postgresql dialect (VERDICT r4 item 8): spy via a wrapper and assert
+    identical landed rows."""
+    cur = pg_conn.cursor()
+    cur.execute("CREATE TABLE copy_sink (id INT PRIMARY KEY, txt TEXT)")
+    pg_conn.commit()
+
+    # the sink's connections live in executor worker processes, so a
+    # monkeypatch spy can't see them — verify through the server's own
+    # statement log instead
+    pg_conn.commit()
+    pg_conn.autocommit = True
+    cur.execute("ALTER SYSTEM SET log_statement = 'all'")
+    cur.execute("SELECT pg_reload_conf()")
+    pg_conn.autocommit = False
+    try:
+        df = spark.createDataFrame(
+            [(i, f"value for {i}") for i in range(50)], "id int, txt string"
+        )
+        sink = InsertOrUpdate("copy_sink", discriminant=("id",), engine="db")
+        out = sink.write(df, spark, ServiceRegistry({"db": _service(pg_server)}))
+        assert out.count() == 50
+        log_txt = open(pg_server["log"]).read()
+        assert 'COPY "copy_sink"' in log_txt, "insert branch did not use COPY"
+        assert 'INSERT INTO "copy_sink"' not in log_txt
+        assert cur.execute("SELECT COUNT(*) FROM copy_sink").fetchone()[0] == 50
+    finally:
+        pg_conn.commit()
+        pg_conn.autocommit = True
+        cur.execute("ALTER SYSTEM RESET log_statement")
+        cur.execute("SELECT pg_reload_conf()")
+        pg_conn.autocommit = False

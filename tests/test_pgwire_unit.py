@@ -31,3 +31,40 @@ def test_mogrify_none_params_passthrough():
     # params=None: verbatim SQL, % needs no escaping (psycopg2 semantics).
     sql = "SELECT * FROM t WHERE name LIKE '%smith%'"
     assert mogrify(sql, None) == sql
+
+
+def test_mogrify_unsupported_format_character_raises():
+    # psycopg2 parity (VERDICT r5 advice): %<other> with params is an
+    # InterfaceError, not silent literal SQL.
+    with pytest.raises(InterfaceError, match="unsupported format character"):
+        mogrify("SELECT %d", (1,))
+    with pytest.raises(InterfaceError, match="unsupported format character"):
+        mogrify("SELECT %S FROM t WHERE id = %s", (1,))
+    with pytest.raises(InterfaceError, match="unsupported format character"):
+        mogrify("SELECT 1 WHERE x = '100%", ())  # trailing %
+    # ...but with params=None everything still passes through verbatim
+    assert mogrify("SELECT '100%'", None) == "SELECT '100%'"
+
+
+def test_copy_field_text_format():
+    import datetime as dt
+    import math
+    from decimal import Decimal
+
+    from bonobo_sqlalchemy_spark.pgwire import _copy_field
+
+    assert _copy_field(None) == "\\N"
+    assert _copy_field(True) == "t" and _copy_field(False) == "f"
+    assert _copy_field(42) == "42"
+    assert _copy_field(Decimal("1.50")) == "1.50"
+    assert _copy_field(1.5) == "1.5"
+    assert _copy_field(math.inf) == "Infinity"
+    assert _copy_field("plain") == "plain"
+    # delimiter/newline/backslash must be escaped, quotes must NOT be
+    assert _copy_field("a\tb\nc\\d'e") == "a\\tb\\nc\\\\d'e"
+    assert _copy_field(b"\x00\xff") == "\\\\x00ff"
+    assert _copy_field(dt.datetime(2024, 1, 2, 3, 4, 5)) == "2024-01-02 03:04:05"
+    with pytest.raises(InterfaceError):
+        _copy_field("nul\x00byte")
+    with pytest.raises(InterfaceError):
+        _copy_field(object())
