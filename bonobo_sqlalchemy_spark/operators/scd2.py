@@ -195,18 +195,39 @@ class Scd2Sink:
         self.keys = list(keys)
         self.tracked = tracked
         self.last_stats: dict[str, int] = {}
-        #: High-water mark of as_of values this sink has merged. When a new
-        #: as_of is >= the mark, the merge's out-of-order scan-validation is
-        #: redundant and skipped — the streaming foreachBatch path pays no
-        #: extra read pass per micro-batch.
+        #: In-memory mirror of the persisted high-water mark (sidecar file,
+        #: see :meth:`_read_hwm`); kept for introspection/tests.
         self._max_as_of: str | None = None
+
+    # The monotonic fast path must not trust in-process state alone: the
+    # table at `path` could have been advanced by another writer or restored
+    # from different lineage between this sink's writes, which would make a
+    # skipped validation silently write inverted validity intervals. The
+    # mark is therefore PERSISTED beside the table (`<path>.__scd2_hwm`) on
+    # every write and re-read before every merge — an out-of-band writer
+    # either moved the sidecar too (its mark governs) or left it stale/absent
+    # (validation runs). A crash between table swap and sidecar write leaves
+    # a too-low mark, which only ever forces an extra validation, never
+    # skips one. Concurrent SAME-INSTANT writers remain unsupported — the
+    # parquet swap itself is single-writer (class docstring).
+    @staticmethod
+    def _hwm_path(path: str) -> str:
+        return path + ".__scd2_hwm"
+
+    def _read_hwm(self, path: str) -> str | None:
+        try:
+            with open(self._hwm_path(path)) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
 
     def write(
         self, batch: DataFrame, spark: SparkSession, path: str, as_of: str
     ) -> DataFrame:
         current = spark.read.parquet(path) if os.path.exists(path) else None
         as_of_norm = _normalize_as_of(as_of)
-        monotonic = self._max_as_of is not None and as_of_norm >= self._max_as_of
+        disk_hwm = self._read_hwm(path) if current is not None else None
+        monotonic = disk_hwm is not None and as_of_norm >= disk_hwm
         merged = scd2_merge(
             current,
             batch,
@@ -227,8 +248,10 @@ class Scd2Sink:
         shutil.move(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
         self.last_stats = {"rows": n_total, "open": n_open}
-        if self._max_as_of is None or as_of_norm > self._max_as_of:
-            self._max_as_of = as_of_norm
+        new_hwm = max(as_of_norm, disk_hwm) if disk_hwm else as_of_norm
+        with open(self._hwm_path(path), "w") as f:
+            f.write(new_hwm)
+        self._max_as_of = new_hwm
         return spark.read.parquet(path)
 
 

@@ -119,7 +119,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.survivors(docs, pairs).select("doc_id", "lang", "source")
 
 
-#: Recursive-CTE transitive closure over the bigram-Jaccard near-dup graph
+#: Recursive-CTE transitive closure over the trigram-Jaccard near-dup graph
+#: (the DuckDB list slice ``w[i:i+2]`` below is END-INCLUSIVE — 3 tokens —
+#: matching the Spark side's ``ngram_jaccard_pairs(n=3)``; do not "fix" it
+#: to Python slice semantics)
 #: (components + sizes) — shared by the dedup_components and
 #: z_dedup_quality_survivor oracles.
 COMPONENT_CTES = """

@@ -10,6 +10,8 @@ pruning, and partition pruning for free.
 from __future__ import annotations
 
 import os
+import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -89,18 +91,26 @@ def register_views(
     how a :class:`~..registry.PathService`-backed ``Select`` exposes an
     arbitrary warehouse catalog. Staging leftovers (``*.parquet.__merge_tmp``
     etc.) are excluded by the exact ``.parquet`` suffix match; dot-prefixed
-    entries are hidden staging by convention. Table names themselves may
-    contain any characters, including double underscores.
+    entries are hidden staging by convention. Discovered names must be
+    valid SQL identifiers (``createOrReplaceTempView`` rejects others, e.g.
+    ``my-table.parquet``); non-identifier files are skipped with a warning
+    so one stray file cannot break every Select against the warehouse.
     """
     sf_dir = sf_dir or default_sf_dir()
     if tables is None:
-        tables = tuple(
-            sorted(
-                f[: -len(".parquet")]
-                for f in os.listdir(sf_dir)
-                if f.endswith(".parquet") and not f.startswith(".")
-            )
+        found = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
         )
+        bad = [n for n in found if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+        if bad:
+            warnings.warn(
+                f"skipping non-identifier table files in {sf_dir}: {bad} "
+                "(temp view names must be valid SQL identifiers)",
+                stacklevel=2,
+            )
+        tables = tuple(n for n in found if n not in set(bad))
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

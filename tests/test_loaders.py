@@ -107,3 +107,23 @@ def test_load_table_normalizes_string_and_ms_layouts(spark, tmp_path):
         df = load_table(spark, str(d), "events")
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert _canon(df) == EXPECTED
+
+
+def test_register_views_skips_non_identifier_files(spark, tmp_path):
+    """tables=None discovery must skip files whose stem is not a valid SQL
+    identifier (createOrReplaceTempView would reject them) with a warning,
+    instead of breaking every Select against the warehouse."""
+    import warnings as w
+
+    import pandas as pd
+
+    from bonobo_sqlalchemy_spark.sources.files import register_views
+
+    pd.DataFrame({"a": [1, 2]}).to_parquet(tmp_path / "good_table.parquet")
+    pd.DataFrame({"a": [3]}).to_parquet(tmp_path / "my-bad table.parquet")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        views = register_views(spark, str(tmp_path), tables=None)
+    assert set(views) == {"good_table"}
+    assert any("my-bad table" in str(c.message) for c in caught)
+    assert spark.sql("SELECT COUNT(*) FROM good_table").collect()[0][0] == 2

