@@ -170,6 +170,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: ``|A ∩ B| / min(|A|, |B|)``.
+
+    Broder's containment coefficient — the dedup modality Jaccard misses:
+    a short document fully embedded in a long one (quote inclusion, page
+    wrapped in boilerplate, chunk-of-corpus leaks) scores near 1.0 here but
+    arbitrarily low on Jaccard (the union is dominated by the long doc).
+    Standard in training-data pipelines alongside Jaccard dedup.
+
+    Identical physical plan to :func:`ngram_jaccard_pairs` (shingle
+    inverted-index self-join, per-posting-list quadratic bound,
+    ``max_shingle_df`` stop-shingle cap) — only the final score expression
+    differs, so every scale property measured for the Jaccard path
+    (SCALING.md) carries over unchanged.
+    """
+    ex = _cap_shingles(
+        _exploded_shingles(df, text_col, id_col, n, block_col), max_shingle_df
+    )
+    ex = ex.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy("id")))
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        F.round(F.col("common") / F.least("n1", "n2"), 6).alias("containment"),
+    ).where(F.col("containment") >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,59 @@
+"""Corpus profiling: per-column statistics in one distributed pass.
+
+The first step of every large-scale data-pipeline engagement — before
+dedup/filter/sample decisions, you profile: row counts, null rates,
+cardinalities, value ranges. The reference has no analog (its pipelines are
+row streams with no statistics surface); this is the engine-native
+equivalent of ``ANALYZE``/``SUMMARIZE`` exposed as a composable operator.
+
+Plan shape: ONE aggregation over the table computes every statistic for
+every requested column (null counts, exact distinct counts, min/max), then
+a ``stack`` unpivot reshapes the single result row into one output row per
+column — all codegen, no Python, no per-column scans. The multi-column
+``COUNT(DISTINCT ...)`` expands the input k ways before the agg (Spark's
+Expand operator); at 100 TB swap ``exact=False`` to HLL sketches
+(``approx_count_distinct``) for a single no-expand pass with ~2% error —
+the flag is the only change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str], exact: bool = True, rsd: float = 0.02
+) -> DataFrame:
+    """One row per requested column: ``col_name, n_rows, n_null,
+    n_distinct, min_value, max_value`` (min/max as strings — type-uniform
+    across profiled columns).
+
+    ``exact=False`` switches distinct counts to ``approx_count_distinct``
+    (HLL++, relative error ``rsd``) — the 100 TB default.
+    """
+    nd = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__{c}_nulls"),
+            nd(c).alias(f"__{c}_nd"),
+            F.min(c).cast("string").alias(f"__{c}_min"),
+            F.max(c).cast("string").alias(f"__{c}_max"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `__{c}_nulls`, `__{c}_nd`, `__{c}_min`, `__{c}_max`"
+        for c in columns
+    )
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(columns)}, {stacked}) "
+            "AS (col_name, n_null, n_distinct, min_value, max_value)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")

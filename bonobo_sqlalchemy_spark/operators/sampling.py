@@ -103,3 +103,37 @@ def weighted_sample_topk(
         .orderBy(F.col("sample_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, int],
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Domain re-weighting: exactly ``targets[g]`` rows from each group
+    ``g`` (hash-deterministic), groups absent from ``targets`` dropped.
+
+    THE training-mixture primitive: corpora are rarely consumed at natural
+    proportions — you upsample curated sources and cap the crawl. Same
+    rank-within-stratum machinery as :func:`stratified_sample_exact` with a
+    per-group quota riding in as a literal map (broadcast-free: it compiles
+    into the plan). One shuffle on the group key; deterministic and
+    partitioning-invariant like every sampler here.
+
+    Quotas larger than a group's population yield the whole group (no
+    replacement); callers wanting upsampling-with-replacement should union
+    repeated epochs with distinct seeds instead.
+    """
+    lookup = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    w = W.partitionBy(group_col).orderBy(hash_key(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("__quota", lookup[F.col(group_col)])
+        .where(F.col("__quota").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

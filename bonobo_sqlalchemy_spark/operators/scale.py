@@ -96,3 +96,39 @@ def bucketed_join(
     if force_sort_merge:
         left, right = left.hint("merge"), right.hint("merge")
     return left.join(right, on, how)
+
+
+def skew_report(
+    df: "DataFrame",
+    key_cols: list[str],
+    top_k: int = 20,
+) -> "DataFrame":
+    """Heavy-hitter diagnostic for a prospective join/agg key: the ``top_k``
+    hottest key values with row count, share of the table, and the ratio to
+    the mean per-key count.
+
+    The operational input to every skew mitigation in this module: a ratio
+    around 1 means hash partitioning balances fine; a top key holding
+    double-digit share is the signal to salt (:func:`salted_join`), AQE
+    skew-split, or broadcast the other side. One shuffle (the key agg —
+    partial map-side); totals ride along as a literal-sized broadcast, and
+    the top-k is a TakeOrderedAndProject, so the report costs one pass and
+    returns ``top_k`` rows regardless of table size.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__nkeys")), 6
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_k)
+    )

@@ -19,6 +19,7 @@ from . import datapipe  # noqa: E402,F401
 from . import datapipe2  # noqa: E402,F401
 from . import datapipe3  # noqa: E402,F401
 from . import datapipe4  # noqa: E402,F401
+from . import datapipe5  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

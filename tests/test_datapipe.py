@@ -330,3 +330,46 @@ def test_multimodal_bmp_rejects_malformed():
     )
     with pytest.raises(NotImplementedError, match="24bpp"):
         M.decode_image(hdr + b"\x00" * 4)
+
+
+def test_containment_catches_doc_inside_doc_jaccard_misses(spark):
+    """The defining case for containment dedup: a short doc fully embedded
+    in a much longer one scores 1.0 on containment but far below any usable
+    Jaccard threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en"), (3, "totally different words here now", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    cont = D.containment_pairs(df, threshold=0.9).collect()
+    assert [(r.id1, r.id2) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0
+    jac = D.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert jac == []  # union dominated by the long doc
+
+
+def test_containment_symmetric_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four", "en"), (2, "one two three four", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    [r] = D.containment_pairs(df, threshold=0.5).collect()
+    assert (r.id1, r.id2, r.containment) == (1, 2, 1.0)
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from bonobo_sqlalchemy_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")], "id bigint, s string"
+    )
+    rows = {r.col_name: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert rows["id"].n_rows == 4 and rows["id"].n_null == 0
+    assert rows["id"].n_distinct == 4
+    assert (rows["id"].min_value, rows["id"].max_value) == ("1", "4")
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert (rows["s"].min_value, rows["s"].max_value) == ("a", "b")
+    # HLL path: same shape, distincts within rsd ballpark on tiny input
+    approx = {r.col_name: r for r in profile_columns(df, ["id", "s"], exact=False).collect()}
+    assert approx["id"].n_distinct == 4 and approx["s"].n_distinct == 2

@@ -131,3 +131,31 @@ def test_quantile_bucket_rejects_degenerate_out_range(spark):
     col = quantile_bucket(df, "v", buckets=8, out_range=64)
     vals = [r[0] for r in df.select(col.alias("b")).distinct().collect()]
     assert min(vals) == 0 and max(vals) > 0
+
+
+def test_mixture_sample_quotas_and_cap(spark, docs):
+    """Exact quotas per group; quota above group population yields the
+    whole group; unlisted groups are dropped; partitioning-invariant."""
+    from bonobo_sqlalchemy_spark.operators.sampling import mixture_sample
+
+    pops = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    src_a, src_b = sorted(pops)[0], sorted(pops)[1]
+    targets = {src_a: 3, src_b: 10_000}
+    out = mixture_sample(docs, "source", targets, "doc_id", seed=11)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert got == {src_a: 3, src_b: pops[src_b]}
+    # deterministic + partitioning-invariant
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in mixture_sample(
+            docs.repartition(13), "source", targets, "doc_id", seed=11
+        ).collect()
+    }
+    assert ids1 == ids2
+    # different seed -> different pick (overwhelmingly likely for quota 3)
+    ids3 = {
+        r.doc_id
+        for r in mixture_sample(docs, "source", {src_a: 3}, "doc_id", seed=12).collect()
+    }
+    assert ids3 != {i for i in ids1 if i not in ids2 - ids1} or ids3 != ids1

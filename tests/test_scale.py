@@ -155,3 +155,17 @@ def test_skew_join_safety_nets_enabled(spark):
     dropping the key would be wrong) stays enabled in the engine session."""
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_skew_report_math_and_rowcap(spark):
+    from bonobo_sqlalchemy_spark.operators.scale import skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5, "k string"
+    )
+    rows = skew_report(df, ["k"], top_k=2).collect()
+    assert [(r.k, r.n_rows) for r in rows] == [("hot", 80), ("warm", 15)]
+    hot = rows[0]
+    assert hot.share == 0.8
+    # mean per key = 100/3; hot is 80 / (100/3) = 2.4x the mean
+    assert hot.x_mean == 2.4
