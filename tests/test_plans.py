@@ -69,6 +69,9 @@ NO_CARTESIAN_EXEMPT = {
     # same shape: 1-row (total, n_langs) aggregate crossed into the tiny
     # per-language counts
     "text_mix_weights",
+    # same shape again: 1-row (total, nkeys) aggregate broadcast into the
+    # per-key counts (asserted directly in test_skew_report_partial_agg_and_topk)
+    "z_skew_report",
     # 1-row average-balance aggregate broadcast-crossed into the customer
     # filter (TPC-H Q22's scalar subquery) — not a data join
     "q22_dormant_customers",
@@ -106,3 +109,42 @@ def test_exchange_reuse_or_single_scan_in_self_joins(spark, name, max_scans):
     final = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
     assert final.count("FileScan parquet") <= max_scans, final
     assert "Reused" in final, "no exchange reuse in final plan"
+
+
+def test_skew_report_partial_agg_and_topk(spark):
+    """skew_report must be one map-side-partial agg + a TakeOrdered top-k
+    with the totals riding as a broadcast — never a full sort or a
+    cartesian re-scan of the counts."""
+    plan = plan_of(spark, "z_skew_report")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals x counts
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_profile_corpus_single_scan(spark):
+    """Profiling must read the table ONCE regardless of how many columns
+    are profiled (single agg + Expand for multi-distinct, then unpivot)."""
+    plan = plan_of(spark, "z_profile_corpus")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan  # multi-column COUNT(DISTINCT) form
+
+
+def test_mixture_sample_single_shuffle_no_join(spark):
+    """The quota map compiles into the plan as literals: no join, no extra
+    exchange beyond the one window shuffle on the group key."""
+    plan = plan_of(spark, "z_sample_mixture")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_containment_shares_jaccard_plan_shape(spark):
+    """Containment must inherit the Jaccard path's plan properties: the
+    shingle inverted-index join stays an equi-join (ShuffledHashJoin on the
+    shingle key), never a nested-loop/cartesian degeneration."""
+    plan = plan_of(spark, "z_dedup_containment")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
