@@ -151,3 +151,86 @@ def z_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.mixture_sample(docs, "source", _MIX_TARGETS, "doc_id", seed=11).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "z_text_unigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+    ), n AS (SELECT SUM(c) AS total FROM c)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(LOG2(c / total)) / COUNT(*), 6) AS avg_log2p
+    FROM t JOIN c USING (tok), n
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+    bench=True,
+)
+def z_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score per document: mean log2 probability of its
+    tokens under the corpus unigram distribution — the classic
+    perplexity-style quality-filtering signal (low = rare-token/garbage
+    text). Two shuffles (vocab count, per-doc agg); the token->count join
+    shuffles on the token key, so hot tokens are bounded by AQE skew
+    handling. Rounded per the determinism policy (float sum reorder error
+    ~1e-12 vs 1e-6 rounding).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    scored = toks.join(counts, "tok").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.log2(F.col("c") / F.col("total"))) / F.count(F.lit(1)), 6
+        ).alias("avg_log2p"),
+    )
+
+
+@query(
+    "z_sample_top_p",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM r
+    WHERE cum - n_chars < 0.7 * tot
+    """,
+    tags=("sampling", "quality"),
+)
+def z_sample_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) selection per source: keep the highest-value docs
+    (by n_chars here; any quality score in production) until they cover 70%
+    of each source's total mass — quality-weighted data selection with a
+    per-domain budget. One shuffle on source; cumulative sums are exact
+    integer arithmetic, so the boundary row is engine-deterministic.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    cum = F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("n_chars").over(W.partitionBy("source"))
+    return (
+        docs.select("doc_id", "source", "n_chars", cum.alias("__cum"), tot.alias("__tot"))
+        .where(F.col("__cum") - F.col("n_chars") < 0.7 * F.col("__tot"))
+        .drop("__cum", "__tot")
+    )
