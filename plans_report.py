@@ -35,6 +35,8 @@ NESTED_LOOP_OK = {
     "operator; the scale path is sim_lsh_topk / sim_ivf_topk",
     "text_tfidf": "1-row broadcast scalar join (corpus doc count) — constant "
     "broadcast, no quadratic term",
+    "z_text_unigram_logprob": "1-row broadcast scalar join (total token "
+    "count) — constant broadcast, no quadratic term",
 }
 
 
