@@ -1,5 +1,6 @@
 """End-to-end training-data curation pipeline — the engine's north-star
-composition: ingest -> exact dedup -> near-dup removal -> quality filter ->
+composition: profile -> exact dedup -> near-dup removal (Jaccard +
+containment) -> quality filter (heuristics + unigram-LM fluency) ->
 text metrics -> partitioned corpus write.
 
 Every stage is one of the engine's operators; nothing collects to the
@@ -36,6 +37,12 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # 0. profile the incoming corpus: one aggregation pass, one row per
+    #    column — the look-before-you-leap step of every engagement
+    from bonobo_sqlalchemy_spark.operators.profile import profile_columns
+
+    profile_columns(docs, ["doc_id", "lang", "source", "n_chars"]).show(truncate=False)
+
     # 1. exact dedup: keep one doc per identical content fingerprint
     survivors_exact = D.exact_dedup(docs).select("doc_id")
     docs = docs.join(survivors_exact, "doc_id", "left_semi")
@@ -45,9 +52,16 @@ def main() -> None:
     #    components over the pair graph) and keep each cluster's
     #    HIGHEST-quality doc — not the first-crawled one
     docs = docs.withColumn("quality", T.quality_score("text"))
+    #    Pair graph = symmetric Jaccard near-dups UNION asymmetric
+    #    containment (short-doc-inside-long-doc — invisible to Jaccard);
+    #    both ride the same inverted-index plan.
     pairs = D.ngram_jaccard_pairs(
         docs, block_col="lang", n=3, threshold=0.5, max_shingle_df=1000
-    )
+    ).select("id1", "id2").unionByName(
+        D.containment_pairs(
+            docs, block_col="lang", n=3, threshold=0.9, max_shingle_df=1000
+        ).select("id1", "id2")
+    ).dropDuplicates(["id1", "id2"])
     keep = D.best_survivors(docs, pairs, "quality").select(
         F.col("survivor_id").alias("doc_id")
     )
@@ -61,7 +75,25 @@ def main() -> None:
         T.n_tokens("text").alias("n_tokens"),
         T.fingerprint_md5("text").alias("fingerprint"),
     )
-    curated = scored.where((F.col("quality") >= 0.55) & (F.col("n_tokens") >= 10))
+    #    ... plus the unigram-LM fluency signal (mean log2 token probability
+    #    under the corpus distribution): drops rare-token/garbage docs the
+    #    surface heuristics miss. Threshold = corpus 5th percentile.
+    toks = docs.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    fluency = (
+        toks.join(counts, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg((F.sum(F.log2(F.col("c") / F.col("total"))) / F.count(F.lit(1))).alias("avg_log2p"))
+    )
+    floor = fluency.agg(F.expr("percentile_approx(avg_log2p, 0.05)")).collect()[0][0]
+    scored = scored.join(fluency, "doc_id")
+    curated = scored.where(
+        (F.col("quality") >= 0.55)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("avg_log2p") >= F.lit(floor))
+    ).drop("avg_log2p")
     n3 = curated.count()
 
     # 4. weighted upsample bias toward long documents (Efraimidis–Spirakis,
