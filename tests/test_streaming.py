@@ -276,3 +276,87 @@ def test_sessionize_oracle_tie_stability(spark, tmp_path):
     for name in ("q_events_sessionize", "q_events_session_attach"):
         result = compare_query(spark, name, str(fixture_dir))
         assert result.ok, str(result)
+
+
+def test_stateful_checkpoint_restart_carries_state(spark, tmp_path):
+    """Crash/redeploy resilience: a NEW streaming query resumed from the
+    same checkpoint must carry per-key state across the restart — batch-2
+    events fold into totals that include batch 1, and already-committed
+    input is not reprocessed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bonobo_sqlalchemy_spark.streaming.stateful import final_rows, running_user_stats
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    land = str(tmp_path / "landed")
+
+    def mk_events(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+        )
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    batch1 = mk_events(
+        [
+            (1, t("2024-01-01 00:00:01"), 1, "view", 1.25),
+            (2, t("2024-01-01 00:00:02"), 1, "click", 2.50),
+            (3, t("2024-01-01 00:00:03"), 2, "view", 4.00),
+        ]
+    )
+    batch2_rows = [
+        (4, t("2024-01-01 00:10:00"), 1, "view", 0.25),  # type seen in run 1
+        (5, t("2024-01-01 00:11:00"), 2, "purchase", 6.00),
+    ]
+
+    def run_once(write_df):
+        write_df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        out = running_user_stats(stream)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(land)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once(batch1)
+    run_once(mk_events(batch2_rows))  # NEW query object, same checkpoint
+
+    final = {r.user_id: r for r in final_rows(spark.read.parquet(land)).collect()}
+    # user 1: 3 events, 1.25+2.50+0.25, types {view, click} (view NOT re-counted)
+    assert final[1].n_events == 3
+    assert final[1].total_value == 4.0
+    assert final[1].n_event_types == 2
+    # user 2: 2 events across the restart, types {view, purchase}
+    assert final[2].n_events == 2
+    assert final[2].total_value == 10.0
+    assert final[2].n_event_types == 2
+    # restart did NOT reprocess batch 1: landed log has at most one
+    # emission per (user, state version)
+    emissions = spark.read.parquet(land).count()
+    assert emissions == 4  # 2 users x 2 runs
+
+    # a third restart with no new input commits nothing new
+    shutil.rmtree(land)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(land))
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import os
+
+    assert not os.path.exists(land) or spark.read.parquet(land).where(F.lit(True)).count() == 0
