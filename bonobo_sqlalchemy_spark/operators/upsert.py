@@ -115,6 +115,7 @@ class InsertOrUpdate:
         allowed_operations: tuple = (INSERT, UPDATE),
         buffer_size: int = 1000,
         engine: str = DEFAULT_ENGINE_SERVICE,
+        order_col: str | None = None,
     ) -> None:
         self.table_name = table_name
         self.fetch_columns: dict[str, str] = {}
@@ -129,6 +130,15 @@ class InsertOrUpdate:
         self.allowed_operations = tuple(allowed_operations)
         self.buffer_size = int(buffer_size)
         self.engine = engine
+        #: Keep-last tie-break for duplicate discriminant keys within one
+        #: batch. The reference's sequential insert-then-update makes "last
+        #: row wins" mean arrival order (writers.py:66-95); a DataFrame has
+        #: no arrival order after a shuffle, so by default the engine uses
+        #: monotonically_increasing_id (source order within each input
+        #: partition — documented divergence, COVERAGE.md). Passing a real
+        #: column (e.g. an event timestamp or version) makes "last" well-
+        #: defined under ANY partitioning — the recommended production form.
+        self.order_col = order_col
         #: dead-letter channel: list of dicts after the last write (O2d)
         self.last_errors: list[dict] = []
         self.last_stats: dict[str, int] = {}
@@ -182,17 +192,29 @@ class InsertOrUpdate:
         write_cols = [c for c in target_cols if c in df.columns]
         df = df.select(*write_cols)
 
-        # Keep-last per discriminant key. DataFrames carry no stream order;
-        # monotonically_increasing_id preserves source order within each
-        # input partition, which is the closest deterministic analog.
+        # Keep-last per discriminant key: order by the user-declared
+        # order_col when given (shuffle-invariant "last"), else by
+        # monotonically_increasing_id (source order within each input
+        # partition — the closest deterministic analog of the reference's
+        # arrival-order semantics; see order_col docstring).
         from pyspark.sql import Window as W
 
-        df = df.withColumn("__seq", F.monotonically_increasing_id())
-        w = W.partitionBy(*self.discriminant).orderBy(F.col("__seq").desc())
+        if self.order_col is not None:
+            if self.order_col not in df.columns:
+                raise ValueError(
+                    f"order_col {self.order_col!r} not in input columns {df.columns}"
+                )
+            seq = F.col(self.order_col)
+            drop = ["__rn"]
+        else:
+            df = df.withColumn("__seq", F.monotonically_increasing_id())
+            seq = F.col("__seq")
+            drop = ["__rn", "__seq"]
+        w = W.partitionBy(*self.discriminant).orderBy(seq.desc())
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
-            .drop("__rn", "__seq")
+            .drop(*drop)
         )
         return df
 

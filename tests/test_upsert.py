@@ -311,3 +311,41 @@ def test_path_target_update_only_gating(spark, tmp_path):
     final = spark.read.parquet(str(tmp_path / "t.parquet"))
     assert final.count() == 10
     assert final.where("id = 3").collect()[0].value == "upd"
+
+
+def test_order_col_keep_last_is_shuffle_invariant(spark, tmp_path):
+    """With order_col, 'last row wins' is defined by the declared column —
+    identical results regardless of input partitioning (the default
+    monotonic-id tie-break is only source-order within a partition)."""
+    import sqlite3
+    from functools import partial
+
+    from bonobo_sqlalchemy_spark import DbapiService, InsertOrUpdate
+
+    rows = [
+        (1, "old", 10),
+        (1, "mid", 20),
+        (1, "new", 30),
+        (2, "only", 5),
+    ]
+    df = spark.createDataFrame(rows, "id int, val string, version int")
+    for reshuffle in (lambda d: d, lambda d: d.repartition(7, "val")):
+        dbfile = str(tmp_path / f"oc_{reshuffle.__code__.co_consts}.db".replace("(", "").replace(")", "").replace(",", "").replace(" ", ""))
+        with sqlite3.connect(dbfile) as con:
+            con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, val TEXT, version INTEGER)")
+        sink = InsertOrUpdate("t", discriminant=("id",), order_col="version", engine="db")
+        sink.write(reshuffle(df), spark, {"db": DbapiService(partial(sqlite3.connect, dbfile))})
+        with sqlite3.connect(dbfile) as con:
+            got = sorted(con.execute("SELECT id, val, version FROM t").fetchall())
+        assert got == [(1, "new", 30), (2, "only", 5)]
+
+
+def test_order_col_missing_raises(spark):
+    from bonobo_sqlalchemy_spark import InsertOrUpdate
+
+    df = spark.createDataFrame([(1, "a")], "id int, val string")
+    sink = InsertOrUpdate("t", discriminant=("id",), order_col="nope")
+    import pytest
+
+    with pytest.raises(ValueError, match="order_col"):
+        sink._prepare(df, ["id", "val"])
