@@ -193,3 +193,91 @@ def test_interleave_bits_is_bijective_property(spark):
             assert deinterleave(r.z) == (r.x, r.y)
 
     check()
+
+
+def test_containment_bounds_jaccard_on_random_corpora(spark):
+    """Structural invariants on randomized corpora: for every pair,
+    containment >= jaccard (min <= union), both in (0, 1], and the
+    containment pair-set is a superset of the Jaccard pair-set at the same
+    threshold."""
+    import random
+
+    from bonobo_sqlalchemy_spark.operators import dedup as D
+
+    rng = random.Random(404)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 60))), "en")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    t = 0.3
+    jac = {
+        (r.id1, r.id2): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, n=2, threshold=t).collect()
+    }
+    cont = {
+        (r.id1, r.id2): r.containment
+        for r in D.containment_pairs(df, n=2, threshold=t).collect()
+    }
+    assert set(jac) <= set(cont), "containment must dominate jaccard"
+    for pair, j in jac.items():
+        c = cont[pair]
+        assert c >= j - 1e-9
+        assert 0 < c <= 1.0 + 1e-9
+
+
+def test_mixture_sample_model_check(spark):
+    """Differential check vs a pure-Python model: for random corpora and
+    random quotas, mixture_sample == sort-by-md5-rank-and-take-quota."""
+    import hashlib
+    import random
+
+    from bonobo_sqlalchemy_spark.operators.sampling import mixture_sample
+
+    rng = random.Random(77)
+    rows = [(i, f"s{rng.randrange(6)}") for i in range(200)]
+    targets = {f"s{g}": rng.randrange(0, 40) for g in range(4)}  # s4/s5 dropped
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {
+        (r.doc_id, r.source)
+        for r in mixture_sample(df, "source", targets, "doc_id", seed=9).collect()
+    }
+
+    def key(i):
+        return hashlib.md5(f"9|{i}".encode()).hexdigest()
+
+    model = set()
+    for g, quota in targets.items():
+        members = sorted(
+            (i for i, s in rows if s == g), key=lambda i: (key(i), i)
+        )[:quota]
+        model |= {(i, g) for i in members}
+    assert got == model
+
+
+def test_profile_matches_pandas_model_on_random_frames(spark):
+    """profile_columns vs a pandas model on randomized typed frames with
+    nulls: counts, null counts, distincts, stringified min/max."""
+    import random
+
+    import pandas as pd
+
+    from bonobo_sqlalchemy_spark.operators.profile import profile_columns
+
+    rng = random.Random(5)
+    n = 150
+    ints = [rng.randrange(20) if rng.random() > 0.1 else None for _ in range(n)]
+    strs = [rng.choice(["a", "bb", "ccc"]) if rng.random() > 0.2 else None for _ in range(n)]
+    df = spark.createDataFrame(list(zip(ints, strs)), "i bigint, s string")
+    got = {r.col_name: r for r in profile_columns(df, ["i", "s"]).collect()}
+    # nullable Int64 keeps the int column integral (plain int64+None would
+    # coerce to float and stringify as '0.0' vs Spark's '0')
+    pdf = pd.DataFrame({"i": pd.array(ints, dtype="Int64"), "s": strs})
+    for c in ("i", "s"):
+        assert got[c].n_rows == n
+        assert got[c].n_null == int(pdf[c].isna().sum())
+        assert got[c].n_distinct == pdf[c].dropna().nunique()
+        nonnull = pdf[c].dropna()
+        assert got[c].min_value == str(nonnull.min())
+        assert got[c].max_value == str(nonnull.max())
