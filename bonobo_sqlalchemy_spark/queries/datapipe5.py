@@ -234,3 +234,74 @@ def z_sample_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__cum") - F.col("n_chars") < 0.7 * F.col("__tot"))
         .drop("__cum", "__tot")
     )
+
+
+@query(
+    "z_text_dup_chunk_ratio",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), c AS (
+      SELECT doc_id,
+             md5(array_to_string(w[chunk_id*16+1 : chunk_id*16+16], ' ')) AS g
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS chunk_id
+        FROM d
+      )
+    ), df AS (
+      SELECT g, COUNT(*) AS n_docs FROM (SELECT DISTINCT doc_id, g FROM c) GROUP BY g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+    FROM c JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "quality"),
+)
+def z_text_dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication signal (RefinedWeb-style line/passage
+    dedup, adapted to the corpus's flat word streams): split each doc into
+    disjoint 16-token chunks, count how many of a doc's chunks also appear
+    in OTHER documents, and report the shared-chunk ratio — the filter
+    signal for boilerplate/templated content that document-level dedup
+    can't see. Chunking is narrow codegen (same shape as `text_chunks`);
+    the chunk document-frequency is one hash agg on the chunk md5; one
+    more shuffle for the per-doc fold.
+    """
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("w")
+    )
+    c = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(16.0)).cast("bigint") - 1)
+        ).alias("chunk_id"),
+        "w",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr("slice(w, chunk_id*16+1, 16)")).cast("binary")).alias("g"),
+    )
+    df_counts = (
+        c.dropDuplicates(["doc_id", "g"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        c.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)) / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
