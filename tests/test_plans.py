@@ -72,6 +72,9 @@ NO_CARTESIAN_EXEMPT = {
     # same shape again: 1-row (total, nkeys) aggregate broadcast into the
     # per-key counts (asserted directly in test_skew_report_partial_agg_and_topk)
     "z_skew_report",
+    # 1-row total-token-count aggregate broadcast into the token stream
+    # (the unigram probability denominator) — constant build side
+    "z_text_unigram_logprob",
     # 1-row average-balance aggregate broadcast-crossed into the customer
     # filter (TPC-H Q22's scalar subquery) — not a data join
     "q22_dormant_customers",
