@@ -305,3 +305,19 @@ def z_text_dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@query("sim_pq_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): vectors compress to m byte codes
+    (32x for d=64/m=8), the scan is m lookup-table adds per vector emitting
+    per-partition local top-R, and only the global top-R candidates fetch
+    real vectors for the exact cosine re-rank — the memory-scale path
+    beyond IVF (operators/similarity.py::pq_topk). Rows-only (recall vs
+    brute force asserted in tests)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(e, e.where(F.col("vec_id") < 8), k=5, m=8, ksub=16, train_iters=1)

@@ -373,3 +373,51 @@ def test_profile_columns_exact_and_approx(spark):
     # HLL path: same shape, distincts within rsd ballpark on tiny input
     approx = {r.col_name: r for r in profile_columns(df, ["id", "s"], exact=False).collect()}
     assert approx["id"].n_distinct == 4 and approx["s"].n_distinct == 2
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, embs):
+    """PQ-ADC + exact re-rank must recover most true neighbors (approximate
+    by design; the refine-factor re-rank recovers ADC misrankings)."""
+    queries = embs.where(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(embs, queries, k=5, m=8, ksub=16, train_iters=1).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+    # output contract: exactly 5 ranked neighbors per query, no self-matches
+    out = S.pq_topk(embs, queries, k=5, m=8, ksub=16, train_iters=1)
+    per_q = {r[0]: r[1] for r in out.groupBy("query_id").count().collect()}
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 8
+    assert out.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_pq_encode_compresses_and_reconstructs(spark, embs):
+    """Codes are m small ints; codebook reconstruction error must be well
+    below the vector norm (the codes genuinely carry the vector's shape),
+    and training must not increase quantization error."""
+    import numpy as np
+
+    sub = embs.limit(64)
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in sub.collect()}
+
+    def recon_err(iters):
+        books = S.pq_codebooks(sub, m=8, ksub=16, iters=iters)
+        B = np.asarray(books)
+        codes = {
+            r.vec_id: r.codes for r in S.pq_encode(sub, books).collect()
+        }
+        errs, norms = [], []
+        for vid, v in vecs.items():
+            rec = np.concatenate([B[s, codes[vid][s]] for s in range(8)])
+            errs.append(np.linalg.norm(v - rec))
+            norms.append(np.linalg.norm(v))
+        return sum(errs) / sum(norms)
+
+    e0, e2 = recon_err(0), recon_err(2)
+    assert e0 < 1.0  # better than the zero-vector quantizer
+    assert e2 <= e0 + 1e-9, f"Lloyd iterations worsened PQ error: {e0} -> {e2}"
