@@ -301,3 +301,54 @@ def z_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "z_stream_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window"),
+)
+def z_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming ``session_window`` (REAL streaming run: state-merge
+    sessionization, watermark-evicted) proven value-exact against the batch
+    gaps-and-islands definition: session start = min ts, end = last ts +
+    gap, exact decimal sums. The strongest equivalence row for the
+    streaming surface — the session operator's merge semantics, not just
+    its row coverage, match the declarative batch form."""
+    from ..streaming.windows import session_aggregate
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = session_aggregate(ev, gap="30 minutes", watermark="24 hours")
+    name = "z_stream_session_tbl"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
