@@ -321,3 +321,110 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_topk(e, e.where(F.col("vec_id") < 8), k=5, m=8, ksub=16, train_iters=1)
+
+
+@query(
+    "z_events_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.ts1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM t1
+    UNION ALL SELECT 'view>click', COUNT(*) FROM t2
+    UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM t3
+    """,
+    tags=("relational", "temporal"),
+)
+def z_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view precedes a click
+    precedes a purchase (strict event-order matching, the MATCH_RECOGNIZE
+    shape re-expressed as staged conditional MIN aggregations). All three
+    stages aggregate on user_id, so one exchange serves the chain; each
+    stage's output is user-cardinality (small) and the stage joins
+    broadcast at scale.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(t2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click").alias("stage"), "n_users"))
+        .unionByName(t3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click>purchase").alias("stage"), "n_users"))
+    )
+
+
+@query(
+    "z_events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.active_week) AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "temporal"),
+)
+def z_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each later week they were active — THE product-analytics
+    rollup. Two aggs on user_id (cohort assignment, distinct active weeks)
+    sharing one exchange, then a user-keyed join and a small (cohort x
+    offset) agg."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).dropDuplicates(["user_id", "active_week"])
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
