@@ -428,3 +428,88 @@ def z_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "z_stream_join_left",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'error'
+    ),
+    wm AS (
+      -- Spark's global watermark under the default 'min' multiple-watermark
+      -- policy: each side's watermark node sees only its filtered rows, so
+      -- W = least(max purchase ts, max error ts) - delay, at millisecond
+      -- precision (Spark tracks watermarks in ms)
+      SELECT LEAST((SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) FROM p),
+                   (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) FROM e))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT p.user_id, p.event_id, NULL, strftime(p.ts, '%Y-%m-%d %H:%M:%S'), NULL
+    FROM p, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM e
+            WHERE e.user_id = p.user_id
+              AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+          )
+      AND p.ts + INTERVAL 1 HOUR < wm.w
+    """,
+    tags=("streaming", "join"),
+)
+def z_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join: every purchase, with
+    its errors in the following hour or null-padded once the watermark
+    proves no match can still arrive. The oracle encodes Spark's
+    null-emission rule exactly: with an availableNow replay the final
+    watermark is max(event time) - 2h, and an unmatched purchase emits iff
+    its match window (ts + 1h) closed strictly before that watermark —
+    purchases near the stream's end stay withheld, exactly as a live
+    deployment would withhold them. State eviction bounds are the same as
+    the inner join (`streaming/joins.py`)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import stream_interval_join
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, errors, on=["user_id"], max_delay="1 hour",
+        watermark="2 hours", how="left_outer",
+    )
+    out = joined.select(
+        "user_id",
+        F.col("event_id_l").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        F.date_format("ts_l", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+    name = "z_stream_join_left_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
