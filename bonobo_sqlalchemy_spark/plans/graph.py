@@ -226,3 +226,74 @@ def run(
             outputs[id(node)] = df
         results.append(df)
     return results
+
+
+def run_observed(
+    graph: Graph | Any,
+    spark: SparkSession | None = None,
+    services: dict[str, Any] | ServiceRegistry | None = None,
+):
+    """:func:`run` + per-node row counters — bonobo's console node stats
+    (``Select in=1 out=10 [done]``), re-expressed Spark-first.
+
+    bonobo counts rows as they cross each queue at execution time; the
+    Spark analog is ``DataFrame.observe`` (CollectMetrics): each node's
+    output stream gets a named metrics collector INSIDE the plan, so the
+    counters ride the same job that materializes the chain — no extra
+    actions, no recomputation, exact counts at any scale.
+
+    Returns ``(results, stats)`` where ``stats`` maps ``"c{i}/n{j}:{label}"``
+    to a :class:`pyspark.sql.Observation`. Counters resolve after the
+    caller runs an action on the corresponding chain's terminal DataFrame
+    (``obs.get["rows"]`` blocks until then). Sinks count rows *emitted
+    downstream* (the re-emission stream), matching bonobo's out-counter.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    registry = (
+        services if isinstance(services, ServiceRegistry) else ServiceRegistry(services or {})
+    )
+    if not isinstance(graph, Graph):
+        graph = Graph(graph)
+
+    def label_of(node: Any) -> str:
+        for attr in ("__name__",):
+            if hasattr(node, attr):
+                return getattr(node, attr)
+        return type(node).__name__
+
+    results: list[DataFrame] = []
+    stats: dict[str, "Observation"] = {}
+    outputs: dict[int, DataFrame] = {}
+    for ci, (chain, input_ref) in enumerate(zip(graph.chains, graph._inputs)):
+        ctx = NodeExecutionContext(spark, registry)
+        if input_ref is not None:
+            if id(input_ref) not in outputs:
+                raise ValueError(
+                    f"fork input {input_ref!r} has not produced output yet; "
+                    "add_chain order must put the producer chain first"
+                )
+            df = outputs[id(input_ref)]
+            nodes = chain
+            offset = 0
+        else:
+            head, *nodes = chain
+            df = _materialize_source(head, spark, registry, ctx)
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            stats[f"c{ci}/n0:{label_of(head)}"] = obs
+            outputs[id(head)] = df
+            offset = 1
+        for ni, node in enumerate(nodes):
+            df = _apply_node(node, df, spark, registry, ctx)
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            stats[f"c{ci}/n{ni + offset}:{label_of(node)}"] = obs
+            outputs[id(node)] = df
+        results.append(df)
+    return results, stats

@@ -188,3 +188,33 @@ def test_select_unlabeled_join_duplicate_names(spark, sf_small):
 
     with pytest.raises(AnalysisException):
         df.select("n_name").collect()
+
+
+def test_run_observed_node_counters(spark, sf_small, tmp_path):
+    """bonobo's per-node in/out counters, Spark-first: CollectMetrics rides
+    the chain's own job — one action resolves every node's exact row count,
+    including through a sink."""
+    import sqlite3
+    from functools import partial
+
+    from bonobo_sqlalchemy_spark import DbapiService, InsertOrUpdate
+    from bonobo_sqlalchemy_spark.plans.graph import run_observed
+
+    register_views(spark, sf_small, ("nation",))
+    db = str(tmp_path / "obs.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE landed (n_nationkey INTEGER PRIMARY KEY, n_name TEXT)")
+
+    g = Graph(
+        Select("SELECT n_nationkey, n_name FROM nation"),
+        lambda df: df.where(F.col("n_nationkey") < 10),
+        InsertOrUpdate("landed", discriminant=("n_nationkey",), engine="db"),
+    )
+    [out], stats = run_observed(
+        g, spark, {"db": DbapiService(connect=partial(sqlite3.connect, db))}
+    )
+    assert out.count() == 10  # one action resolves the whole chain
+    by_node = {k.split(":")[0]: v.get["rows"] for k, v in stats.items()}
+    assert by_node == {"c0/n0": 25, "c0/n1": 10, "c0/n2": 10}
+    labels = sorted(stats)
+    assert labels[0].endswith(":Select") and labels[2].endswith(":InsertOrUpdate")
