@@ -16,7 +16,7 @@ from .errors import (
     UnrecoverableError,
     UnrecoverableOperationalError,
 )
-from .plans.graph import Graph, Producer, producer, run
+from .plans.graph import Graph, Producer, producer, run, run_observed
 from .registry import (
     DbapiService,
     JdbcService,
@@ -39,6 +39,7 @@ __all__ = [
     "Producer",
     "producer",
     "run",
+    "run_observed",
     "get_spark",
     "load_table",
     "register_views",
