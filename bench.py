@@ -52,8 +52,16 @@ def main() -> None:
     runs: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, dict] = {}
     # Interleaved rounds: one pass over ALL queries per round, so transient
-    # machine load perturbs a round, not a query.
+    # machine load perturbs a round, not a query. The wall budget stops
+    # STARTING new rounds when exceeded — interleaving means every query
+    # still has the same number of measurements, so stats stay comparable.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    bench_t0 = time.perf_counter()
+    rounds_done = 0
     for _ in range(n_rounds):
+        if rounds_done >= 1 and time.perf_counter() - bench_t0 > budget_s:
+            break
+        rounds_done += 1
         for name in names:
             if name in errors:
                 continue
@@ -92,7 +100,8 @@ def main() -> None:
         "queries_median": medians,
         "queries_spread": spreads,
         "queries_first_run": first_run,
-        "runs_per_query": n_rounds,
+        "runs_per_query": rounds_done,
+        "rounds_requested": n_rounds,
         "interleaved": True,
         "agg": "min_warm",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
