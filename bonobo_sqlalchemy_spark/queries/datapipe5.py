@@ -513,3 +513,106 @@ def z_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "z_window_rank_suite",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def z_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family windows in one query: NTILE quartiles,
+    PERCENT_RANK, CUME_DIST per customer over order value (deterministic
+    tie-break on the key). One shuffle on the partition key serves all
+    three — same window spec, zero extra exchanges."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("double").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+
+
+@query(
+    "z_events_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ), obs AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE user_id < 20
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           o.event_id AS last_event_id,
+           CAST(o.value AS DOUBLE) AS last_value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND o.ts <= g.h + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND
+    """,
+    tags=("relational", "temporal"),
+)
+def z_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: an hourly grid per user
+    (codegen `sequence` + explode — no driver loop) carrying the LAST
+    observation at or before each grid hour's end, via the engine's as-of
+    join (`operators/asof.py`). The oracle is DuckDB's native ASOF LEFT
+    JOIN — two independent as-of implementations agreeing value-exactly.
+    Ties inside an hour resolve to the latest event (backward as-of on the
+    hour-end instant)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    ).withColumn(
+        # backward as-of against the END of the hour (inclusive of events
+        # inside the hour itself): probe instant = next hour - 1µs
+        "probe_ts",
+        F.col("h") + F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 MICROSECOND"),
+    )
+    obs = ev.select("user_id", "ts", "event_id", F.col("value").cast("double").alias("value"))
+    joined = as_of_join(
+        grid.select("user_id", "h", F.col("probe_ts").alias("ts")),
+        obs,
+        on=["user_id"],
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("r_event_id").alias("last_event_id"),
+        F.col("r_value").alias("last_value"),
+    )
