@@ -7,10 +7,13 @@ Pandas-batched Python (the only place Python touches the data) with an
 explicit output schema — the Spark-side contract (schema, partitioning,
 batch shape) is real and tested.
 
-The actual image/audio decode is STUBBED: the container ships no media
-libraries, so :func:`decode_image` raises ``NotImplementedError`` and the
-pipeline uses :func:`fake_features` — a deterministic featurizer over the
-raw bytes — to exercise the identical plumbing.
+Decode status: uncompressed 24-bit BMP decodes/encodes LIBRARY-FREE
+(:func:`_decode_bmp24` / :func:`encode_bmp24`), so the full decode ->
+resize (:func:`resize_nearest`) -> featurize (:func:`extract_image_features`)
+path runs for real in this container. Compressed formats (PNG/JPEG/...)
+still need PIL/cv2 — import-probed, absent in this build — and fall back
+to the documented ``NotImplementedError``; :func:`fake_features` remains
+the deterministic byte-level stand-in for oracle-checked plumbing tests.
 """
 
 from __future__ import annotations
@@ -253,3 +256,91 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def encode_bmp24(img) -> bytes:
+    """Library-free inverse of :func:`_decode_bmp24`: an (h, w, 3) uint8
+    RGB array to uncompressed bottom-up 24-bit BMP bytes.
+
+    Exists so pipelines and tests can synthesize REAL image payloads with
+    no media library — paired with the BMP decode branch it makes the
+    whole decode -> resize -> featurize path executable in this container.
+    """
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in arr[::-1]:  # bottom-up
+        px += bytes(row[:, ::-1].reshape(-1))  # RGB -> BGR
+        px += b"\x00" * (stride - w * 3)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        + bytes(px)
+    )
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize via pure numpy index maps — the standard
+    thumbnail/normalize step, library-free (PIL/cv2 resampling kernels are
+    a drop-in upgrade on a full cluster image; the Spark-side contract is
+    identical)."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+#: Output schema of the REAL image-feature stage.
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, height int, width int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    thumb: int = 8,
+) -> DataFrame:
+    """REAL decode -> resize -> featurize over Arrow batches: decodes each
+    payload (:func:`decode_image` — BMP library-free here, PIL/cv2 formats
+    on a full image), normalizes to a ``thumb`` x ``thumb`` thumbnail, and
+    emits per-channel means. Partitioning is inherited from the upstream
+    scan; payload bytes never shuffle."""
+    from typing import Iterator
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                img = np.asarray(decode_image(bytes(p)), dtype=np.float64)
+                t = resize_nearest(img, thumb, thumb)
+                rows.append(
+                    (
+                        int(i),
+                        img.shape[0],
+                        img.shape[1],
+                        float(t[:, :, 0].mean()),
+                        float(t[:, :, 1].mean()),
+                        float(t[:, :, 2].mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "height", "width", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)

@@ -421,3 +421,38 @@ def test_pq_encode_compresses_and_reconstructs(spark, embs):
     e0, e2 = recon_err(0), recon_err(2)
     assert e0 < 1.0  # better than the zero-vector quantizer
     assert e2 <= e0 + 1e-9, f"Lloyd iterations worsened PQ error: {e0} -> {e2}"
+
+
+def test_image_pipeline_real_end_to_end(spark):
+    """The multimodal path runs for REAL in-container: synthesize BMP
+    payloads (encode_bmp24), distribute them as binary columns, decode +
+    resize + featurize through mapInPandas, and check the features against
+    the known pixel content."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    payloads = []
+    want = {}
+    for i in range(12):
+        h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payloads.append((i, bytearray(M.encode_bmp24(img))))
+        t = M.resize_nearest(img.astype(np.float64), 8, 8)
+        want[i] = (h, w, t[:, :, 0].mean(), t[:, :, 1].mean(), t[:, :, 2].mean())
+    df = spark.createDataFrame(payloads, "doc_id bigint, payload binary").repartition(4)
+    got = {r.doc_id: r for r in M.extract_image_features(df).collect()}
+    assert set(got) == set(want)
+    for i, (h, w, mr, mg, mb) in want.items():
+        r = got[i]
+        assert (r.height, r.width) == (h, w)
+        assert abs(r.mean_r - mr) < 1e-9 and abs(r.mean_g - mg) < 1e-9 and abs(r.mean_b - mb) < 1e-9
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (5, 3), (16, 16)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = M.decode_image(M.encode_bmp24(img))
+        assert (np.asarray(back) == img).all()
