@@ -616,3 +616,37 @@ def z_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("last_event_id"),
         F.col("r_value").alias("last_value"),
     )
+
+
+@query(
+    "z_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS sd_qty,
+           round(var_samp(CAST(l_quantity AS DOUBLE)), 6) AS var_qty,
+           round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
+           round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "statistics"),
+)
+def z_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per group: sample stddev /
+    variance, correlation, covariance — all single-pass codegen aggregates
+    (Welford-style merge states shuffle, not rows). Rounded per the
+    determinism policy: merge-order float error (~1e-10 relative) vs 1e-6
+    rounding."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    d = F.col("l_discount").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp(q), 6).alias("sd_qty"),
+        F.round(F.var_samp(q), 6).alias("var_qty"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, d), 6).alias("covar_qty_disc"),
+    )
