@@ -103,7 +103,7 @@ def main() -> None:
         "runs_per_query": rounds_done,
         "rounds_requested": n_rounds,
         "interleaved": True,
-        "agg": "min_warm",
+        "agg": "min_warm" if rounds_done > 1 else "cold",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "errors": len(errors),
     }

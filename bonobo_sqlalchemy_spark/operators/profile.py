@@ -32,6 +32,9 @@ def profile_columns(
     ``exact=False`` switches distinct counts to ``approx_count_distinct``
     (HLL++, relative error ``rsd``) — the 100 TB default.
     """
+    for c in columns:
+        if "`" in c:
+            raise ValueError(f"column name {c!r} contains a backtick; rename before profiling")
     nd = (
         (lambda c: F.count_distinct(F.col(c)))
         if exact
@@ -46,8 +49,12 @@ def profile_columns(
             F.max(c).cast("string").alias(f"__{c}_max"),
         ]
     row = df.agg(*aggs)
+    # escape single quotes in the label literal; aliases are backtick-
+    # quoted (backticks rejected above), so arbitrary other characters in
+    # column names are safe
+    labels = {c: c.replace("'", "\\'") for c in columns}
     stacked = ", ".join(
-        f"'{c}', `__{c}_nulls`, `__{c}_nd`, `__{c}_min`, `__{c}_max`"
+        f"'{labels[c]}', `__{c}_nulls`, `__{c}_nd`, `__{c}_min`, `__{c}_max`"
         for c in columns
     )
     return row.select(

@@ -188,29 +188,40 @@ class InsertOrUpdate:
         if self.created_at_field in target_cols and self.created_at_field not in df.columns:
             df = df.withColumn(self.created_at_field, now)
 
-        # O2g: name-intersection projection, target column order.
-        write_cols = [c for c in target_cols if c in df.columns]
-        df = df.select(*write_cols)
-
-        # Keep-last per discriminant key: order by the user-declared
-        # order_col when given (shuffle-invariant "last"), else by
-        # monotonically_increasing_id (source order within each input
-        # partition — the closest deterministic analog of the reference's
-        # arrival-order semantics; see order_col docstring).
-        from pyspark.sql import Window as W
-
+        # Capture the keep-last ordering column BEFORE the target
+        # projection: order_col may be an input-only column (a version or
+        # event timestamp that is not persisted to the target).
         if self.order_col is not None:
             if self.order_col not in df.columns:
                 raise ValueError(
                     f"order_col {self.order_col!r} not in input columns {df.columns}"
                 )
-            seq = F.col(self.order_col)
-            drop = ["__rn"]
+            df = df.withColumn("__seq_oc", F.col(self.order_col))
+
+        # O2g: name-intersection projection, target column order.
+        write_cols = [c for c in target_cols if c in df.columns]
+        extra = ["__seq_oc"] if self.order_col is not None else []
+        df = df.select(*write_cols, *extra)
+
+        # Keep-last per discriminant key: order by the user-declared
+        # order_col when given (shuffle-invariant "last"), else by
+        # monotonically_increasing_id (source order within each input
+        # partition — the closest deterministic analog of the reference's
+        # arrival-order semantics; see order_col docstring). The monotonic
+        # id also tie-breaks EQUAL order_col values — without it, two rows
+        # with the same version/timestamp would pick a partitioning-
+        # dependent winner, the exact nondeterminism order_col exists to
+        # remove.
+        from pyspark.sql import Window as W
+
+        df = df.withColumn("__seq", F.monotonically_increasing_id())
+        if self.order_col is not None:
+            order = [F.col("__seq_oc").desc(), F.col("__seq").desc()]
+            drop = ["__rn", "__seq", "__seq_oc"]
         else:
-            df = df.withColumn("__seq", F.monotonically_increasing_id())
-            seq = F.col("__seq")
+            order = [F.col("__seq").desc()]
             drop = ["__rn", "__seq"]
-        w = W.partitionBy(*self.discriminant).orderBy(seq.desc())
+        w = W.partitionBy(*self.discriminant).orderBy(*order)
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

@@ -120,6 +120,14 @@ class Graph:
         # counted) in the chain it was first added to
         return sum(len(c) for c in self.chains)
 
+    def _chain_inputs(self) -> list:
+        """(input_ref or None) per chain, padded: bonobo-style code that
+        appends to ``.chains`` directly never touches ``_inputs``, and a
+        short zip would silently SKIP those chains — pad so every chain
+        executes."""
+        pad = len(self.chains) - len(self._inputs)
+        return list(self._inputs) + [None] * max(0, pad)
+
 
 def _materialize_source(
     node: Any, spark: SparkSession, services: ServiceRegistry, ctx: NodeExecutionContext
@@ -204,7 +212,7 @@ def run(
 
     results: list[DataFrame] = []
     outputs: dict[int, DataFrame] = {}  # id(node) -> that node's output stream
-    for chain, input_ref in zip(graph.chains, graph._inputs):
+    for chain, input_ref in zip(graph.chains, graph._chain_inputs()):
         ctx = NodeExecutionContext(spark, registry)
         if input_ref is not None:
             # fork: consume the recorded node's output (already evaluated —
@@ -270,7 +278,7 @@ def run_observed(
     results: list[DataFrame] = []
     stats: dict[str, "Observation"] = {}
     outputs: dict[int, DataFrame] = {}
-    for ci, (chain, input_ref) in enumerate(zip(graph.chains, graph._inputs)):
+    for ci, (chain, input_ref) in enumerate(zip(graph.chains, graph._chain_inputs())):
         ctx = NodeExecutionContext(spark, registry)
         if input_ref is not None:
             if id(input_ref) not in outputs:

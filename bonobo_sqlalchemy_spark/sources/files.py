@@ -92,9 +92,10 @@ def register_views(
     arbitrary warehouse catalog. Staging leftovers (``*.parquet.__merge_tmp``
     etc.) are excluded by the exact ``.parquet`` suffix match; dot-prefixed
     entries are hidden staging by convention. Discovered names must be
-    valid SQL identifiers (``createOrReplaceTempView`` rejects others, e.g.
-    ``my-table.parquet``); non-identifier files are skipped with a warning
-    so one stray file cannot break every Select against the warehouse.
+    word-character-only (``createOrReplaceTempView`` rejects names with
+    punctuation/spaces, e.g. ``my-table.parquet``; digit-leading names ARE
+    accepted and kept); offending files are skipped with a warning so one
+    stray file cannot break every Select against the warehouse.
     """
     sf_dir = sf_dir or default_sf_dir()
     if tables is None:
@@ -103,7 +104,7 @@ def register_views(
             for f in os.listdir(sf_dir)
             if f.endswith(".parquet") and not f.startswith(".")
         )
-        bad = [n for n in found if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+        bad = [n for n in found if not re.fullmatch(r"[A-Za-z0-9_]+", n)]
         if bad:
             warnings.warn(
                 f"skipping non-identifier table files in {sf_dir}: {bad} "

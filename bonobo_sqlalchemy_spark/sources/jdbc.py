@@ -23,30 +23,51 @@ from __future__ import annotations
 import functools
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import JdbcService
 
-#: Jar-cache roots probed for JDBC driver jars, in order. All are standard
-#: local caches (coursier, maven, ivy); nothing is downloaded.
-_JAR_SEARCH_ROOTS = ("~/.cache", "~/.m2", "~/.ivy2")
+#: Jar-cache roots probed for JDBC driver jars, in order — bounded to the
+#: actual JAR caches (coursier/maven/ivy), NOT all of ~/.cache: a recursive
+#: walk of a general cache dir (pip/huggingface/...) can cost tens of
+#: seconds and this probe runs at session startup. All are standard local
+#: caches; nothing is downloaded.
+_JAR_SEARCH_ROOTS = ("~/.cache/coursier", "~/.m2/repository", "~/.ivy2")
+
+
+def _jar_version_key(path: str) -> tuple:
+    """Numeric version tuple from a jar filename (1.0.0 > 0.9.2, and
+    10.x > 9.x — plain lexicographic path sort gets both wrong)."""
+    m = re.search(r"(\d+(?:\.\d+)*)[^/]*\.jar$", os.path.basename(path))
+    return tuple(int(x) for x in m.group(1).split(".")) if m else ()
 
 
 @functools.lru_cache(maxsize=None)
 def find_jdbc_driver_jar(artifact: str = "duckdb_jdbc") -> str | None:
-    """Locate a JDBC driver jar named ``<artifact>*.jar`` in local caches.
+    """Locate a JDBC driver jar named ``<artifact>*.jar``.
 
-    Returns the first match (or None). Cached: the scan walks cache trees.
+    ``SPARK_GRAFT_JDBC_JAR`` overrides the scan entirely (and also serves
+    as the opt-out: set it to an empty-but-present value pointing at the
+    desired jar on hosts where even the bounded scan is unwanted). Multiple
+    cached versions resolve to the HIGHEST version, not the first path in
+    sort order. Cached per process.
     """
+    override = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if override is not None:
+        return override or None
+    hits: list[str] = []
     for root in _JAR_SEARCH_ROOTS:
-        hits = glob.glob(
-            os.path.join(os.path.expanduser(root), "**", f"{artifact}*.jar"),
-            recursive=True,
+        hits.extend(
+            glob.glob(
+                os.path.join(os.path.expanduser(root), "**", f"{artifact}*.jar"),
+                recursive=True,
+            )
         )
-        if hits:
-            return sorted(hits)[0]
-    return None
+    if not hits:
+        return None
+    return max(sorted(hits), key=_jar_version_key)
 
 
 def duckdb_jdbc_service(db_path: str, *, read_only: bool = True) -> JdbcService:

@@ -456,3 +456,15 @@ def test_bmp_encode_decode_roundtrip():
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         back = M.decode_image(M.encode_bmp24(img))
         assert (np.asarray(back) == img).all()
+
+
+def test_profile_handles_quoted_column_names(spark):
+    from bonobo_sqlalchemy_spark.operators.profile import profile_columns
+
+    df = spark.range(3).selectExpr("id AS `it's`")
+    rows = profile_columns(df, ["it's"]).collect()
+    assert rows[0].col_name == "it's" and rows[0].n_rows == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="backtick"):
+        profile_columns(spark.range(1).selectExpr("id AS a"), ["a`b"])

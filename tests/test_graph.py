@@ -218,3 +218,12 @@ def test_run_observed_node_counters(spark, sf_small, tmp_path):
     assert by_node == {"c0/n0": 25, "c0/n1": 10, "c0/n2": 10}
     labels = sorted(stats)
     assert labels[0].endswith(":Select") and labels[2].endswith(":InsertOrUpdate")
+
+
+def test_run_executes_directly_appended_chains(spark):
+    """bonobo-style direct .chains manipulation must still execute every
+    chain (zip over a shorter _inputs must not silently skip work)."""
+    g = Graph()
+    g.chains.append([spark.range(4), lambda df: df.where(F.col("id") > 0)])
+    [df] = run(g, spark)
+    assert df.count() == 3

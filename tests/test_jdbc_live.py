@@ -143,3 +143,15 @@ def test_jdbc_filter_pushdown_reaches_database(spark, db_path):
     rs = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "status" not in rs  # column pruning reached the remote query
     assert df.count() > 0
+
+
+def test_jar_version_key_orders_semantically():
+    from bonobo_sqlalchemy_spark.sources.jdbc import _jar_version_key
+
+    paths = [
+        "/c/duckdb_jdbc-0.9.2.jar",
+        "/a/duckdb_jdbc-1.0.0.jar",
+        "/b/duckdb_jdbc-10.0.0.jar",
+    ]
+    assert max(paths, key=_jar_version_key).endswith("10.0.0.jar")
+    assert _jar_version_key("/x/duckdb_jdbc.jar") == ()

@@ -127,3 +127,16 @@ def test_register_views_skips_non_identifier_files(spark, tmp_path):
     assert set(views) == {"good_table"}
     assert any("my-bad table" in str(c.message) for c in caught)
     assert spark.sql("SELECT COUNT(*) FROM good_table").collect()[0][0] == 2
+
+
+def test_register_views_keeps_digit_leading_names(spark, tmp_path):
+    """Spark accepts digit-leading view names — discovery must keep them
+    (only punctuation/space names are skipped)."""
+    import pandas as pd
+
+    from bonobo_sqlalchemy_spark.sources.files import register_views
+
+    pd.DataFrame({"a": [1]}).to_parquet(tmp_path / "2023_sales.parquet")
+    views = register_views(spark, str(tmp_path), tables=None)
+    assert set(views) == {"2023_sales"}
+    assert spark.sql("SELECT COUNT(*) FROM `2023_sales`").collect()[0][0] == 1

@@ -349,3 +349,29 @@ def test_order_col_missing_raises(spark):
 
     with pytest.raises(ValueError, match="order_col"):
         sink._prepare(df, ["id", "val"])
+
+
+def test_order_col_may_be_input_only_and_ties_are_stable(spark, tmp_path):
+    """order_col need not be a target column (version/timestamp often is
+    not persisted), and rows with EQUAL order_col values resolve
+    deterministically (monotonic-id tiebreak), not by partition luck."""
+    import sqlite3
+    from functools import partial
+
+    from bonobo_sqlalchemy_spark import DbapiService, InsertOrUpdate
+
+    dbfile = str(tmp_path / "oc_inputonly.db")
+    with sqlite3.connect(dbfile) as con:
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, val TEXT)")  # no version col
+    df = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (1, "c", 9), (2, "x", 1)],
+        "id int, val string, version int",
+    ).coalesce(1)
+    sink = InsertOrUpdate("t", discriminant=("id",), order_col="version", engine="db")
+    out = sink.write(df, spark, {"db": DbapiService(partial(sqlite3.connect, dbfile))})
+    assert "version" not in out.columns  # projected to target schema
+    with sqlite3.connect(dbfile) as con:
+        got = sorted(con.execute("SELECT id, val FROM t").fetchall())
+    # tie at version=9: later source row ('c') wins via the monotonic-id
+    # tiebreak — deterministic on the single-partition input
+    assert got == [(1, "c"), (2, "x")]
