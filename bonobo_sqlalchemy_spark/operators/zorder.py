@@ -19,20 +19,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Sum a list of columns as a BALANCED tree (depth log2 N, not N).
+
+    Left-folded ``a + b + c + ...`` builds an N-deep expression chain;
+    Catalyst's column-node conversion and analyzer recurse over it and a
+    few hundred chained Adds can overflow the JVM thread stack (observed
+    flakily when the driver thread's remaining stack varies). The balanced
+    shape computes the identical value with logarithmic depth."""
+    assert terms
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def interleave_bits(x: str | Column, y: str | Column, bits: int = 16) -> Column:
     """Morton key: bit *i* of ``x`` lands at position 2*i*, of ``y`` at
     2*i*+1. Inputs are masked to ``bits`` low bits (callers normalize
     first — see :func:`rank_bucket` for data-dependent domains)."""
     xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
     yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
-    out = F.lit(0).cast("bigint")
+    terms = [F.lit(0).cast("bigint")]
     for i in range(bits):
-        out = (
-            out
-            + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
-            + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return out
+        terms.append(F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return _balanced_sum(terms)
 
 
 def interleave_bits_sql(x: str, y: str, bits: int = 16) -> str:
@@ -86,9 +100,9 @@ def quantile_bucket(
         if not uniq or q > uniq[-1]:
             uniq.append(q)
     c = F.col(col).cast("double")
-    out = F.lit(0).cast("bigint")
-    for q in uniq:
-        out = out + (c > F.lit(q)).cast("bigint")
+    out = _balanced_sum(
+        [F.lit(0).cast("bigint")] + [(c > F.lit(q)).cast("bigint") for q in uniq]
+    )
     if out_range is not None and uniq:
         if len(uniq) >= out_range:
             # stride would floor to 0 and collapse every bucket to 0,
@@ -132,13 +146,14 @@ def zorder_write(
     """
     if normalize == "range":
         nb = 1 << min(bits, 8)  # boundary-list resolution
-        keyed = df.withColumn(
-            "__z",
-            interleave_bits(
-                quantile_bucket(df, x, nb, out_range=1 << bits),
-                quantile_bucket(df, y, nb, out_range=1 << bits),
-                bits,
-            ),
+        # Bucketize into NAMED columns first: inlining the ~nb-term bucket
+        # expression into interleave_bits would copy it once per Morton bit
+        # (2*bits copies) — a plan-size/stack blowup for zero benefit.
+        keyed = (
+            df.withColumn("__bx", quantile_bucket(df, x, nb, out_range=1 << bits))
+            .withColumn("__by", quantile_bucket(df, y, nb, out_range=1 << bits))
+            .withColumn("__z", interleave_bits(F.col("__bx"), F.col("__by"), bits))
+            .drop("__bx", "__by")
         )
     elif normalize == "rank":
         keyed = df.withColumn(
