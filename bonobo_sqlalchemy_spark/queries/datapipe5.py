@@ -650,3 +650,41 @@ def z_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(q, p), 6).alias("corr_qty_price"),
         F.round(F.covar_samp(q, d), 6).alias("covar_qty_disc"),
     )
+
+
+@query(
+    "z_array_ops",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct,
+           array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3,
+           list_sort(list_distinct(w))[len(list_distinct(w))] AS last_token,
+           CAST(len(list_filter(w, t -> len(t) > 4)) AS BIGINT) AS n_long
+    FROM d
+    """,
+    tags=("relational", "complex-types"),
+)
+def z_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type (array) surface in one query: distinct/sort/slice/
+    join/filter/element_at over the token array — all codegen array
+    expressions, no explode, no shuffle (verifies the engine's array-
+    function semantics track ANSI/DuckDB list semantics value-exactly,
+    including end-inclusive slice vs ``slice(start, length)`` mapping)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("w")
+    )
+    dist = F.array_sort(F.array_distinct("w"))
+    return d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(dist, 1, 3), ",").alias("first3"),
+        F.element_at(dist, F.size(dist)).alias("last_token"),
+        F.size(F.filter("w", lambda t: F.length(t) > 4)).cast("bigint").alias("n_long"),
+    )
