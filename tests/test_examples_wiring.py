@@ -83,3 +83,48 @@ def test_models_create_all_sqlite():
     ).fetchall()
     assert ("example",) in rows
     conn.close()
+
+
+def test_jdbc_select_example_lands_rows(spark, tmp_path):
+    """examples/jdbc_select.py shape: Select over a LIVE database via JDBC
+    -> parquet-warehouse upsert, run inline against this session."""
+    import pytest
+
+    from bonobo_sqlalchemy_spark.sources.jdbc import (
+        duckdb_jdbc_service,
+        find_jdbc_driver_jar,
+    )
+
+    if find_jdbc_driver_jar() is None:
+        pytest.skip("no JDBC driver jar cached")
+    import duckdb
+
+    import bonobo_sqlalchemy_spark as bss
+
+    db = str(tmp_path / "ex.db")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE sales AS SELECT range AS id, range % 7 AS region, "
+        "range * 2.5 AS amount FROM range(1000)"
+    )
+    con.close()
+    out = str(tmp_path / "wh")
+    g = bss.Graph(
+        bss.Select(
+            "SELECT region, COUNT(*) AS n, SUM(amount) AS total "
+            "FROM sales GROUP BY region",
+            engine="jdbc",
+        ),
+        bss.InsertOrUpdate("region_totals", discriminant=("region",)),
+    )
+    [landed] = bss.run(
+        g,
+        spark,
+        services={
+            "jdbc": duckdb_jdbc_service(db),
+            "sqlalchemy.engine": bss.PathService(out),
+        },
+    )
+    assert landed.count() == 7
+    back = spark.read.parquet(f"{out}/region_totals.parquet")
+    assert int(back.agg({"n": "sum"}).collect()[0][0]) == 1000

@@ -155,3 +155,22 @@ def test_jar_version_key_orders_semantically():
     ]
     assert max(paths, key=_jar_version_key).endswith("10.0.0.jar")
     assert _jar_version_key("/x/duckdb_jdbc.jar") == ()
+
+
+def test_dsv2_jdbc_catalog_sql_addressable(spark, db_path):
+    """The DSv2 JDBCTableCatalog makes the live database SQL-addressable
+    (`SELECT ... FROM cat.schema.table`) — catalog confs resolve lazily, so
+    this works on the running session without a JVM restart."""
+    spark.conf.set(
+        "spark.sql.catalog.ddbcat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set("spark.sql.catalog.ddbcat.url", f"jdbc:duckdb:{db_path}")
+    spark.conf.set("spark.sql.catalog.ddbcat.driver", "org.duckdb.DuckDBDriver")
+    spark.conf.set("spark.sql.catalog.ddbcat.duckdb.read_only", "true")
+    got = spark.sql(
+        "SELECT status, COUNT(*) AS n FROM ddbcat.main.orders_live GROUP BY status"
+    ).collect()
+    assert {r.status: r.n for r in got} == {
+        f"status_{i}": len(range(i, N_ROWS, 3)) for i in range(3)
+    }
