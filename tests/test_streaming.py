@@ -360,3 +360,40 @@ def test_stateful_checkpoint_restart_carries_state(spark, tmp_path):
     import os
 
     assert not os.path.exists(land) or spark.read.parquet(land).where(F.lit(True)).count() == 0
+
+
+def test_stream_join_state_is_watermark_bounded(spark, sf_small):
+    """The 100 TB claim behind stream-stream joins is EVICTION: after a
+    bounded replay, the state store must hold only rows within the
+    watermark+interval horizon — a fraction of the stream — not the whole
+    input. Read the engine's own state metrics to prove it."""
+    from bonobo_sqlalchemy_spark.streaming.joins import stream_interval_join
+    from bonobo_sqlalchemy_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_small}/events.parquet")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    e = ev.where(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    j = stream_interval_join(
+        p, e, on=["user_id"], max_delay="1 hour", watermark="2 hours"
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_state_bound")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = [pr for pr in q.recentProgress if pr.get("stateOperators")]
+    assert progress, "no state metrics reported"
+    final = progress[-1]["stateOperators"][0]
+    n_state = final["numRowsTotal"]
+    n_input = load_table(spark, sf_small, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    ).count()
+    # rows older than watermark(2h) + interval(1h) are gone: over a 30-day
+    # stream the surviving horizon is a tiny fraction of the input
+    assert n_state < 0.25 * n_input, (
+        f"state holds {n_state} of {n_input} input rows — eviction not working"
+    )
+    assert final["numRowsRemoved"] > 0  # eviction actually ran
