@@ -51,7 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return _normalize_event_ts(df)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "documents" and "n_chars" not in df.columns:
+        # same data-contract defense as events.ts: the driver regenerates
+        # testdata between rounds; n_chars is derivable, so synthesize it
+        # rather than letting every consumer break on a dropped column
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("n_chars", F.length("text").cast("bigint"))
+    return df
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:

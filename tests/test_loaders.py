@@ -140,3 +140,17 @@ def test_register_views_keeps_digit_leading_names(spark, tmp_path):
     views = register_views(spark, str(tmp_path), tables=None)
     assert set(views) == {"2023_sales"}
     assert spark.sql("SELECT COUNT(*) FROM `2023_sales`").collect()[0][0] == 1
+
+
+def test_documents_n_chars_synthesized_when_absent(spark, tmp_path):
+    """Data-contract defense: a regenerated documents table without
+    n_chars still loads with the column synthesized (n_chars == length)."""
+    import pandas as pd
+
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    pd.DataFrame({"doc_id": [1], "text": ["hello world"], "lang": ["en"], "source": ["s"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    df = load_table(spark, str(tmp_path), "documents")
+    assert df.collect()[0].n_chars == 11
