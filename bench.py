@@ -1,8 +1,15 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the LAST line of stdout:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver captures only a 2000-char tail of stdout, so the stdout line is
+deliberately compact (per-query min only, 2-decimal values, hard-capped at
+1500 chars with a degrade-gracefully fallback).  The full
+min/median/spread/first-run detail — which outgrew the tail in round 5 and
+cost that round its official perf artifact — is written to BENCH_DETAIL.md
+in the repo instead of stdout.
 
 Each query is fully executed (collect of the final result — every query
 here returns an aggregated/limited result, so collect is driver-safe).
@@ -91,8 +98,9 @@ def main() -> None:
         spreads[name] = round(max(warm) - min(warm), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
-    out = {
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(ok), 3),
         "unit": "sec",
@@ -104,10 +112,46 @@ def main() -> None:
         "rounds_requested": n_rounds,
         "interleaved": True,
         "agg": "min_warm" if rounds_done > 1 else "cold",
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sf": sf_val,
         "errors": len(errors),
     }
-    print(json.dumps(out))
+    # Full detail goes to a repo artifact, NOT stdout — the driver keeps only
+    # a 2000-char stdout tail, which truncated round 5's detail line.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.md"
+    try:
+        detail_path.write_text(
+            "# BENCH_DETAIL — full per-query timing detail\n\n"
+            "Written by bench.py on each run. `queries` = per-query min of "
+            "warm runs; `queries_median`/`queries_spread` expose measurement "
+            "noise; `queries_first_run` includes one-time codegen/JIT cost.\n\n"
+            "```json\n" + json.dumps(detail, indent=1) + "\n```\n"
+        )
+    except OSError:
+        pass  # read-only checkout must not kill the perf signal
+
+    # Compact tail-survivable line: per-query min only, 2-decimal values.
+    compact_queries = {
+        n: (round(v, 2) if isinstance(v, (int, float)) else {"err": "see BENCH_DETAIL.md"})
+        for n, v in timings.items()
+    }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(ok), 2),
+        "unit": "sec",
+        "queries": compact_queries,
+        "runs_per_query": rounds_done,
+        "agg": "min_warm" if rounds_done > 1 else "cold",
+        "sf": sf_val,
+        "errors": len(errors),
+        "detail": "BENCH_DETAIL.md",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:
+        # Degrade gracefully: headline must survive even if the registry
+        # grows far beyond today's size. Drop per-query detail last.
+        out["queries"] = {"truncated": len(compact_queries)}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -249,8 +249,17 @@ class Scd2Sink:
         shutil.rmtree(old, ignore_errors=True)
         self.last_stats = {"rows": n_total, "open": n_open}
         new_hwm = max(as_of_norm, disk_hwm) if disk_hwm else as_of_norm
-        with open(self._hwm_path(path), "w") as f:
+        # Atomic sidecar update: write a temp file and os.replace() it so a
+        # crash mid-write leaves either the old or the new COMPLETE value,
+        # never a truncated prefix (a prefix like '2026-0' would compare <=
+        # later as_of values and wrongly enable the monotonic fast path).
+        hwm_path = self._hwm_path(path)
+        hwm_tmp = hwm_path + ".tmp"
+        with open(hwm_tmp, "w") as f:
             f.write(new_hwm)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(hwm_tmp, hwm_path)
         self._max_as_of = new_hwm
         return spark.read.parquet(path)
 

@@ -272,8 +272,16 @@ def pq_codebooks(
     import numpy as np
 
     dsub = dim // m
-    assert m * dsub == dim, "dim must divide evenly into m subspaces"
+    if m * dsub != dim:
+        raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
     init = corpus.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    if len(init) < ksub:
+        # Ragged init would fail deep inside pq_encode's np.asarray with an
+        # obscure object-dtype error; fail here with the real cause instead.
+        raise ValueError(
+            f"pq_codebooks needs >= ksub={ksub} corpus vectors to initialize "
+            f"codebooks, got {len(init)}; lower ksub or grow the corpus"
+        )
     books = [
         [[float(row[0][s * dsub + j]) for j in range(dsub)] for row in init]
         for s in range(m)

@@ -211,29 +211,54 @@ def run(
         graph = Graph(graph)
 
     results: list[DataFrame] = []
-    outputs: dict[int, DataFrame] = {}  # id(node) -> that node's output stream
+    # id(node) -> that node's output stream. First occurrence wins
+    # (_record_output), and forking off a node that occurs in several chains
+    # raises rather than silently picking one — see _resolve_fork.
+    outputs: dict[int, DataFrame] = {}
+    counts: dict[int, int] = {}
     for chain, input_ref in zip(graph.chains, graph._chain_inputs()):
         ctx = NodeExecutionContext(spark, registry)
         if input_ref is not None:
             # fork: consume the recorded node's output (already evaluated —
             # chains run in add order and forks may only reference earlier
             # chains' nodes)
-            if id(input_ref) not in outputs:
-                raise ValueError(
-                    f"fork input {input_ref!r} has not produced output yet; "
-                    "add_chain order must put the producer chain first"
-                )
-            df = outputs[id(input_ref)]
+            df = _resolve_fork(input_ref, outputs, counts)
             nodes = chain
         else:
             head, *nodes = chain
             df = _materialize_source(head, spark, registry, ctx)
-            outputs[id(head)] = df
+            _record_output(head, df, outputs, counts)
         for node in nodes:
             df = _apply_node(node, df, spark, registry, ctx)
-            outputs[id(node)] = df
+            _record_output(node, df, outputs, counts)
         results.append(df)
     return results
+
+
+def _record_output(node: Any, df: DataFrame, outputs: dict, counts: dict) -> None:
+    """Record a node's output stream, first occurrence wins.
+
+    A node object reused across chains used to OVERWRITE its earlier output,
+    so a later fork silently consumed the wrong occurrence; now the first
+    occurrence is kept and ambiguous forks raise (see :func:`_resolve_fork`).
+    """
+    counts[id(node)] = counts.get(id(node), 0) + 1
+    outputs.setdefault(id(node), df)
+
+
+def _resolve_fork(input_ref: Any, outputs: dict, counts: dict) -> DataFrame:
+    if id(input_ref) not in outputs:
+        raise ValueError(
+            f"fork input {input_ref!r} has not produced output yet; "
+            "add_chain order must put the producer chain first"
+        )
+    if counts.get(id(input_ref), 0) > 1:
+        raise ValueError(
+            f"fork input {input_ref!r} appears in multiple chains; which "
+            "occurrence to fork from is ambiguous — use a distinct node "
+            "object (e.g. functools.partial or a copy) per chain"
+        )
+    return outputs[id(input_ref)]
 
 
 def run_observed(
@@ -278,15 +303,11 @@ def run_observed(
     results: list[DataFrame] = []
     stats: dict[str, "Observation"] = {}
     outputs: dict[int, DataFrame] = {}
+    counts: dict[int, int] = {}
     for ci, (chain, input_ref) in enumerate(zip(graph.chains, graph._chain_inputs())):
         ctx = NodeExecutionContext(spark, registry)
         if input_ref is not None:
-            if id(input_ref) not in outputs:
-                raise ValueError(
-                    f"fork input {input_ref!r} has not produced output yet; "
-                    "add_chain order must put the producer chain first"
-                )
-            df = outputs[id(input_ref)]
+            df = _resolve_fork(input_ref, outputs, counts)
             nodes = chain
             offset = 0
         else:
@@ -295,13 +316,13 @@ def run_observed(
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             stats[f"c{ci}/n0:{label_of(head)}"] = obs
-            outputs[id(head)] = df
+            _record_output(head, df, outputs, counts)
             offset = 1
         for ni, node in enumerate(nodes):
             df = _apply_node(node, df, spark, registry, ctx)
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             stats[f"c{ci}/n{ni + offset}:{label_of(node)}"] = obs
-            outputs[id(node)] = df
+            _record_output(node, df, outputs, counts)
         results.append(df)
     return results, stats

@@ -60,11 +60,20 @@ def get_spark(
     # JDBC read path works without per-caller config. No-op when absent or
     # when an existing session is reused (getOrCreate ignores config then —
     # callers needing the jar in a fresh JVM go through this factory first).
-    from .sources.jdbc import find_jdbc_driver_jar
+    # The discovery is best-effort and auditable: any failure is swallowed
+    # (a corrupt cache must not break session startup) and the injected jar
+    # is logged so an unexpected classpath addition is visible, not silent.
+    # Set SPARK_GRAFT_JDBC_JAR="" to opt out of the scan entirely.
+    try:
+        from .logging import logger
+        from .sources.jdbc import find_jdbc_driver_jar
 
-    jar = find_jdbc_driver_jar()
-    if jar:
-        builder = builder.config("spark.jars", jar)
+        jar = find_jdbc_driver_jar()
+        if jar:
+            logger.info("session: adding discovered JDBC driver jar %s", jar)
+            builder = builder.config("spark.jars", jar)
+    except Exception:  # pragma: no cover - defensive: discovery is optional
+        pass
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -40,7 +40,19 @@ def _apply_table_labels(df: DataFrame) -> DataFrame:
     name or alias), which becomes the prefix. Computed/aggregate columns
     have no qualifier and keep their names — same as SQLAlchemy, which only
     labels table columns.
+
+    Classic-mode only: the qualifier lives on the JVM-side analyzed plan,
+    which Spark Connect does not expose (no ``_jdf``). Under Connect the
+    opt-in degrades soft to unlabeled columns rather than crashing.
     """
+    if not hasattr(df, "_jdf"):  # Spark Connect / future API drift
+        from ..logging import logger
+
+        logger.warning(
+            "label_columns=True needs the classic JVM plan (no _jdf on this "
+            "DataFrame); returning unlabeled columns"
+        )
+        return df
     attrs = df._jdf.queryExecution().analyzed().output()
     names: list[str] = []
     for i in range(attrs.length()):

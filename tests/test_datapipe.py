@@ -468,3 +468,14 @@ def test_profile_handles_quoted_column_names(spark):
 
     with pytest.raises(ValueError, match="backtick"):
         profile_columns(spark.range(1).selectExpr("id AS a"), ["a`b"])
+
+
+def test_pq_codebooks_rejects_tiny_corpus_and_bad_dim(spark, embs):
+    """Explicit ValueErrors (not a downstream np.asarray shape error, not a
+    bare assert that vanishes under -O) for corpus < ksub and dim % m != 0."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ksub"):
+        S.pq_codebooks(embs.limit(5), m=8, ksub=16, iters=0)
+    with pytest.raises(ValueError, match="divide evenly"):
+        S.pq_codebooks(embs.limit(64), m=7, ksub=16, iters=0, dim=64)

@@ -227,3 +227,27 @@ def test_run_executes_directly_appended_chains(spark):
     g.chains.append([spark.range(4), lambda df: df.where(F.col("id") > 0)])
     [df] = run(g, spark)
     assert df.count() == 3
+
+
+def test_fork_of_node_reused_across_chains_is_ambiguous(spark):
+    """A node OBJECT appearing in several chains used to have its recorded
+    output silently overwritten by the last occurrence; forking off it now
+    raises instead of guessing which occurrence the caller meant."""
+    import pytest
+
+    double = lambda df: df.withColumn("x", F.col("id") * 2)  # noqa: E731
+    g = Graph(spark.range(3), double)
+    g.add_chain(double, _input=spark.range(5))  # same object, second chain
+    g.add_chain(lambda df: df.select("x"), _input=double)
+    with pytest.raises(ValueError, match="multiple chains"):
+        run(g, spark)
+
+
+def test_fork_resolves_first_occurrence_when_unambiguous(spark):
+    """With a single occurrence, forks still consume that node's output —
+    the first-occurrence bookkeeping must not change the working case."""
+    double = lambda df: df.withColumn("x", F.col("id") * 2)  # noqa: E731
+    g = Graph(spark.range(4), double)
+    g.add_chain(lambda df: df.agg(F.sum("x").alias("s")), _input=double)
+    [_, agg] = run(g, spark)
+    assert agg.collect()[0]["s"] == 12
