@@ -680,3 +680,66 @@ def best_survivors(
             "component_size",
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    n_clusters: int = 16,
+    train_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup: ``(id1, id2, cosine, cluster)``
+    pairs with ``cosine >= threshold``, compared ONLY within k-means clusters.
+
+    The composition a 100 TB curation run actually executes (Abbas et al.
+    2023, "SemDeDup"): spherical k-means clusters the embedding space
+    (`similarity.kmeans_codebook` — distributed Lloyd updates, the driver
+    holds k x dim floats), every vector routes to its nearest centroid in
+    one Arrow matmul pass, and near-duplicate candidates are intra-cluster
+    ONLY — cross-cluster pairs are never generated, so the pair stage is a
+    plain equi-join on the cluster id, not an all-pairs product.
+
+    Scale note: per-cluster work is quadratic in CLUSTER size, which is the
+    knob — SemDeDup scales ``n_clusters`` with the corpus so the expected
+    cluster stays bounded (the paper uses ~100k clusters for LAION-scale);
+    with bounded clusters the equi-join's per-key fan-out is bounded too.
+    Compose with :func:`connected_components` / :func:`best_survivors` for
+    survivorship, exactly like the other pair generators in this module.
+
+    Differences vs :func:`embedding_near_dup_pairs` (LSH blocking): LSH
+    targets high-cosine NEAR-DUPS with per-table recall guarantees;
+    SemDeDup prunes at lower thresholds ("semantically redundant", not
+    "almost identical") where hyperplane-LSH recall decays — clustering
+    keeps moderate-similarity neighbors co-located.
+    """
+    from .similarity import ivf_train_or_init
+
+    codebook = ivf_train_or_init(df, vec_col, id_col, n_clusters, train_iters)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = (
+        V.matrix_dots(base, "v", "id", codebook, out_id="id")
+        .select(
+            "id",
+            F.expr("array_position(dots, array_max(dots))").cast("int").alias("cluster"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), F.col("a.cluster").alias("cluster")
+    )
+    # Exact verification: vectors join back by id (they never ride the
+    # cluster shuffle); one Arrow cosine batch over the candidate pairs.
+    v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    cos = V.cosine_rounded_arrow()
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cos("v1", "v2").alias("cosine"), "cluster")
+        .where(F.col("cosine") >= threshold)
+    )

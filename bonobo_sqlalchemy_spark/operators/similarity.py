@@ -108,6 +108,57 @@ def kmeans_codebook(
     return codebook
 
 
+def ivf_train_or_init(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    train_iters: int,
+) -> list[list[float]]:
+    """Coarse codebook: spherical k-means when ``train_iters > 0``, else the
+    deterministic first-``n_cells`` corpus vectors by id (oracle-stable)."""
+    if train_iters > 0:
+        return kmeans_codebook(corpus, vec_col, id_col, k=n_cells, iters=train_iters)
+    cents = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [[float(x) for x in row[0]] for row in cents]
+
+
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus_cells, query_cells): each corpus vector's single nearest cell
+    and each query's ``n_probe`` nearest cells, both via one fused Arrow
+    matmul per batch against the broadcast codebook. Shared by
+    :func:`ivf_topk` and :func:`ivfpq_topk`; also the unit the
+    candidate-fraction tests measure."""
+
+    def cell_dots(df: DataFrame, out_id: str) -> DataFrame:
+        return V.matrix_dots(df, vec_col, id_col, codebook, out_id=out_id).select(
+            out_id, F.posexplode("dots").alias("cell", "dot")
+        )
+
+    w_assign = W.partitionBy("cid").orderBy(F.col("dot").desc(), F.col("cell"))
+    corpus_cells = (
+        cell_dots(corpus, "cid")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(F.col("cid").alias("neighbor_id"), "cell")
+    )
+    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    query_cells = (
+        cell_dots(queries, "qid")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("qid").alias("query_id"), "cell")
+    )
+    return corpus_cells, query_cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,34 +182,9 @@ def ivf_topk(
     never cross-joins the queries — candidate count is ~n_probe/n_cells of
     the corpus per query.
     """
-    if train_iters > 0:
-        codebook = kmeans_codebook(
-            corpus, vec_col, id_col, k=n_cells, iters=train_iters
-        )
-    else:
-        cents = (
-            corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-        )  # K small vectors on the driver: the broadcast codebook
-        codebook = [[float(x) for x in row[0]] for row in cents]
-
-    def cell_dots(df: DataFrame, out_id: str) -> DataFrame:
-        return V.matrix_dots(df, vec_col, id_col, codebook, out_id=out_id).select(
-            out_id, F.posexplode("dots").alias("cell", "dot")
-        )
-
-    w_assign = W.partitionBy("cid").orderBy(F.col("dot").desc(), F.col("cell"))
-    corpus_cells = (
-        cell_dots(corpus, "cid")
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select(F.col("cid").alias("neighbor_id"), "cell")
-    )
-    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
-    query_cells = (
-        cell_dots(queries, "qid")
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= n_probe)
-        .select(F.col("qid").alias("query_id"), "cell")
+    codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, train_iters)
+    corpus_cells, query_cells = ivf_cell_assignments(
+        corpus, queries, codebook, vec_col, id_col, n_probe
     )
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -423,6 +449,21 @@ def pq_topk(
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
 
     local_top = coded.mapInPandas(_scan, out_schema)
+    return _exact_rerank_adc(local_top, corpus, queries, k, n_local, vec_col, id_col)
+
+
+def _exact_rerank_adc(
+    local_top: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_local: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC tail: global top-``n_local`` by ADC score per query, then
+    fetch real vectors for ONLY those candidates and re-rank by exact
+    (rounded, tie-broken) cosine."""
     w_adc = W.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
     cand = (
         local_top.withColumn("rn", F.row_number().over(w_adc))
@@ -441,3 +482,114 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    coarse_iters: int = 1,
+    pq_iters: int = 1,
+    refine: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: coarse cell routing + PQ-ADC scan of ONLY the probed cells.
+
+    The production composition of :func:`ivf_topk` and :func:`pq_topk`:
+    `pq_topk` ADC-scans ALL N codes per query; here each query probes its
+    ``n_probe`` nearest coarse cells and the ADC scan touches only those
+    cells' codes — candidate work drops to ~``n_probe/n_cells`` of the full
+    PQ scan, on codes that are already 32x smaller than the raw vectors.
+
+    Distributed shape (the 100 TB story):
+    - coarse + PQ codebooks train distributed (hash-agg updates; the driver
+      holds ``n_cells*dim + m*ksub*dsub`` floats only);
+    - corpus codes carry their cell id — at scale you'd WRITE the code table
+      partitioned/bucketed by ``cell`` so the `isin(probed)` filter becomes
+      partition pruning; here it is an ordinary pushed filter;
+    - the scan is partition-parallel `mapInPandas`, grouped by cell inside
+      each Arrow batch, scoring only the queries that probe that cell, and
+      emits per-partition local top-``refine*k`` per query;
+    - the exact re-rank fetches vectors for the surviving candidates only.
+
+    PQ quantizes RAW vectors (FAISS ``by_residual=false`` flavor): residual
+    encoding would couple the PQ codebooks to the coarse cells; the raw
+    flavor keeps codes cell-independent (one codebook set, simpler
+    re-ranking) at a small recall cost that ``refine`` absorbs.
+
+    Queries and their probe sets are collected for LUT construction —
+    query-set-sized, the same bound as `cosine_topk`'s broadcast.
+    """
+    import numpy as np
+
+    codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, coarse_iters)
+    corpus_cells, query_cells = ivf_cell_assignments(
+        corpus, queries, codebook, vec_col, id_col, n_probe
+    )
+    probes: dict[int, list] = {}
+    for r in query_cells.collect():  # Q*n_probe rows — query-sized
+        probes.setdefault(r.cell, []).append(r.query_id)
+
+    books = pq_codebooks(corpus, vec_col, id_col, m, ksub, pq_iters, dim)
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    dsub = B.shape[2]
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qidx = {qid: i for i, qid in enumerate(qids)}
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    LUT = np.einsum("qmd,mkd->qmk", Q.reshape(len(qids), m, dsub), B)
+    n_local = max(k * refine, k)
+    cell_queries = {
+        c: np.asarray([qidx[q] for q in qs], dtype=np.int64)
+        for c, qs in probes.items()
+    }
+
+    coded = (
+        pq_encode(corpus, books, vec_col, id_col, out_id="neighbor_id")
+        .join(corpus_cells, "neighbor_id")
+        # At scale: codes stored bucketed by cell -> this prunes partitions.
+        .where(F.col("cell").isin(sorted(probes)))
+        .select("neighbor_id", "cell", "codes")
+    )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = coded.schema["neighbor_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("adc", DoubleType()),
+        ]
+    )
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for cell, grp in pdf.groupby("cell") if len(pdf) else ():
+                qis = cell_queries.get(cell)
+                if qis is None or not len(grp):
+                    continue
+                codes = np.vstack([np.asarray(c, dtype=np.int64) for c in grp["codes"]])
+                nid = grp["neighbor_id"].to_numpy()
+                # scores[i, b] = sum_s LUT[qis[i], s, codes[b, s]]
+                scores = LUT[qis][:, np.arange(m)[None, :], codes].sum(axis=2)
+                top = min(n_local, scores.shape[1])
+                for row_i, qi in enumerate(qis):
+                    s = scores[row_i]
+                    idx = np.argpartition(-s, top - 1)[:top]
+                    for bi in idx:
+                        if nid[bi] != qids[qi]:
+                            rows.append((qids[qi], nid[bi], float(s[bi])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
+
+    local_top = coded.mapInPandas(_scan, out_schema)
+    return _exact_rerank_adc(local_top, corpus, queries, k, n_local, vec_col, id_col)

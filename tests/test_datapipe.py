@@ -479,3 +479,75 @@ def test_pq_codebooks_rejects_tiny_corpus_and_bad_dim(spark, embs):
         S.pq_codebooks(embs.limit(5), m=8, ksub=16, iters=0)
     with pytest.raises(ValueError, match="divide evenly"):
         S.pq_codebooks(embs.limit(64), m=7, ksub=16, iters=0, dim=64)
+
+
+def test_ivfpq_topk_recall_and_contract(spark, embs):
+    """IVF-PQ must recover most true neighbors despite scanning only the
+    probed cells' codes, and keep the top-k output contract."""
+    queries = embs.where(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(embs, queries, k=5).collect()
+    }
+    out = S.ivfpq_topk(
+        embs, queries, k=5, n_cells=16, n_probe=6, m=8, ksub=16,
+        coarse_iters=1, pq_iters=1,
+    )
+    rows = out.collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below floor"
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 8
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_ivfpq_scans_fraction_of_pq_candidates(spark, embs):
+    """The point of IVF-PQ vs PQ: the ADC scan touches ~n_probe/n_cells of
+    the corpus codes per query. Measured on the same cell assignments the
+    operator uses (corpus cell x query probe join), vs pq_topk's full scan
+    (N codes per query)."""
+    queries = embs.where(F.col("vec_id") < 8)
+    n_corpus, n_q, n_cells, n_probe = embs.count(), 8, 16, 4
+    codebook = S.ivf_train_or_init(embs, "embedding", "vec_id", n_cells, 1)
+    corpus_cells, query_cells = S.ivf_cell_assignments(
+        embs, queries, codebook, n_probe=n_probe
+    )
+    scanned = corpus_cells.join(query_cells, "cell").count()
+    pq_scanned = n_corpus * n_q  # pq_topk ADC-scores every code per query
+    frac = scanned / pq_scanned
+    ideal = n_probe / n_cells
+    # k-means cells are imbalanced on near-random data; allow 2x slack but
+    # require a real reduction vs the full PQ scan.
+    assert frac <= 2 * ideal, f"scanned fraction {frac:.3f} >> {ideal}"
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark, embs):
+    """Planted near-identical vectors must surface as SemDeDup pairs with
+    cosine ~1 (recall parity with the LSH near-dup path on true dups), and
+    every emitted pair must genuinely clear the threshold."""
+    base = embs.limit(100)
+    planted = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.col("label"),
+        # tiny deterministic perturbation: cosine stays ~0.9999
+        F.expr("transform(embedding, x -> CAST(x * 1.001 AS FLOAT))").alias("embedding"),
+    )
+    corpus = base.select("vec_id", "label", "embedding").unionByName(planted)
+    pairs = D.semantic_dedup_pairs(
+        corpus, threshold=0.9, n_clusters=8, train_iters=1
+    ).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    want = {(i, i + 10000) for i in range(5)}
+    assert want <= got, f"missing planted dups: {want - got}"
+    assert all(r.cosine >= 0.9 for r in pairs)
+    # LSH near-dup parity on the same planted set
+    lsh = {
+        (r.id1, r.id2)
+        for r in D.embedding_near_dup_pairs(
+            corpus, block_col=None, threshold=0.9
+        ).collect()
+    }
+    assert want <= lsh  # both paths agree on true duplicates
