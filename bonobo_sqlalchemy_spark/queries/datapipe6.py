@@ -28,7 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import bpe
 from ..operators.dedup import semantic_dedup_pairs
+from ..operators.packing import pack_sequences
 from ..operators.similarity import ivfpq_topk
 from ..sources.files import load_table
 from .base import query
@@ -68,3 +70,44 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         e, threshold=0.35, n_clusters=16, train_iters=1
     ).orderBy("id1", "id2")
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    docs = load_table(spark, sf_dir, "documents")
+    # 24 merges in 3 batched rounds: enough vocabulary to measurably
+    # compress, few enough rounds to keep the bench query tight. Training
+    # cost scales with DISTINCT words (one corpus shuffle up front), not
+    # corpus rows — see functions/bpe.py.
+    return bpe.bpe_train(docs, n_merges=24, merges_per_round=8)
+
+
+@query("z_text_bpe_tokens", oracle=None, tags=("text", "tokenize"), bench=True)
+def z_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware token counts: train a BPE merge table distributedly
+    (iterative pair-count hash-aggs over the distinct-word table), then
+    encode every document via one Arrow pass (functions/bpe.py). Rows-only
+    (training is iterative — not SQL-expressible; classic-BPE equivalence,
+    determinism and round-trip decode are asserted in tests/test_bpe.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_token_counts(docs, _bpe_merges(spark, sf_dir)).orderBy("doc_id")
+
+
+@query("z_text_pack_bpe", oracle=None, tags=("text", "packing"), bench=False)
+def z_text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by BPE tokens instead of whitespace tokens
+    — the budget a training data loader actually enforces. Same one-window
+    start-offset packing as `text_pack_sequences`, fed by the BPE counts;
+    output is per-(shard, bin) fill statistics. Rows-only (BPE training is
+    not SQL-expressible; the packing window itself is oracle-checked via
+    `text_pack_sequences`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe.bpe_token_counts(docs, _bpe_merges(spark, sf_dir))
+    packed = pack_sequences(counts, token_col="n_bpe_tokens", budget=2048, n_shards=8)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
