@@ -1,0 +1,199 @@
+"""Learned document-quality scoring: hashed n-gram features + logistic
+regression, trained with distributed gradient aggregation.
+
+The heuristic `functions.text.quality_score` (length/punct/stopword ratios)
+is what earlier rounds shipped; real pipelines train a fastText-style
+linear classifier (CCNet, LLaMA/GPT-3 quality filters) because learned
+n-gram weights generalize where hand ratios don't. This module is that
+classifier, Spark-first:
+
+- **Features**: hashed bag of word unigrams + bigrams (`xxhash64 % D`,
+  binary presence, plus a constant bias bucket). Extraction is pure
+  codegen — `split`/`transform`/`explode`/`distinct`, no Python in the
+  per-token path — and materializes once as a slim ``(id, bucket)`` frame
+  reused by every iteration (cached by the trainer).
+- **Training**: full-batch gradient descent on L2-regularized logistic
+  loss. Per iteration: margins = features ⋈ broadcast(weights) → per-doc
+  hash-agg; residuals join labels; gradient = per-bucket hash-agg
+  (D-sized result). ONLY the D-vector of gradients reaches the driver —
+  the same driver-holds-the-model shape as `similarity.kmeans_codebook`.
+  Deterministic: zero init, fixed iteration count and learning rate, and
+  feature hashing is content-derived (partitioning-invariant). Gradient
+  sums are IEEE doubles so the last bits can vary with aggregation order;
+  scores are rounded well above that noise floor.
+- **Weak labels**: the standard bootstrap — the heuristic's confident tails
+  (``quality_score >= hi`` → 1, ``<= lo`` → 0, middle band excluded) label
+  the training set; the model then scores EVERY document, including the
+  band the heuristic can't call. Callers with curated labels pass their
+  own label column instead.
+
+Scale: one corpus-sized feature extraction (reused), then per-iteration
+shuffles keyed on doc id and bucket id (D buckets — never skewed beyond
+hash balance). Nothing corpus-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+#: bias term rides as a dedicated bucket so the whole model is one vector
+BIAS = 0
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1024,
+) -> DataFrame:
+    """``(id, bucket)`` binary feature rows: hashed word unigrams + bigrams.
+
+    Buckets are ``1..n_features`` (0 is the bias, added here so every doc
+    — even an empty one — has at least the bias row).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    # zip_with pads the shorter side with null; concat propagates the null
+    # and the filter drops it — so bigrams are exactly the n-1 adjacent pairs.
+    grams = F.concat(
+        toks,
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            lambda g: g.isNotNull(),
+        ),
+    )
+    buckets = F.array_union(
+        F.array(F.lit(BIAS)),
+        F.transform(
+            grams,
+            lambda g: (F.pmod(F.xxhash64(g), F.lit(n_features)) + 1).cast("int"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(buckets).alias("bucket")
+    )
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_features: int = 1024,
+    iters: int = 8,
+    lr: float = 2.0,
+    reg: float = 1e-4,
+) -> list[float]:
+    """Train the LR weight vector; returns ``n_features + 1`` floats
+    (index 0 = bias). ``labeled`` needs ``label_col`` in {0, 1}.
+
+    Full-batch GD: with binary features and L2 loss the objective is
+    convex; fixed ``iters``/``lr`` keep training deterministic (no RNG
+    anywhere — init is zeros, hashing is content-derived).
+    """
+    spark = labeled.sparkSession
+    feats = hashed_ngram_features(labeled, text_col, id_col, n_features)
+    feats = feats.localCheckpoint()  # extract once; every iteration reuses
+    lbl = labeled.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
+    )
+    n = lbl.count()
+    w = [0.0] * (n_features + 1)
+    for _ in range(max(1, iters)):
+        wdf = spark.createDataFrame(
+            [(i, wi) for i, wi in enumerate(w) if wi != 0.0] or [(BIAS, 0.0)],
+            "bucket int, w double",
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("id")
+            .agg(F.sum(F.coalesce("w", F.lit(0.0))).alias("margin"))
+        )
+        resid = margins.join(lbl, "id").select(
+            "id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y")).alias("r"),
+        )
+        grad_rows = (
+            feats.join(resid, "id")
+            .groupBy("bucket")
+            .agg(F.sum("r").alias("g"))
+            .collect()  # D-sized: the model gradient, never the data
+        )
+        grad = [0.0] * (n_features + 1)
+        for row in grad_rows:
+            grad[row.bucket] = row.g / n
+        w = [
+            wi - lr * (gi + (reg * wi if i != BIAS else 0.0))
+            for i, (wi, gi) in enumerate(zip(w, grad))
+        ]
+    return w
+
+
+def score_quality(
+    docs: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "q_prob",
+    digits: int = 6,
+) -> DataFrame:
+    """``(id, q_prob)``: sigmoid of the hashed-feature margin under
+    ``weights``. The weight vector compiles into a broadcast join — scoring
+    is the same two hash-aggs as one training margin pass, all codegen."""
+    spark = docs.sparkSession
+    n_features = len(weights) - 1
+    feats = hashed_ngram_features(docs, text_col, id_col, n_features)
+    wdf = spark.createDataFrame(
+        [(i, wi) for i, wi in enumerate(weights) if wi != 0.0] or [(BIAS, 0.0)],
+        "bucket int, w double",
+    )
+    return (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("id")
+        .agg(F.sum(F.coalesce("w", F.lit(0.0))).alias("margin"))
+        .select(
+            F.col("id").alias(id_col),
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), digits
+            ).alias(out_col),
+        )
+    )
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hi: float = 0.75,
+    lo: float = 0.45,
+    n_features: int = 1024,
+    iters: int = 8,
+) -> DataFrame:
+    """End-to-end weak-label bootstrap: heuristic tails label the training
+    set, the learned model scores every document. Returns
+    ``(id, heuristic, label, q_prob)`` (label NULL for the excluded band).
+    """
+    base = docs.select(
+        F.col(id_col), F.col(text_col), T.quality_score(F.col(text_col)).alias("heuristic")
+    )
+    labeled = base.withColumn(
+        "label",
+        F.when(F.col("heuristic") >= hi, 1.0)
+        .when(F.col("heuristic") <= lo, 0.0),
+    )
+    train = labeled.where(F.col("label").isNotNull())
+    w = train_quality_model(
+        train, text_col, id_col, "label", n_features=n_features, iters=iters
+    )
+    scores = score_quality(docs, w, text_col, id_col)
+    return labeled.select(id_col, "heuristic", "label").join(scores, id_col)

@@ -111,3 +111,20 @@ def z_text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "bin")
     )
+
+
+@query("z_text_quality_model", oracle=None, tags=("text", "ml"), bench=False)
+def z_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scoring: hashed n-gram logistic regression trained by
+    distributed gradient aggregation on weak labels from the heuristic's
+    confident tails, then scoring EVERY document (operators/quality.py).
+    Deterministic (zero init, fixed iters/lr, content-derived hashing).
+    Rows-only: iterative training is not SQL-expressible; separation on
+    planted clean/junk docs is asserted in tests/test_quality.py. Excluded
+    from the headline bench: per-iteration scheduler overhead dominates at
+    test SFs (the per-iteration plans are ordinary hash-aggs that scale like
+    every other bench query)."""
+    from ..operators.quality import quality_model_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_model_scores(docs, iters=6).orderBy("doc_id")
