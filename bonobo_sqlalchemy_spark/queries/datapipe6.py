@@ -128,3 +128,127 @@ def z_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_model_scores(docs, iters=6).orderBy("doc_id")
+
+
+def _stream_join_outer(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    from ..streaming.joins import stream_interval_join
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, errors, on=["user_id"], max_delay="1 hour",
+        watermark="2 hours", how=how,
+    )
+    out = joined.select(
+        "user_id",
+        F.col("event_id_l").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        F.date_format("ts_l", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+    name = f"z_stream_join_{how}_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# Shared oracle scaffolding for the outer stream joins (mirrors
+# z_stream_join_left in datapipe5.py): W is Spark's global watermark under
+# the default 'min' multiple-watermark policy; an unmatched LEFT row
+# null-emits iff its match window closed strictly before W
+# (p.ts + 1h < W), an unmatched RIGHT row iff the watermark passed its own
+# event time (e.ts < W) — both rules verified against real Spark runs in
+# tests/test_streaming.py::test_stream_join_outer_matrix_null_emission.
+_STREAM_JOIN_CTES = """
+    WITH p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'error'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) FROM p),
+                   (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) FROM e))
+             - INTERVAL 2 HOUR AS w
+    )
+"""
+
+_STREAM_JOIN_INNER = """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+_STREAM_JOIN_UNMATCHED_RIGHT = """
+    SELECT e.user_id, NULL, e.event_id, NULL, strftime(e.ts, '%Y-%m-%d %H:%M:%S')
+    FROM e, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = e.user_id
+              AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+          )
+      AND e.ts < wm.w
+"""
+
+_STREAM_JOIN_UNMATCHED_LEFT = """
+    SELECT p.user_id, p.event_id, NULL, strftime(p.ts, '%Y-%m-%d %H:%M:%S'), NULL
+    FROM p, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM e
+            WHERE e.user_id = p.user_id
+              AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+          )
+      AND p.ts + INTERVAL 1 HOUR < wm.w
+"""
+
+
+@query(
+    "z_stream_join_right",
+    oracle=_STREAM_JOIN_CTES + _STREAM_JOIN_INNER
+    + " UNION ALL " + _STREAM_JOIN_UNMATCHED_RIGHT,
+    tags=("streaming", "join"),
+)
+def z_stream_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream RIGHT OUTER interval join: every error, matched to
+    the purchase it followed within an hour, or null-padded once the
+    watermark passes the error's own event time (e.ts < W — the right
+    side's eviction rule: a new purchase must arrive with ts >= W and the
+    condition needs p.ts <= e.ts, so e.ts < W proves no match can still
+    come). Same state bounds as the inner join (`streaming/joins.py`)."""
+    return _stream_join_outer(spark, sf_dir, "right_outer")
+
+
+@query(
+    "z_stream_join_full",
+    oracle=_STREAM_JOIN_CTES + _STREAM_JOIN_INNER
+    + " UNION ALL " + _STREAM_JOIN_UNMATCHED_LEFT
+    + " UNION ALL " + _STREAM_JOIN_UNMATCHED_RIGHT,
+    tags=("streaming", "join"),
+)
+def z_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream FULL OUTER interval join — the join-matrix
+    completion: inner matches plus BOTH sides' watermark-proven unmatched
+    rows (left emits when p.ts + 1h < W, right when e.ts < W; both rules
+    verified against live Spark runs in tests). The oracle is the union of
+    the left- and right-outer oracles' null branches over the shared inner
+    core."""
+    return _stream_join_outer(spark, sf_dir, "full_outer")

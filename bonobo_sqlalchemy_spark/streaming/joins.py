@@ -52,4 +52,11 @@ def stream_interval_join(
     )
     for k in on:
         cond = cond & (F.col(k) == F.col(f"{k}_r"))
-    return l.join(r, on=cond, how=how).drop(*[f"{k}_r" for k in on])
+    joined = l.join(r, on=cond, how=how)
+    # Outer joins null-pad one whole side; the key columns must survive for
+    # unmatched rows of EITHER side, so coalesce the two sides' copies
+    # (no-op for inner/left_outer, where the left copy is always present).
+    return joined.select(
+        *[F.coalesce(F.col(k), F.col(f"{k}_r")).alias(k) for k in on],
+        *[c for c in joined.columns if c not in set(on) | {f"{k}_r" for k in on}],
+    )

@@ -397,3 +397,54 @@ def test_stream_join_state_is_watermark_bounded(spark, sf_small):
         f"state holds {n_state} of {n_input} input rows — eviction not working"
     )
     assert final["numRowsRemoved"] > 0  # eviction actually ran
+
+
+def test_stream_join_outer_matrix_null_emission(spark, tmp_path):
+    """Hand fixture proving BOTH sides' watermark null-emission rules (the
+    rules the z_stream_join_{left,right,full} oracles encode):
+
+    - watermark W = min(max left ts, max right ts) - 2h = t0+38h here;
+    - unmatched LEFT (purchase) emits iff its match window closed before W
+      (ts + 1h < W): P2 (10h) emits, P3 (40h) is withheld;
+    - unmatched RIGHT (error) emits iff W passed its own event time
+      (ts < W): E2 (12h), E4 (5h) emit, E9 (41h) is withheld;
+    - join keys survive null-padded rows on either side (regression for
+      the left-copy-only key bug).
+    """
+    from bonobo_sqlalchemy_spark.streaming.joins import stream_interval_join
+
+    t0 = "2026-01-01 00:00:00"
+    p_rows = [("u1", "P1", 0.0), ("u2", "P2", 10.0), ("u3", "P3", 40.0)]
+    e_rows = [("u1", "E1", 0.5), ("u2", "E2", 12.0), ("u4", "E4", 5.0), ("u9", "E9", 41.0)]
+    for name, rows in (("p", p_rows), ("e", e_rows)):
+        spark.createDataFrame(rows, "user_id string, event_id string, h double").select(
+            "user_id",
+            "event_id",
+            F.expr(f"timestamp'{t0}' + make_interval(0,0,0,0,0,0, h*3600)").alias("ts"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+    schema = "user_id string, event_id string, ts timestamp"
+    want = {
+        "left_outer": {("P1", "E1", "u1"), ("P2", None, "u2")},
+        "right_outer": {("P1", "E1", "u1"), (None, "E2", "u2"), (None, "E4", "u4")},
+        "full_outer": {
+            ("P1", "E1", "u1"), ("P2", None, "u2"),
+            (None, "E2", "u2"), (None, "E4", "u4"),
+        },
+    }
+    for how, expect in want.items():
+        sp = spark.readStream.schema(schema).parquet(str(tmp_path / "p"))
+        se = spark.readStream.schema(schema).parquet(str(tmp_path / "e"))
+        j = stream_interval_join(
+            sp, se, on=["user_id"], max_delay="1 hour", watermark="2 hours", how=how
+        )
+        qn = f"t_matrix_{how}"
+        q = (
+            j.writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id_l, r.event_id_r, r.user_id)
+            for r in spark.table(qn).collect()
+        }
+        assert got == expect, (how, got)
