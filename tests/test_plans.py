@@ -84,19 +84,36 @@ NO_CARTESIAN_EXEMPT = {
 }
 
 
+# Queries that EXECUTE a streaming job on call (writeStream + awaitTermination
+# returns a materialized memory table) — their "plan" is a LocalTableScan, so
+# sweeping them proves nothing and costs a full streaming run each. Their
+# plan quality is covered by the streaming suite's state-metrics gates.
+EXECUTES_ON_CALL_PREFIXES = ("stream", "z_stream")
+
+
 def test_no_accidental_cartesian_products(spark):
     """Neither CartesianProduct nor an unexempted BroadcastNestedLoopJoin:
-    both are the signature of a join that lost its equi-condition."""
-    offenders = []
+    both are the signature of a join that lost its equi-condition.
+
+    ZERO tolerated exceptions: every registered query must either be in a
+    documented skip set or produce a plan — a formerly-planning query that
+    starts throwing fails the sweep instead of silently dropping out (the
+    round-5 `except: continue` hole)."""
+    offenders, broke = [], []
+    swept = 0
     for name in REGISTRY:
-        if name in NO_CARTESIAN_EXEMPT or name.startswith("stream"):
+        if name in NO_CARTESIAN_EXEMPT or name.startswith(EXECUTES_ON_CALL_PREFIXES):
             continue
         try:
             plan = plan_of(spark, name)
-        except Exception:
-            continue  # execution-time queries checked elsewhere
+        except Exception as exc:
+            broke.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        swept += 1
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
+    assert not broke, f"queries no longer plan-constructible: {broke}"
+    assert swept >= 100, f"sweep shrank to {swept} queries — skip set too wide?"
     assert not offenders, f"cartesian/nested-loop products in: {offenders}"
 
 
