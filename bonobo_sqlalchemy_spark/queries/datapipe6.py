@@ -252,3 +252,187 @@ def z_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left- and right-outer oracles' null branches over the shared inner
     core."""
     return _stream_join_outer(spark, sf_dir, "full_outer")
+
+
+@query(
+    "z_text_boilerplate_strip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(w[chunk_id*16+1 : chunk_id*16+16], ' ') AS txt,
+             md5(array_to_string(w[chunk_id*16+1 : chunk_id*16+16], ' ')) AS g
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS chunk_id
+        FROM d
+      )
+    ), df AS (
+      SELECT g, COUNT(*) AS n_docs FROM (SELECT DISTINCT doc_id, g FROM c) GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN n_docs <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(CASE WHEN n_docs <= 1 THEN txt END, ' '
+                                   ORDER BY chunk_id), '')) AS clean_md5
+    FROM c JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "quality"),
+    bench=True,
+)
+def z_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (CCNet/RefinedWeb passage dedup, adapted to the
+    corpus's flat word streams): drop every 16-token chunk whose document
+    frequency exceeds 1 — shared chunks are templated/boilerplate content —
+    and reconstruct the cleaned document from the surviving chunks in
+    order. Extends `z_text_dup_chunk_ratio` from MEASURING sub-document
+    duplication to actually REWRITING the corpus, which is the operation a
+    curation pipeline runs.
+
+    Plan shape: narrow codegen chunking, one hash-agg for chunk document
+    frequency, one equi-join back, one per-doc fold (array_sort keeps
+    chunk order without a window) — the same bounded-shuffle shape as the
+    ratio query; every doc emits a row even when all its chunks drop.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("w")
+    )
+    c = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(16.0)).cast("bigint") - 1)
+        ).alias("chunk_id"),
+        "w",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", F.expr("slice(w, chunk_id*16+1, 16)")).alias("txt"),
+    ).withColumn("g", F.md5(F.col("txt").cast("binary")))
+    df_counts = (
+        c.dropDuplicates(["doc_id", "g"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    keep = F.col("n_docs") <= 1
+    return (
+        c.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~keep).cast("int")).cast("bigint").alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("chunk_id", keep.alias("keep"), "txt")
+                                )
+                            ),
+                            lambda x: x["keep"],
+                        ),
+                        lambda x: x["txt"],
+                    ),
+                ).cast("binary")
+            ).alias("clean_md5"),
+        )
+    )
+
+
+@query(
+    "z_sample_by_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c) AS n FROM vocab
+    ), scored AS (
+      SELECT doc_id,
+             SUM(ln(c / (SELECT n FROM tot))) / COUNT(*) AS avg_logprob
+      FROM t JOIN vocab USING (tok)
+      GROUP BY doc_id
+    ), decile AS (
+      SELECT s.doc_id, d.lang,
+             NTILE(10) OVER (PARTITION BY d.lang
+                             ORDER BY s.avg_logprob DESC, s.doc_id) AS q
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, q AS quality_decile FROM decile
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 1000
+          < CASE WHEN q <= 3 THEN 1000 WHEN q <= 7 THEN 500 ELSE 100 END
+    """,
+    tags=("text", "split", "ml"),
+)
+def z_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified sampling, CCNet's head/middle/tail construction:
+    score every document with the unigram LM (`z_text_unigram_logprob`'s
+    fluency signal), rank into PER-LANGUAGE deciles (CCNet buckets by
+    perplexity within each language, never globally — quality distributions
+    differ per language), then keep ALL of the top 3 deciles, half of the
+    middle 4, and 10% of the bottom 3. Sampling is the same deterministic
+    md5-bucket rule as `text_stratified_sample` (content-derived,
+    partitioning-invariant), so the whole query is value-exact against the
+    oracle. One token shuffle (scoring), one lang-partitioned window
+    (deciles — no global single-partition sort; a mega-language would swap
+    to boundary assignment from percentile_approx, same output contract),
+    zero extra passes for the sample itself."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg((F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1))).alias("avg_logprob"))
+    )
+    decile = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.ntile(10)
+        .over(
+            W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+        )
+        .alias("quality_decile"),
+    )
+    rate = (
+        F.when(F.col("quality_decile") <= 3, 1000)
+        .when(F.col("quality_decile") <= 7, 500)
+        .otherwise(100)
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    return decile.where(bucket.cast("int") % 1000 < rate)
+
+
+@query("z_dedup_semantic_survivors", oracle=None, tags=("dedup", "sketch"))
+def z_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: cluster-blocked cosine pairs -> connected
+    components -> quality-aware survivorship keeping the highest-norm
+    member of each duplicate group (norm stands in for the quality score a
+    curation run would supply). The full composition a 100 TB semantic
+    dedup actually executes. Rows-only (components are iterative); the
+    pair stage is recall-tested, survivorship is oracle-checked for the
+    text path via `dedup_survivors`."""
+    from ..functions import vectors as V
+    from ..operators.dedup import best_survivors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id", "embedding", F.round(F.sqrt(V.norm_sq("embedding")), 9).alias("nrm")
+    )
+    pairs = semantic_dedup_pairs(scored, threshold=0.35, n_clusters=16, train_iters=1)
+    return best_survivors(
+        scored.select("vec_id", "nrm"), pairs, score_col="nrm", id_col="vec_id"
+    ).orderBy("component")

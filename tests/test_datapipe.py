@@ -551,3 +551,64 @@ def test_semantic_dedup_finds_planted_duplicates(spark, embs):
         ).collect()
     }
     assert want <= lsh  # both paths agree on true duplicates
+
+
+def test_boilerplate_strip_removes_shared_chunks(spark):
+    """A 16-token chunk planted in several docs must be stripped from all of
+    them; unique content survives verbatim (md5 of the normalized text)."""
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(16))  # one exact chunk
+    uniq = [" ".join(f"u{d}w{i}" for i in range(16)) for d in range(3)]
+    rows = [(d, f"{boiler} {uniq[d]}") for d in range(3)] + [(99, uniq[0])]
+    # doc 99 shares its chunk with doc 0's unique part -> both drop it
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in _boilerplate_on(docs).collect()}
+    assert out[1].n_dropped == 1 and out[1].n_kept == 1
+    assert out[1].clean_md5 == hashlib.md5(uniq[1].encode()).hexdigest()
+    assert out[0].n_kept == 0 and out[0].n_dropped == 2  # boiler + shared-with-99
+    assert out[0].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert out[99].n_kept == 0  # its only chunk is shared with doc 0
+
+
+def _boilerplate_on(docs):
+    """Apply z_text_boilerplate_strip's plan to an in-memory documents df."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs.select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("src").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from bonobo_sqlalchemy_spark.queries import REGISTRY
+
+    return REGISTRY["z_text_boilerplate_strip"].spark(docs.sparkSession, tmp)
+
+
+def test_semantic_survivors_keep_best_member(spark, embs):
+    """Planted duplicate pairs: the survivor must be the higher-norm member
+    of each component (quality-aware survivorship on the semantic path)."""
+    from bonobo_sqlalchemy_spark.functions import vectors as V
+
+    base = embs.limit(50)
+    planted = base.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.col("label"),
+        # scaled up: same direction (cosine ~1), LARGER norm -> must win
+        F.expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))").alias("embedding"),
+    )
+    corpus = base.select("vec_id", "label", "embedding").unionByName(planted)
+    scored = corpus.select(
+        "vec_id", "embedding", F.round(F.sqrt(V.norm_sq("embedding")), 9).alias("nrm")
+    )
+    from bonobo_sqlalchemy_spark.operators.dedup import best_survivors, semantic_dedup_pairs
+
+    pairs = semantic_dedup_pairs(scored, threshold=0.9, n_clusters=4, train_iters=1)
+    surv = best_survivors(
+        scored.select("vec_id", "nrm"), pairs, score_col="nrm", id_col="vec_id"
+    )
+    by_comp = {r.component: r for r in surv.collect()}
+    for i in range(3):
+        comp = by_comp.get(i)  # component label = min member id = original id
+        assert comp is not None and comp.survivor_id == i + 10000, (i, comp)
