@@ -436,3 +436,29 @@ def z_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_survivors(
         scored.select("vec_id", "nrm"), pairs, score_col="nrm", id_col="vec_id"
     ).orderBy("component")
+
+
+@query("z_stream_heavy_hitters", oracle=None, tags=("streaming", "sketch"))
+def z_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming Misra-Gries heavy hitters: state is `capacity`
+    counters per hash shard TOTAL (not per key — the thing that makes
+    exact streaming counts unscalable at 100 TB key cardinalities), with
+    the mergeable-summaries guarantee est <= true <= est + max_err and
+    every key above N/capacity surviving. Rows-only (sketch content is
+    not SQL-expressible; the frequency guarantees are asserted against
+    exact batch counts in tests/test_streaming.py)."""
+    from ..streaming.sketches import final_sketch, heavy_hitters_stream
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = heavy_hitters_stream(ev, key_col="user_id", capacity=16, n_shards=4)
+    name = "z_stream_hh_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return final_sketch(spark.table(name)).orderBy("shard", "key")

@@ -1,0 +1,130 @@
+"""Streaming heavy-hitters sketch: sharded Misra-Gries over
+``applyInPandasWithState``.
+
+Exact per-key streaming counts (``stateful.running_user_stats``) hold one
+state row per key — at 100 TB key cardinalities (users, URLs, n-grams)
+that is the thing that does NOT scale. The Misra-Gries / space-saving
+sketch bounds state at ``capacity`` counters per shard TOTAL and still
+guarantees every key with true frequency > N/capacity survives, with
+``est <= true <= est + max_err`` (max_err = the shard's cumulative
+decrement) — the mergeable-summaries result (Agarwal et al., PODS'12).
+
+Distributed shape: the stream hash-shards by key (each key lives in
+exactly ONE shard, so shard sketches union without cross-shard merging),
+each shard's sketch lives in the state store keyed by shard id, and every
+micro-batch folds in ONE pandas ``value_counts`` (exact within the batch)
+followed by a deterministic merge + eviction — counts first, then key, so
+the sketch content is independent of row order within the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUTPUT_SCHEMA = (
+    "shard int, key string, est_count bigint, max_err bigint, batch_seq bigint"
+)
+STATE_SCHEMA = (
+    "keys array<string>, counts array<bigint>, dec bigint, seq bigint"
+)
+
+
+def _mg_merge(
+    sketch: dict[str, int], batch_counts: dict[str, int], capacity: int, dec: int
+) -> tuple[dict[str, int], int]:
+    """Merge exact batch counts into a Misra-Gries sketch of ``capacity``.
+
+    Deterministic: batch keys fold in (count desc, key asc) order, and the
+    overflow decrement removes the same keys regardless of dict order.
+    Returns the new sketch and the cumulative decrement (the error bound).
+    """
+    for key, cnt in sorted(batch_counts.items(), key=lambda kv: (-kv[1], kv[0])):
+        sketch[key] = sketch.get(key, 0) + cnt
+    # Evict down to capacity: repeatedly subtract the (capacity+1)-th
+    # largest count from everyone and drop non-positive counters — the
+    # batched form of MG's one-at-a-time decrement, same guarantees.
+    while len(sketch) > capacity:
+        bar = sorted(sketch.values(), reverse=True)[capacity]
+        dec += bar
+        sketch = {k: c - bar for k, c in sketch.items() if c - bar > 0}
+    return sketch, dec
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 16,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Per-shard Misra-Gries heavy hitters over a stream.
+
+    Emits each shard's full sketch every micro-batch (update mode):
+    ``(shard, key, est_count, max_err, batch_seq)``; collapse with
+    :func:`final_sketch` after the run. State per shard is exactly
+    ``capacity`` counters + one decrement total — bounded regardless of
+    key cardinality or stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            keys, counts, dec, seq = state.get
+            sketch = dict(zip(keys, (int(c) for c in counts)))
+        else:
+            sketch, dec, seq = {}, 0, 0
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for k, c in pdf["__key"].value_counts().items():
+                batch[str(k)] = batch.get(str(k), 0) + int(c)
+        if not batch and not state.exists:
+            return
+        sketch, dec = _mg_merge(sketch, batch, capacity, dec)
+        seq += 1
+        ks = sorted(sketch)  # deterministic state + emission order
+        state.update((ks, [sketch[k] for k in ks], dec, seq))
+        yield pd.DataFrame(
+            [
+                {
+                    "shard": key[0],
+                    "key": k,
+                    "est_count": sketch[k],
+                    "max_err": dec,
+                    "batch_seq": seq,
+                }
+                for k in ks
+            ]
+        )
+
+    sharded = events.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(key_col).cast("string").alias("__key"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_sketch(update_log: DataFrame) -> DataFrame:
+    """Collapse the update-mode emission log to each shard's FINAL sketch:
+    rows from the shard's highest batch_seq (keys evicted earlier are
+    correctly absent). Shards partition the key space, so the union of
+    final shard sketches IS the global sketch."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard")
+    return (
+        update_log.withColumn("__max_seq", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("__max_seq"))
+        .select("shard", "key", "est_count", "max_err")
+    )

@@ -448,3 +448,52 @@ def test_stream_join_outer_matrix_null_emission(spark, tmp_path):
             for r in spark.table(qn).collect()
         }
         assert got == expect, (how, got)
+
+
+def test_heavy_hitters_sketch_guarantees(spark, tmp_path):
+    """Misra-Gries invariants on a planted-skew stream, replayed in
+    MULTIPLE micro-batches (cross-batch state merge):
+
+    - bounded state: each shard's final sketch has <= capacity rows;
+    - the planted heavy key (50% of the stream) survives eviction;
+    - estimates honestly bracket truth: est <= true <= est + max_err.
+    """
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        final_sketch,
+        heavy_hitters_stream,
+    )
+
+    heavy = [("hot",)] * 600
+    light = [(f"u{i % 120}",) for i in range(600)]
+    rows = heavy + light
+    df = spark.createDataFrame(rows, "user_id string")
+    # several files -> several availableNow micro-batches with
+    # maxFilesPerTrigger=1, exercising the cross-batch sketch merge
+    df.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    stream = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "s"))
+    )
+    sk = heavy_hitters_stream(stream, key_col="user_id", capacity=8, n_shards=2)
+    q = (
+        sk.writeStream.format("memory").queryName("t_hh")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    final = final_sketch(spark.table("t_hh")).collect()
+    per_shard = {}
+    for r in final:
+        per_shard.setdefault(r.shard, []).append(r)
+    assert all(len(v) <= 8 for v in per_shard.values()), "state not bounded"
+    truth = {str(k): c for (k,), c in
+             __import__("collections").Counter(rows).items()}
+    got = {r.key: r for r in final}
+    assert "hot" in got, "planted heavy hitter evicted"
+    for key, r in got.items():
+        t = truth[key]
+        assert r.est_count <= t <= r.est_count + r.max_err, (key, r, t)
+    # the heavy key's estimate must dominate every surviving light key
+    assert got["hot"].est_count > max(
+        r.est_count for k, r in got.items() if k != "hot"
+    )
