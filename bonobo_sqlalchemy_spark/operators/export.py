@@ -1,0 +1,149 @@
+"""Training-shard export: the last mile of a curation pipeline.
+
+A data loader consumes a corpus as a fixed set of similar-sized shards
+with a manifest (shard -> file, row count, token count, content hash) it
+can schedule, resume, and verify against. This module writes that layout
+Spark-first:
+
+- **Sharding** is content-derived (`functions.text.split_bucket` md5
+  hashing on the order key) — deterministic for a given corpus regardless
+  of input partitioning, so re-running the export reproduces the same
+  shard membership bit-for-bit.
+- **Layout**: one directory per shard (``shard=K/``, hive-style) with one
+  file per shard (each shard repartitions to 1 file — shards ARE the unit
+  of loader parallelism; pick ``n_shards`` so a shard is ~100MB-1GB at
+  your scale, NOT one giant file).
+- **Manifest**: per-shard row count, token total, and an order-insensitive
+  content hash (sum of per-row md5 prefixes — commutative, so partition
+  order can't flake it), computed in the SAME job that writes (one pass),
+  plus a ``_MANIFEST.json`` sidecar written after all shards commit. A
+  resumed/verified load recomputes a shard's hash and compares.
+
+The writer intentionally emits the manifest only AFTER the data write
+completes (write-then-publish): a crashed export leaves data files but no
+manifest, so loaders treat the directory as absent — the same
+publish-last protocol as `operators/scd2.py`'s directory swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def shard_manifest(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    n_shards: int = 16,
+) -> DataFrame:
+    """``(shard, n_rows, n_tokens, content_hash)`` without writing anything.
+
+    ``content_hash`` sums each FULL row's 28-bit xxhash64 over a sorted
+    column list — commutative and associative, so the hash is independent
+    of partitioning and row order; 28 bits per row keeps the BIGINT sum
+    overflow-free (ANSI mode would throw on wrap) up to ~2^35 rows per
+    shard while still flipping on any single-row add/drop/corruption with
+    ~1-2^-28 probability — an integrity check, not a cryptographic one.
+    """
+    shard = T.split_bucket(F.col(order_col), n_shards)
+    hash_cols = sorted(c for c in df.columns if c != "shard")
+    row_h = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(1 << 28))
+    toks = F.col(token_col) if token_col else F.lit(0)
+    return (
+        df.select(shard.alias("shard"), row_h.alias("__h"), toks.alias("__t"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+            F.sum("__h").cast("bigint").alias("content_hash"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    n_shards: int = 16,
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``shard=K/`` directories + ``_MANIFEST.json``; returns the
+    manifest dict. One data pass computes the manifest aggregates; the
+    hive-partitioned write repartitions BY SHARD so each shard lands as
+    one file (the loader's scheduling unit)."""
+    shard = T.split_bucket(F.col(order_col), n_shards)
+    data = df.withColumn("shard", shard)
+    (
+        data.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order_col)  # stable in-file order
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("shard")
+        .save(path)
+    )
+    rows = shard_manifest(df, order_col, token_col, n_shards).collect()
+    manifest = {
+        "n_shards": n_shards,
+        "order_col": order_col,
+        "token_col": token_col,
+        "format": fmt,
+        "shards": {
+            str(r.shard): {
+                "n_rows": r.n_rows,
+                "n_tokens": r.n_tokens,
+                "content_hash": r.content_hash,
+            }
+            for r in sorted(rows, key=lambda r: r.shard)
+        },
+    }
+    # publish-last: the manifest appears only after every shard committed
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Recompute every shard's (n_rows, content_hash) from the written files
+    and compare against the manifest: ``(shard, ok, n_rows_expected,
+    n_rows_actual, hash_match)``. The loader-side integrity check."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    expected = manifest["shards"]
+    data = spark.read.format(manifest["format"]).load(path)
+    actual = shard_manifest(
+        data,
+        order_col=manifest["order_col"],
+        token_col=manifest["token_col"],
+        n_shards=manifest["n_shards"],
+    )
+    spark_expected = spark.createDataFrame(
+        [
+            (int(k), v["n_rows"], v["content_hash"])
+            for k, v in expected.items()
+        ],
+        "shard int, n_rows_expected bigint, hash_expected bigint",
+    )
+    return (
+        actual.join(F.broadcast(spark_expected), "shard", "full")
+        .select(
+            "shard",
+            F.col("n_rows_expected"),
+            F.col("n_rows").alias("n_rows_actual"),
+            (F.col("content_hash") == F.col("hash_expected")).alias("hash_match"),
+            (
+                (F.col("n_rows") == F.col("n_rows_expected"))
+                & (F.col("content_hash") == F.col("hash_expected"))
+            ).alias("ok"),
+        )
+    )

@@ -462,3 +462,31 @@ def z_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return final_sketch(spark.table(name)).orderBy("shard", "key")
+
+
+@query(
+    "z_export_manifest",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("export", "sink"),
+)
+def z_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest aggregates (operators/export.py): content-
+    derived md5 shard assignment + per-shard row/token totals in ONE pass —
+    what the export writer records for the data loader to schedule and
+    verify against. The content_hash column is xxhash64-based (no DuckDB
+    twin) and is round-trip + corruption-detection tested in
+    tests/test_export.py; the oracle checks the shard/row/token aggregates
+    value-exactly."""
+    from ..operators.export import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(
+        docs, order_col="doc_id", token_col="n_chars", n_shards=8
+    ).select("shard", "n_rows", "n_tokens")
