@@ -63,3 +63,68 @@ def positional_bigrams(words_col: str | Column) -> Column:
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
     )
+
+
+def strip_shared_chunks(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    max_df: int = 1,
+) -> "DataFrame":
+    """Boilerplate removal (CCNet/RefinedWeb passage dedup over flat word
+    streams): drop every ``chunk_tokens``-token chunk whose document
+    frequency exceeds ``max_df`` and rebuild the document from the
+    surviving chunks in order. Returns ``(id, clean_text, n_kept,
+    n_dropped)`` — one row per input document, empty ``clean_text`` when
+    everything was boilerplate.
+
+    Plan shape: narrow codegen chunking, one hash-agg for chunk document
+    frequency, one equi-join back, one per-doc ``array_sort`` fold (no
+    window). The chunk stream carries (id, chunk_id, text) only — the
+    document never rides the df shuffle twice.
+    """
+    from pyspark.sql import functions as F
+
+    d = docs.select(
+        F.col(id_col).alias("__id"), F.split(F.trim(F.col(text_col)), " +").alias("w")
+    )
+    k = int(chunk_tokens)
+    c = d.select(
+        "__id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(float(k))).cast("bigint") - 1)
+        ).alias("chunk_id"),
+        "w",
+    ).select(
+        "__id",
+        "chunk_id",
+        F.concat_ws(" ", F.expr(f"slice(w, chunk_id*{k}+1, {k})")).alias("txt"),
+    ).withColumn("g", F.md5(F.col("txt").cast("binary")))
+    df_counts = (
+        c.dropDuplicates(["__id", "g"])
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    keep = F.col("n_docs") <= max_df
+    return (
+        c.join(df_counts, "g")
+        .groupBy("__id")
+        .agg(
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~keep).cast("int")).cast("bigint").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", keep.alias("keep"), "txt"))
+                        ),
+                        lambda x: x["keep"],
+                    ),
+                    lambda x: x["txt"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(F.col("__id").alias(id_col), "clean_text", "n_kept", "n_dropped")
+    )

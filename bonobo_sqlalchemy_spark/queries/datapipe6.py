@@ -296,49 +296,14 @@ def z_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk order without a window) — the same bounded-shuffle shape as the
     ratio query; every doc emits a row even when all its chunks drop.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), " +").alias("w")
-    )
-    c = d.select(
+    from ..functions.cleaning import strip_shared_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_shared_chunks(docs, chunk_tokens=16, max_df=1).select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(16.0)).cast("bigint") - 1)
-        ).alias("chunk_id"),
-        "w",
-    ).select(
-        "doc_id",
-        "chunk_id",
-        F.concat_ws(" ", F.expr("slice(w, chunk_id*16+1, 16)")).alias("txt"),
-    ).withColumn("g", F.md5(F.col("txt").cast("binary")))
-    df_counts = (
-        c.dropDuplicates(["doc_id", "g"])
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    keep = F.col("n_docs") <= 1
-    return (
-        c.join(df_counts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
-            F.sum((~keep).cast("int")).cast("bigint").alias("n_dropped"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.filter(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("chunk_id", keep.alias("keep"), "txt")
-                                )
-                            ),
-                            lambda x: x["keep"],
-                        ),
-                        lambda x: x["txt"],
-                    ),
-                ).cast("binary")
-            ).alias("clean_md5"),
-        )
+        "n_kept",
+        "n_dropped",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
     )
 
 
