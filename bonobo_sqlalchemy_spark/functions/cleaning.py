@@ -81,20 +81,32 @@ def strip_shared_chunks(
 
     Plan shape: narrow codegen chunking, one hash-agg for chunk document
     frequency, one equi-join back, one per-doc ``array_sort`` fold (no
-    window). The chunk stream carries (id, chunk_id, text) only — the
-    document never rides the df shuffle twice.
+    window), one id-partitioned left join restoring chunk-less docs. The
+    chunk stream carries (id, chunk_id, text) only — the document never
+    rides the df shuffle twice.
+
+    Null/empty hardening: a null or whitespace-only ``text`` yields ZERO
+    chunks (``size`` of a null split is -1, which would otherwise make
+    ``sequence(0, -1)`` emit a descending [0, -1] phantom pair; and an
+    empty-string chunk's md5 would collide across all empty docs, counting
+    them as shared boilerplate). Empty word tokens are dropped before
+    chunking and the chunk count is clamped at zero; the final left join
+    keeps the one-row-per-doc contract with ``('' , 0, 0)``.
     """
     from pyspark.sql import functions as F
 
-    d = docs.select(
-        F.col(id_col).alias("__id"), F.split(F.trim(F.col(text_col)), " +").alias("w")
-    )
     k = int(chunk_tokens)
-    c = d.select(
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col).cast("string"), F.lit(""))), " +"),
+        lambda x: x != F.lit(""),
+    )
+    d = docs.select(F.col(id_col).alias("__id"), words.alias("w"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("w") / F.lit(float(k))).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    c = d.where(F.size("w") > 0).select(
         "__id",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(float(k))).cast("bigint") - 1)
-        ).alias("chunk_id"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_id"),
         "w",
     ).select(
         "__id",
@@ -107,7 +119,7 @@ def strip_shared_chunks(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     keep = F.col("n_docs") <= max_df
-    return (
+    stripped = (
         c.join(df_counts, "g")
         .groupBy("__id")
         .agg(
@@ -126,5 +138,14 @@ def strip_shared_chunks(
                 ),
             ).alias("clean_text"),
         )
-        .select(F.col("__id").alias(id_col), "clean_text", "n_kept", "n_dropped")
+    )
+    return (
+        d.select("__id")
+        .join(stripped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+        )
     )

@@ -258,7 +258,10 @@ def z_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z_text_boilerplate_strip",
     oracle="""
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(COALESCE(text, '')), ' +'),
+                         x -> x <> '') AS w
+      FROM documents
     ), c AS (
       SELECT doc_id, chunk_id,
              array_to_string(w[chunk_id*16+1 : chunk_id*16+16], ' ') AS txt,
@@ -267,17 +270,24 @@ def z_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, w,
                unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS chunk_id
         FROM d
+        WHERE len(w) > 0
       )
     ), df AS (
       SELECT g, COUNT(*) AS n_docs FROM (SELECT DISTINCT doc_id, g FROM c) GROUP BY g
+    ), s AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN n_docs <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             md5(COALESCE(string_agg(CASE WHEN n_docs <= 1 THEN txt END, ' '
+                                     ORDER BY chunk_id), '')) AS clean_md5
+      FROM c JOIN df USING (g)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN n_docs <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-           md5(COALESCE(string_agg(CASE WHEN n_docs <= 1 THEN txt END, ' '
-                                   ORDER BY chunk_id), '')) AS clean_md5
-    FROM c JOIN df USING (g)
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           COALESCE(s.n_kept, 0) AS n_kept,
+           COALESCE(s.n_dropped, 0) AS n_dropped,
+           COALESCE(s.clean_md5, md5('')) AS clean_md5
+    FROM d LEFT JOIN s USING (doc_id)
     """,
     tags=("text", "dedup", "quality"),
     bench=True,
@@ -320,7 +330,7 @@ def z_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(c) AS n FROM vocab
     ), scored AS (
       SELECT doc_id,
-             SUM(ln(c / (SELECT n FROM tot))) / COUNT(*) AS avg_logprob
+             round(SUM(ln(c / (SELECT n FROM tot))) / COUNT(*), 6) AS avg_logprob
       FROM t JOIN vocab USING (tok)
       GROUP BY doc_id
     ), decile AS (
@@ -361,7 +371,11 @@ def z_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
-        .agg((F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1))).alias("avg_logprob"))
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob")
+        )
     )
     decile = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",

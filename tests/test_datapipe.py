@@ -562,6 +562,10 @@ def test_boilerplate_strip_removes_shared_chunks(spark):
     uniq = [" ".join(f"u{d}w{i}" for i in range(16)) for d in range(3)]
     rows = [(d, f"{boiler} {uniq[d]}") for d in range(3)] + [(99, uniq[0])]
     # doc 99 shares its chunk with doc 0's unique part -> both drop it
+    # plus degenerate docs: null text and whitespace-only text must emit a
+    # (0 kept, 0 dropped, '') row each — NOT phantom chunks from a -1 size,
+    # and NOT a shared empty-string chunk counted as boilerplate.
+    rows += [(100, None), (101, "   ")]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r.doc_id: r for r in _boilerplate_on(docs).collect()}
     assert out[1].n_dropped == 1 and out[1].n_kept == 1
@@ -569,6 +573,9 @@ def test_boilerplate_strip_removes_shared_chunks(spark):
     assert out[0].n_kept == 0 and out[0].n_dropped == 2  # boiler + shared-with-99
     assert out[0].clean_md5 == hashlib.md5(b"").hexdigest()
     assert out[99].n_kept == 0  # its only chunk is shared with doc 0
+    for degenerate in (100, 101):
+        assert out[degenerate].n_kept == 0 and out[degenerate].n_dropped == 0
+        assert out[degenerate].clean_md5 == hashlib.md5(b"").hexdigest()
 
 
 def _boilerplate_on(docs):

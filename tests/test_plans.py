@@ -81,6 +81,10 @@ NO_CARTESIAN_EXEMPT = {
     # 1-row total-value threshold aggregate broadcast-crossed into the
     # per-part values (TPC-H Q11's scalar subquery) — not a data join
     "z_q11_value_concentration",
+    # 1-row total-token-count aggregate broadcast into the token stream
+    # (the unigram denominator reused for quality scoring) — same
+    # scalar-subquery shape as z_text_unigram_logprob, constant build side
+    "z_sample_by_quality",
 }
 
 
