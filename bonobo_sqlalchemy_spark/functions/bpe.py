@@ -31,6 +31,15 @@ with Subword Units") re-expressed Spark-first:
 Encoding applies the merge table per distinct word (LRU-cached inside each
 Arrow batch) — the standard rank-greedy loop; ``decode`` is literal
 concatenation, so round-trip equality is structural (asserted in tests).
+
+Byte-level fallback (SentencePiece's ``byte_fallback``): when an
+``alphabet`` (the training corpus's character set) is supplied to
+:func:`encode_word` / :func:`bpe_token_counts`, any character OUTSIDE it
+encodes as its UTF-8 bytes (``<0xE4>``-style tokens) instead of minting a
+fresh single-character token per unseen codepoint. That closes the
+vocabulary at ``alphabet + merges + 256 byte tokens + EOW`` — an encoder
+whose token ids are bounded up front, which is what an embedding table
+needs — while :func:`decode_tokens` reassembles byte runs losslessly.
 """
 
 from __future__ import annotations
@@ -154,9 +163,38 @@ def bpe_train(
     return merges
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+#: ``<0xHH>`` byte-fallback tokens, the SentencePiece convention.
+BYTE_TOKENS = tuple(f"<0x{b:02X}>" for b in range(256))
+_BYTE_RANK = {t: b for b, t in enumerate(BYTE_TOKENS)}
+
+
+def bpe_alphabet(docs: DataFrame, text_col: str = "text") -> set[str]:
+    """The training corpus's character set — the base vocabulary an encoder
+    with byte fallback closes over. One explode + distinct on the
+    vocabulary-sized word table; the driver receives an alphabet-sized
+    list (hundreds of chars, not data-sized)."""
+    rows = (
+        word_frequencies(docs, text_col)
+        .select(F.explode(F.split(F.col("word"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return {r.ch for r in rows}
+
+
+def encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    alphabet: set[str] | None = None,
+) -> list[str]:
     """Rank-greedy BPE encode of one word (pure Python; the per-batch unit
-    of :func:`bpe_token_counts`, also used directly in tests)."""
+    of :func:`bpe_token_counts`, also used directly in tests).
+
+    With ``alphabet`` set, out-of-alphabet characters fall back to their
+    UTF-8 ``<0xHH>`` byte tokens AFTER the merge loop (merged symbols are
+    by construction built from in-alphabet characters, so only surviving
+    single-character symbols can be out-of-vocabulary)."""
     syms = list(word) + [EOW]
     while len(syms) > 1:
         best_rank, best_i = None, -1
@@ -168,13 +206,35 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         a, b = syms[best_i], syms[best_i + 1]
         syms = _merge_word(tuple(syms), [(a, b)])
-    return syms
+    if alphabet is None:
+        return syms
+    out: list[str] = []
+    for s in syms:
+        if s == EOW or len(s) > 1 or s in alphabet:
+            out.append(s)
+        else:
+            out.extend(BYTE_TOKENS[b] for b in s.encode("utf-8"))
+    return out
 
 
 def decode_tokens(tokens: Iterable[str]) -> str:
     """Inverse of :func:`encode_word` over a token stream: literal
-    concatenation with EOW restored to spaces."""
-    return "".join(tokens).replace(EOW, " ").strip()
+    concatenation with EOW restored to spaces; consecutive ``<0xHH>``
+    byte-fallback tokens are reassembled into their UTF-8 characters."""
+    parts: list[str] = []
+    buf = bytearray()
+    for t in tokens:
+        b = _BYTE_RANK.get(t)
+        if b is not None:
+            buf.append(b)
+            continue
+        if buf:
+            parts.append(buf.decode("utf-8", errors="replace"))
+            buf.clear()
+        parts.append(t)
+    if buf:
+        parts.append(buf.decode("utf-8", errors="replace"))
+    return "".join(parts).replace(EOW, " ").strip()
 
 
 def bpe_token_counts(
@@ -183,6 +243,7 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "n_bpe_tokens",
+    alphabet: set[str] | None = None,
 ) -> DataFrame:
     """``(id, n_bpe_tokens)``: per-document BPE token counts.
 
@@ -207,7 +268,7 @@ def bpe_token_counts(
 
         @functools.lru_cache(maxsize=1 << 16)
         def n_tok(word: str) -> int:
-            return len(encode_word(word, ranks))
+            return len(encode_word(word, ranks, alphabet))
 
         for pdf in batches:
             yield pd.DataFrame(

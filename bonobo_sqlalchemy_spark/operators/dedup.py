@@ -689,6 +689,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.5,
     n_clusters: int = 16,
     train_iters: int = 1,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup: ``(id1, id2, cosine, cluster)``
     pairs with ``cosine >= threshold``, compared ONLY within k-means clusters.
@@ -708,6 +709,22 @@ def semantic_dedup_pairs(
     Compose with :func:`connected_components` / :func:`best_survivors` for
     survivorship, exactly like the other pair generators in this module.
 
+    Hot-cluster guard (``max_cluster_size``): k-means gives no WORST-CASE
+    cluster bound — one degenerate mega-cluster (e.g. a constant-embedding
+    failure mode upstream) turns the equi-join quadratic, the analog of the
+    hot-shingle key ``max_shingle_df`` kills for Jaccard. When set, clusters
+    larger than the cap are sub-split by a secondary content hash of the id
+    into ``ceil(size / max_cluster_size)`` buckets and candidates are
+    generated intra-(cluster, bucket) only, so expected per-key fan-out
+    stays ~``max_cluster_size`` regardless of skew. Tradeoff, stated
+    plainly: pairs straddling sub-buckets of a HOT cluster are not
+    generated (expected recall inside an oversized cluster ~1/n_sub);
+    normal-sized clusters are untouched. The primary scale knob remains
+    ``n_clusters`` — the cap is the structural backstop that keeps one bad
+    cluster from stalling the whole job. Sub-assignment is content-derived
+    (xxhash64 of id + deterministic sizes), so output is
+    partitioning-invariant like every other pair generator here.
+
     Differences vs :func:`embedding_near_dup_pairs` (LSH blocking): LSH
     targets high-cosine NEAR-DUPS with per-table recall guarantees;
     SemDeDup prunes at lower thresholds ("semantically redundant", not
@@ -725,10 +742,26 @@ def semantic_dedup_pairs(
             F.expr("array_position(dots, array_max(dots))").cast("int").alias("cluster"),
         )
     )
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        n_sub = F.greatest(
+            F.ceil(F.col("__n") / F.lit(float(max_cluster_size))).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        )
+        # sizes is n_clusters rows — broadcast; sub is 0 for normal clusters
+        assigned = assigned.join(F.broadcast(sizes), "cluster").select(
+            "id",
+            "cluster",
+            F.pmod(F.xxhash64(F.col("id")), n_sub).cast("int").alias("sub"),
+        )
+    else:
+        assigned = assigned.withColumn("sub", F.lit(0))
     a, b = assigned.alias("a"), assigned.alias("b")
     cand = a.join(
         b,
-        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.id") < F.col("b.id")),
     ).select(
         F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), F.col("a.cluster").alias("cluster")
     )

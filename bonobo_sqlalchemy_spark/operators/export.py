@@ -28,7 +28,6 @@ publish-last protocol as `operators/scd2.py`'s directory swap.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +35,56 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Resolve ``path`` to its Hadoop ``(FileSystem, Path)`` pair.
+
+    Goes through ``Path.getFileSystem`` so the SAME code publishes to local
+    disk, ``file://``, ``hdfs://`` or ``s3a://`` — whatever filesystem the
+    data write itself targeted. Plain local paths resolve via the default
+    scheme exactly like ``DataFrameWriter.save`` does.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _publish_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Write ``_MANIFEST.json`` via the Hadoop FileSystem API with a
+    write-to-temp + rename publish, so write-then-publish holds on any
+    filesystem the data write can target (HDFS/S3A/local) — not just
+    driver-local POSIX (VERDICT r6 item #3; a local ``open()`` would raise
+    on ``hdfs://`` paths despite the data write succeeding)."""
+    jvm = spark._jvm
+    fs, dirp = _fs_and_path(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(dirp, MANIFEST_NAME + ".tmp")
+    final = jvm.org.apache.hadoop.fs.Path(dirp, MANIFEST_NAME)
+    out = fs.create(tmp, True)  # overwrite=True
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1, sort_keys=True).encode()))
+    finally:
+        out.close()
+    # HDFS rename does not overwrite; drop a stale manifest first. The
+    # tmp->final rename itself is atomic on HDFS (and on local file://).
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest publish rename failed: {tmp} -> {final}")
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    """Load ``_MANIFEST.json`` through the same FileSystem abstraction."""
+    jvm = spark._jvm
+    fs, dirp = _fs_and_path(spark, path)
+    final = jvm.org.apache.hadoop.fs.Path(dirp, MANIFEST_NAME)
+    stream = fs.open(final)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
 
 
 def shard_manifest(
@@ -106,10 +155,7 @@ def write_training_shards(
         },
     }
     # publish-last: the manifest appears only after every shard committed
-    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    _publish_manifest(df.sparkSession, path, manifest)
     return manifest
 
 
@@ -117,8 +163,7 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Recompute every shard's (n_rows, content_hash) from the written files
     and compare against the manifest: ``(shard, ok, n_rows_expected,
     n_rows_actual, hash_match)``. The loader-side integrity check."""
-    with open(os.path.join(path, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = read_manifest(spark, path)
     expected = manifest["shards"]
     data = spark.read.format(manifest["format"]).load(path)
     actual = shard_manifest(

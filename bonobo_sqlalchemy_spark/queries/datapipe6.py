@@ -444,6 +444,57 @@ def z_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_stream_hh_verified",
+    oracle="""
+    SELECT event_type AS key,
+           CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM events
+    GROUP BY 1
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 5.0
+    """,
+    tags=("streaming", "sketch"),
+)
+def z_stream_hh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-verify, the standard production composition: the
+    streaming Misra-Gries sketch nominates candidate heavy hitters with
+    BOUNDED state (z_stream_heavy_hitters), then ONE batch-side exact
+    aggregation over the candidates only — a broadcast semi-join filter,
+    never a full-cardinality groupBy held as state — confirms or discards
+    each. MG guarantees every key with true count > N/capacity survives
+    the sketch (no false negatives above threshold), so the verified
+    output equals the exact SQL answer — which is why this composition,
+    unlike the raw sketch, has a value-exact DuckDB oracle.
+
+    At 100 TB: the stream holds `capacity` counters per shard; the
+    recheck aggregates only rows matching a handful of candidate keys
+    (predicate-pushable semi join), not the full key space."""
+    from ..streaming.sketches import final_sketch, heavy_hitters_stream
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = heavy_hitters_stream(ev, key_col="event_type", capacity=5, n_shards=2)
+    name = "z_stream_hh_verified_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    candidates = final_sketch(spark.table(name)).select("key").distinct()
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()  # one scalar count, not a data materialization
+    return (
+        events.select(F.col("event_type").cast("string").alias("key"))
+        .join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .where(F.col("exact_count") > total / 5.0)
+    )
+
+
+@query(
     "z_export_manifest",
     oracle="""
     SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)

@@ -8,6 +8,12 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running stress tests (bench-scale inputs)"
+    )
+
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 

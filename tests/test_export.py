@@ -68,6 +68,47 @@ def test_manifest_is_partitioning_invariant(spark, sf_small):
     assert a == b
 
 
+def test_manifest_via_hadoop_fs_uri(spark, sf_small, tmp_path):
+    """The manifest publish/read must go through the Hadoop FileSystem API:
+    an explicit ``file://`` URI (which local ``open()``/``os.replace`` would
+    choke on as a literal filename) must round-trip write -> read -> verify.
+    This is the local stand-in for hdfs:///s3a:// paths on a real cluster."""
+    docs = load_table(spark, sf_small, "documents").limit(80)
+    uri = "file://" + str(tmp_path / "shards_uri")
+    manifest = E.write_training_shards(docs, uri, n_shards=2)
+    # the sidecar landed on the actual local filesystem under the URI path
+    assert os.path.exists(str(tmp_path / "shards_uri" / E.MANIFEST_NAME))
+    assert E.read_manifest(spark, uri)["shards"] == {
+        k: dict(v) for k, v in manifest["shards"].items()
+    }
+    report = E.verify_training_shards(spark, uri).collect()
+    assert rows_ok(report)
+    # re-publish over an existing manifest (rename-over path) also works
+    m2 = E.write_training_shards(docs, uri, n_shards=2)
+    assert m2["shards"] == {k: dict(v) for k, v in manifest["shards"].items()}
+
+
+def rows_ok(rows):
+    return bool(rows) and all(r.ok for r in rows)
+
+
+def test_shard_balance_at_bench_scale(spark):
+    """The 'similar-sized shards' claim, measured: content-derived md5
+    sharding over the sf0.1 corpus (5k docs) must keep the max/min shard
+    row-count ratio tight — the property that makes shards a usable unit
+    of loader parallelism at 100 TB. No data write; one agg pass."""
+    import os as _os
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load_table(spark, sf_dir, "documents")
+    rows = E.shard_manifest(docs, token_col="n_chars", n_shards=16).collect()
+    assert len(rows) == 16  # every shard non-empty
+    counts = [r.n_rows for r in rows]
+    assert max(counts) / min(counts) < 1.5, counts
+    toks = [r.n_tokens for r in rows]
+    assert max(toks) / min(toks) < 1.5, toks
+
+
 def test_manifest_publish_last(spark, sf_small, tmp_path):
     """The manifest must not exist if the data write never completed —
     loaders treat a manifest-less directory as absent."""

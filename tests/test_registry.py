@@ -44,3 +44,23 @@ def test_jdbc_reader_options_merge_properties():
 
 def test_path_service_table_path():
     assert PathService("/data", "parquet").table_path("t") == "/data/t.parquet"
+
+
+def test_parity_artifact_lists_every_registry_query():
+    """PARITY_LOCAL.md is the standing value-exact artifact for queries
+    outside the driver's 50-name correctness window — it must not go stale
+    when the registry grows (round-6 process failure). Every registered
+    query name must appear in the artifact; regenerate with
+    `python parity_report.py` after adding queries."""
+    from pathlib import Path
+
+    from bonobo_sqlalchemy_spark.queries import REGISTRY
+
+    art = Path(__file__).resolve().parent.parent / "PARITY_LOCAL.md"
+    assert art.exists(), "PARITY_LOCAL.md missing — run parity_report.py"
+    text = art.read_text()
+    missing = [n for n in REGISTRY if f"`{n}`" not in text]
+    assert not missing, (
+        f"PARITY_LOCAL.md is stale — {len(missing)} registry queries have no "
+        f"recorded verdict (run `python parity_report.py`): {missing}"
+    )

@@ -149,6 +149,45 @@ def test_minhash_lsh_on_skewed_corpus_stays_bounded(spark):
     assert minhash_lsh_pairs(docs, threshold=0.5).count() == 0
 
 
+def test_semantic_dedup_hot_cluster_cap_bounds_pairs(spark):
+    """SemDeDup's structural skew guard: a planted mega-cluster (every
+    vector near-identical, so k-means routes ALL of them to one centroid)
+    would make the intra-cluster join quadratic — C(400,2) = 79,800
+    candidate pairs on one key. With max_cluster_size the cluster is
+    sub-split by a content hash and candidate work drops to
+    ~n_sub * C(cap, 2) while per-key fan-out stays ~cap. Exact duplicates
+    that share a sub-bucket are still found (recall inside the hot cluster
+    degrades by design; normal clusters are untouched)."""
+    import numpy as np
+
+    from bonobo_sqlalchemy_spark.operators.dedup import semantic_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = rng.normal(size=8)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(scale=1e-3, size=8)])
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    capped = semantic_dedup_pairs(
+        docs, threshold=0.99, n_clusters=4, max_cluster_size=50
+    ).count()
+    # expected sub-bucket size ~50 over ~8 buckets: ~8 * C(50,2) = 9,800
+    # pairs worst case; 4x headroom for hash-split variance, still far
+    # under the 79,800 a quadratic blowup would generate.
+    assert 0 < capped < 40_000, capped
+
+    # uncapped on a small slice remains exhaustive — the guard only
+    # engages above the cap
+    small = docs.limit(30)
+    uncapped = semantic_dedup_pairs(
+        small, threshold=0.99, n_clusters=1, max_cluster_size=None
+    ).count()
+    assert uncapped == 30 * 29 // 2, uncapped
+
+
 def test_skew_join_safety_nets_enabled(spark):
     """The runtime guards the structural bounds rely on: AQE skew-join
     splitting (covers genuinely hot LSH buckets of true duplicates, where
