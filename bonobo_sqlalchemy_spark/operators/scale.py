@@ -21,6 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def scalar_attach(df: DataFrame, scalars: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate (a scalar subquery's result) to every row of
+    ``df`` via ``crossJoin(broadcast(...))``.
+
+    This is the DataFrame spelling of SQL's scalar subquery. It plans as a
+    BroadcastNestedLoopJoin with a ONE-ROW build side — constant work per
+    probe row, no quadratic term (a literal-key equi-join doesn't help:
+    Catalyst constant-folds ``lit(1) == lit(1)`` to ``true`` and
+    degenerates it to the same nested loop). The no-cartesian plan gate
+    exempts each use with this rationale; when the probe side is itself
+    bounded (a bucket/score table), prefer a window over it instead and
+    skip the join entirely."""
+    return df.crossJoin(F.broadcast(scalars))
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -1,0 +1,230 @@
+"""Data-selection operators: DSIR importance weighting, BM25 retrieval,
+and filter-threshold sweeps.
+
+Curation pipelines don't just FILTER a corpus — they choose what to keep
+relative to a target distribution (DSIR), find what a query needs (BM25),
+and pick the operating point for every heuristic filter (threshold
+sweep). All three are pure DataFrame compositions — hash-aggregates,
+broadcast joins on bucket/term tables, and windows — with no Python in
+the hot path, so each has a value-exact DuckDB oracle.
+
+Reference scope note: the reference engine (bonobo-sqlalchemy) has none
+of these; this module belongs to the driver-mandated training-data
+extension surface (SURVEY §2.4).
+
+- **DSIR** (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): estimate hashed-n-gram bucket distributions
+  for a small TARGET corpus and the RAW pool, score every raw document
+  with the log importance ratio sum over its token buckets, and keep the
+  top-weighted documents. The bucket tables are ``n_buckets`` rows —
+  driver/broadcast-sized regardless of corpus scale — so the whole
+  operator is one token shuffle + one broadcast join + one per-doc sum.
+- **BM25**: classic Robertson/Sparck-Jones ranking over the corpus for a
+  driver-supplied term list. df/idf and avgdl are term-table- and
+  scalar-sized; per-doc scores come from one tf aggregation over tokens
+  matching the (broadcast) term list — the corpus is scanned once,
+  filtered down to query terms before any shuffle.
+- **Threshold sweep**: for a scored + weak-labeled corpus, emit the full
+  precision/recall operating table — one row per distinct score with
+  cumulative TP/FP via a window over the (distinct-score-sized) ordered
+  aggregate, never a per-threshold rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .scale import scalar_attach
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok): lowercased whitespace tokens, empties dropped."""
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " +")).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """``(id, dsir_logw)``: per-document DSIR log importance weight.
+
+    ``target_pred`` is a boolean Column over ``docs`` selecting the target
+    subset (e.g. ``F.col("lang") == "en"`` or a quality flag). Tokens hash
+    into ``n_buckets`` md5 buckets (`functions.text.split_bucket` — the
+    engine-portable hash, so the oracle reproduces assignments exactly);
+    bucket unigram distributions are add-``smoothing`` estimated for
+    target and raw, and a document's weight is the sum over its token
+    occurrences of ``ln(p_target[b] / p_raw[b])``, rounded to 6dp (repo
+    float-determinism policy).
+
+    Scale shape: ONE corpus token shuffle builds the bucket counts (raw
+    and target in the same aggregation via a conditional sum); the ratio
+    table is ``n_buckets`` rows and broadcasts into the per-doc sum. The
+    driver never sees anything data-sized. At 100 TB, raise ``n_buckets``
+    (DSIR uses 10k) — the broadcast stays KB-sized.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tb = docs.select(
+        F.col(id_col).alias("__id"), target_pred.alias("__is_t")
+    ).join(toks, "__id").select(
+        "__id", "__is_t", T.split_bucket(F.col("tok"), n_buckets).alias("b")
+    )
+    counts = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("__is_t").cast("int")).cast("bigint").alias("c_tgt"),
+    )
+    s = float(smoothing)
+    # corpus totals via a window over the BUCKET table (n_buckets rows by
+    # construction) — no scalar-subquery join, no single-partition pass
+    # over anything data-sized
+    from pyspark.sql import Window as W
+
+    wfull = W.partitionBy(F.lit(1))
+    ratio = counts.select(
+        "b",
+        (
+            F.log(
+                (F.col("c_tgt") + s)
+                / (F.sum("c_tgt").over(wfull) + s * n_buckets)
+            )
+            - F.log(
+                (F.col("c_raw") + s)
+                / (F.sum("c_raw").over(wfull) + s * n_buckets)
+            )
+        ).alias("lr"),
+    )
+    return (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("__id")
+        .agg(F.round(F.sum("lr"), 6).alias("dsir_logw"))
+        .select(F.col("__id").alias(id_col), "dsir_logw")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Top-``k`` documents by DSIR weight (held-out deterministic variant:
+    rank by weight, ties broken by id — the paper's Gumbel-noise resample
+    becomes this under a fixed seed of zero noise; a content-derived
+    md5-Gumbel can be layered on by adding noise to ``dsir_logw`` before
+    the sort). One global TakeOrdered over the doc-sized weight table."""
+    w = dsir_log_weights(docs, target_pred, text_col, id_col, n_buckets, smoothing)
+    return w.orderBy(F.col("dsir_logw").desc(), id_col).limit(k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, bm25)``: top-``k`` documents for a bag-of-terms query under
+    BM25 (Robertson et al.; the Lucene-default ``k1``/``b``).
+
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Plan shape: tokens are filtered to the (broadcast) term list BEFORE
+    the tf aggregation, so the shuffle carries only query-term hits; dl
+    comes from the same single corpus scan (Spark reuses the exchange);
+    df and avgdl are term-count- and scalar-sized. Scores round to 6dp
+    and ties break on id — deterministic against the oracle."""
+    spark = docs.sparkSession
+    term_df = spark.createDataFrame([(t.lower(),) for t in terms], "tok string")
+    toks = _tokens(docs, text_col, id_col)
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
+    n_and_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.join(F.broadcast(term_df), "tok")
+        .groupBy("__id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = scalar_attach(
+        tf.join(F.broadcast(df_t), "tok").join(dl, "__id"), n_and_avg
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    return (
+        scored.select("__id", (idf * F.col("tf") * (k1 + 1) / denom).alias("part"))
+        .groupBy("__id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "__id")
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision/recall operating table for a score used as a keep-filter
+    against a (weak) boolean label: one row per DISTINCT score value with
+    ``(threshold, n_kept, tp, precision, recall)`` for the filter
+    ``score >= threshold``.
+
+    The real curation step this serves: every heuristic filter needs an
+    operating point, and sweeping thresholds by rescanning per candidate
+    threshold is O(T·N). This computes the whole curve in one aggregation
+    + one window over the DISTINCT-SCORE table (bounded: 6dp-rounded
+    scores, not raw doubles), with cumulative sums ordered by score
+    descending. Precision/recall round to 6dp."""
+    per_score = (
+        scored.select(
+            F.col(score_col).alias("threshold"),
+            F.col(label_col).cast("int").alias("pos"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_at"),
+            F.sum("pos").cast("bigint").alias("tp_at"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # both frames share one ordering, so Spark evaluates them in a single
+    # WindowExec pass over the distinct-score table (bounded by the 6dp
+    # rounding of the score — never data-sized)
+    w = W.orderBy(F.col("threshold").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.orderBy(F.col("threshold").desc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per_score.select(
+        "threshold",
+        F.sum("n_at").over(w).alias("n_kept"),
+        F.sum("tp_at").over(w).alias("tp"),
+        F.round(
+            F.sum("tp_at").over(w) / F.sum("n_at").over(w), 6
+        ).alias("precision"),
+        F.round(
+            F.sum("tp_at").over(w) / F.sum("tp_at").over(wall), 6
+        ).alias("recall"),
+    )

@@ -21,6 +21,7 @@ from . import datapipe3  # noqa: E402,F401
 from . import datapipe4  # noqa: E402,F401
 from . import datapipe5  # noqa: E402,F401
 from . import datapipe6  # noqa: E402,F401
+from . import datapipe7  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,220 @@
+"""Round-7 data-selection queries: DSIR importance weighting, BM25
+retrieval, and filter-threshold sweeps (`operators/selection.py`), plus
+the streaming HLL distinct sketch (`streaming/sketches.py`).
+
+Reference scope note: none of these exist in the reference engine
+(bonobo-sqlalchemy, 571 LoC of SQLAlchemy plumbing); they belong to the
+driver-mandated training-data extension surface (SURVEY §2.4): choosing
+WHAT to keep (DSIR), finding what a query needs (BM25), and picking every
+filter's operating point (threshold sweep) are the selection steps a
+100 TB curation run executes after cleaning and dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.selection import bm25_topk, dsir_log_weights, threshold_sweep
+from ..sources.files import load_table
+from .base import query
+
+_DSIR_CTES = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS t
+      FROM documents
+    ), tb AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % 1024 AS BIGINT) AS b
+      FROM tok WHERE t <> ''
+    ), flag AS (
+      SELECT doc_id, (lang = 'en') AS is_t FROM documents
+    ), cnt AS (
+      SELECT b, COUNT(*) AS c_raw,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
+      FROM tb JOIN flag USING (doc_id) GROUP BY b
+    ), tot AS (
+      SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM cnt
+    ), ratio AS (
+      SELECT b,
+             ln((c_tgt + 0.5) / ((SELECT n_tgt FROM tot) + 0.5 * 1024))
+           - ln((c_raw + 0.5) / ((SELECT n_raw FROM tot) + 0.5 * 1024)) AS lr
+      FROM cnt
+    ), weights AS (
+      SELECT doc_id, round(SUM(lr), 6) AS dsir_logw
+      FROM tb JOIN ratio USING (b) GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "z_text_dsir_weights",
+    oracle=_DSIR_CTES + "SELECT doc_id, dsir_logw FROM weights",
+    tags=("text", "selection", "ml"),
+    bench=True,
+)
+def z_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance log-weights: score every document
+    by how much its hashed-unigram bucket distribution looks like the
+    TARGET corpus (here: the English subset) relative to the raw pool —
+    the data-selection signal used to build domain-matched pretraining
+    mixes. One token shuffle, a 1024-row broadcast ratio table, one
+    per-doc sum; value-exact vs the oracle because bucket hashing is the
+    engine-portable md5 split and the final sum rounds to 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, F.col("lang") == "en", n_buckets=1024, smoothing=0.5
+    )
+
+
+@query(
+    "z_text_dsir_select",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, dsir_logw FROM weights
+    ORDER BY dsir_logw DESC, doc_id LIMIT 100
+    """,
+    tags=("text", "selection", "ml"),
+)
+def z_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: the top-100 documents by importance weight
+    (deterministic rank variant; ties break on doc_id). The global sort is
+    a TakeOrderedAndProject over the doc-id-sized weight table — never a
+    full sort of the corpus."""
+    from ..operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=100)
+
+
+@query(
+    "z_text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS t
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, t FROM tok WHERE t <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf
+      FROM tok2 WHERE t IN ('spark', 'sort', 'window')
+      GROUP BY doc_id, t
+    ), dft AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    )
+    SELECT tf.doc_id,
+           round(SUM(
+             ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))
+           ), 6) AS bm25
+    FROM tf JOIN dft USING (t) JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval"),
+)
+def z_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the bag-of-terms query {spark, sort, window}: the
+    classic retrieval scorer a curation pipeline uses for targeted corpus
+    search (find documents about X) and contamination triage. Tokens are
+    filtered to the broadcast term list BEFORE any shuffle, so the tf
+    aggregation carries query-term hits only; df/avgdl are term- and
+    scalar-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "sort", "window"], k=10)
+
+
+@query("z_stream_distinct_hll", oracle=None, tags=("streaming", "sketch"))
+def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming HyperLogLog distinct-user count: 2^10 registers per
+    shard TOTAL — the bounded-state answer to COUNT(DISTINCT) over an
+    unbounded stream, companion to the Misra-Gries frequency sketch.
+    Rows-only (register contents are not SQL-expressible); the ~3.2%
+    (1.04/sqrt(1024)) error bound and max-mergeability are asserted
+    against exact batch counts in tests/test_streaming.py."""
+    from ..streaming.sketches import hll_distinct_stream, hll_estimate
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = hll_distinct_stream(ev, key_col="user_id", p=10, n_shards=4)
+    name = "z_stream_hll_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return hll_estimate(spark.table(name), p=10)
+
+
+@query(
+    "z_quality_threshold_sweep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c) AS n FROM vocab
+    ), scored AS (
+      SELECT doc_id,
+             round(SUM(ln(c / (SELECT n FROM tot))) / COUNT(*), 6) AS s
+      FROM t JOIN vocab USING (tok)
+      GROUP BY doc_id
+    ), lab AS (
+      SELECT s.s, (d.lang = 'en') AS pos
+      FROM scored s JOIN documents d USING (doc_id)
+    ), per AS (
+      SELECT s AS threshold, COUNT(*) AS n_at,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp_at
+      FROM lab GROUP BY s
+    )
+    SELECT threshold,
+           CAST(SUM(n_at) OVER w AS BIGINT) AS n_kept,
+           CAST(SUM(tp_at) OVER w AS BIGINT) AS tp,
+           round(SUM(tp_at) OVER w * 1.0 / SUM(n_at) OVER w, 6) AS precision,
+           round(SUM(tp_at) OVER w * 1.0 / (SELECT SUM(tp_at) FROM per), 6)
+             AS recall
+    FROM per
+    WINDOW w AS (ORDER BY threshold DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("text", "quality", "ml"),
+)
+def z_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep: the full precision/recall operating table
+    for 'keep documents with unigram-LM fluency >= threshold' against the
+    weak label 'document is English' — every curation filter needs its
+    operating point chosen from exactly this curve. One aggregation to
+    the distinct-score table + one window pass; never a per-threshold
+    rescan of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from ..operators.scale import scalar_attach
+
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        scalar_attach(toks.join(vocab, "tok"), total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("s")
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "s", (F.col("lang") == "en").alias("pos"))
+    )
+    return threshold_sweep(scored, score_col="s", label_col="pos")

@@ -115,6 +115,128 @@ def heavy_hitters_stream(
     )
 
 
+HLL_OUTPUT_SCHEMA = "shard int, registers array<int>, batch_seq bigint"
+HLL_STATE_SCHEMA = "registers array<int>, seq bigint"
+
+
+def _hll_hash(key: str) -> int:
+    """Stable 64-bit hash for HLL register updates (blake2b — independent
+    of the xxhash64 used for sharding, so shard membership doesn't bias
+    register indices)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(key.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def hll_distinct_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    p: int = 10,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming HyperLogLog distinct count: ``2**p`` registers per shard
+    TOTAL, regardless of key cardinality or stream length.
+
+    The companion to :func:`heavy_hitters_stream`: Misra-Gries answers
+    "which keys are frequent", HLL answers "how many keys are there" —
+    the two cardinality questions exact per-key streaming state cannot
+    answer at 100 TB. Registers are max-mergeable (Flajolet et al. 2007),
+    so shard sketches — and sketches from separate runs — union by
+    element-wise max with no accuracy loss; relative error is the
+    standard ``~1.04/sqrt(2**p)`` (≈3.2% at p=10).
+
+    Each micro-batch folds the batch's keys into the shard's registers in
+    one pandas pass and emits the full register array (update mode);
+    collapse + merge + estimate with :func:`hll_estimate` after the run.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = 1 << p
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            regs, seq = state.get
+            regs = list(regs)
+        else:
+            regs, seq = [0] * m, 0
+        touched = False
+        for pdf in pdfs:
+            for k in pdf["__key"]:
+                h = _hll_hash(str(k))
+                idx = h & (m - 1)
+                w = h >> p
+                rho = (64 - p) - w.bit_length() + 1
+                if rho > regs[idx]:
+                    regs[idx] = rho
+                touched = True
+        if not touched and not state.exists:
+            return
+        seq += 1
+        state.update((regs, seq))
+        yield pd.DataFrame(
+            [{"shard": key[0], "registers": regs, "batch_seq": seq}]
+        )
+
+    sharded = events.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(key_col).cast("string").alias("__key"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_estimate(update_log: DataFrame, p: int = 10) -> DataFrame:
+    """Collapse an HLL update log to ONE cardinality estimate row:
+    ``(n_registers, n_zero_registers, estimate)``.
+
+    Latest register array per shard (shards partition the key space but
+    max-merge is correct for arbitrary unions), element-wise max across
+    shards via one explode + m-row aggregate, then the standard HLL
+    estimator with the small-range linear-counting correction. Everything
+    stays register-table-sized (m rows) after the per-shard collapse."""
+    from pyspark.sql import Window as W
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    w = W.partitionBy("shard")
+    latest = (
+        update_log.withColumn("__max_seq", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("__max_seq"))
+        .select("shard", "registers")
+    )
+    merged = (
+        latest.select(F.posexplode("registers").alias("idx", "r"))
+        .groupBy("idx")
+        .agg(F.max("r").alias("r"))
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum((F.col("r") == 0).cast("int")).alias("n_zero_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("__inv_sum"),
+    )
+    raw = alpha * m * m / F.col("__inv_sum")
+    linear = m * F.log(F.lit(float(m)) / F.col("n_zero_registers"))
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_zero_registers") > 0), linear
+    ).otherwise(raw)
+    return agg.select(
+        "n_registers",
+        F.col("n_zero_registers").cast("bigint").alias("n_zero_registers"),
+        F.round(est).cast("bigint").alias("estimate"),
+    )
+
+
 def final_sketch(update_log: DataFrame) -> DataFrame:
     """Collapse the update-mode emission log to each shard's FINAL sketch:
     rows from the shard's highest batch_seq (keys evicted earlier are

@@ -85,6 +85,13 @@ NO_CARTESIAN_EXEMPT = {
     # (the unigram denominator reused for quality scoring) — same
     # scalar-subquery shape as z_text_unigram_logprob, constant build side
     "z_sample_by_quality",
+    # 1-row (n_docs, avgdl) corpus-stats aggregate broadcast into the
+    # query-term tf rows (BM25's scalar subquery) — constant build side
+    # via operators/scale.scalar_attach
+    "z_text_bm25_topk",
+    # 1-row total-token-count broadcast into the token stream (the unigram
+    # score feeding the sweep) — same shape as z_text_unigram_logprob
+    "z_quality_threshold_sweep",
 }
 
 

@@ -1,0 +1,101 @@
+"""Data-selection operator tests: DSIR weighting direction, BM25 ranking
+semantics, and threshold-sweep math on hand fixtures. Value-exactness vs
+DuckDB is covered by the registered queries in tests/test_oracle_parity.py;
+these tests pin the SEMANTICS (who ranks above whom and why)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bonobo_sqlalchemy_spark.operators.selection import (
+    bm25_topk,
+    dsir_log_weights,
+    dsir_select,
+    threshold_sweep,
+)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """Documents written in the target subset's vocabulary must out-weight
+    documents written in the off-target vocabulary — the defining DSIR
+    property. Target docs use words {aa..ae}; off-target use {zz..zv};
+    the held-out probe docs mix the two vocabularies in known ratios."""
+    tgt_words = ["aa", "ab", "ac", "ad", "ae"]
+    off_words = ["zz", "zy", "zx", "zw", "zv"]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(tgt_words * 4), "en"))
+        rows.append((100 + i, " ".join(off_words * 4), "zz"))
+    # probes: mostly-target vs mostly-off mixes, NOT in the target subset
+    rows.append((900, " ".join(tgt_words * 3 + off_words), "xx"))
+    rows.append((901, " ".join(off_words * 3 + tgt_words), "xx"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    w = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_log_weights(
+            docs, F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    assert w[900] > w[901]
+    assert w[0] > w[100]  # pure target beats pure off-target
+    # selection keeps the highest-weighted docs first
+    top = [r.doc_id for r in dsir_select(docs, F.col("lang") == "en", k=21).collect()]
+    assert set(top) <= {i for i in range(20)} | {900}
+
+
+def test_dsir_is_partitioning_invariant(spark, sf_small):
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    a = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_log_weights(docs.repartition(1), F.col("lang") == "en").collect()
+    }
+    b = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_log_weights(docs.repartition(13), F.col("lang") == "en").collect()
+    }
+    assert a == b
+
+
+def test_bm25_ranking_semantics(spark):
+    """More matching terms and higher tf rank higher; rare terms count
+    more than common ones; documents without any query term are absent."""
+    rows = [
+        (1, "spark spark spark filler filler"),
+        (2, "spark filler filler filler filler"),
+        (3, "common common filler filler filler"),
+        (4, "filler only no match here at all"),
+        (5, "spark common filler filler filler"),
+        # make 'common' common (low idf) and 'spark' rarer (high idf)
+        (6, "common filler a b c"),
+        (7, "common filler d e f"),
+        (8, "common filler g h i"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = bm25_topk(docs, ["spark", "common"], k=10)
+    scores = {r.doc_id: r.bm25 for r in got.collect()}
+    assert 4 not in scores  # no query term -> no row
+    assert scores[1] > scores[2]  # higher tf wins
+    assert scores[5] > scores[2]  # two matched terms beat one
+    # a rare-term-only doc beats a common-term-only doc at equal tf
+    assert scores[2] > scores[3]
+
+
+def test_threshold_sweep_math_hand_fixture(spark):
+    """4 docs at 3 distinct scores: sweep rows must carry exact cumulative
+    counts and precision/recall for 'keep score >= threshold'."""
+    rows = [
+        (1, 3.0, True),
+        (2, 2.0, True),
+        (3, 2.0, False),
+        (4, 1.0, False),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id bigint, s double, pos boolean")
+    got = {r.threshold: r for r in threshold_sweep(scored, "s", "pos").collect()}
+    assert got[3.0].n_kept == 1 and got[3.0].tp == 1
+    assert got[3.0].precision == 1.0 and got[3.0].recall == 0.5
+    assert got[2.0].n_kept == 3 and got[2.0].tp == 2
+    assert got[2.0].precision == round(2 / 3, 6) and got[2.0].recall == 1.0
+    assert got[1.0].n_kept == 4 and got[1.0].tp == 2
+    assert got[1.0].precision == 0.5 and got[1.0].recall == 1.0

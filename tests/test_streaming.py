@@ -497,3 +497,69 @@ def test_heavy_hitters_sketch_guarantees(spark, tmp_path):
     assert got["hot"].est_count > max(
         r.est_count for k, r in got.items() if k != "hot"
     )
+
+
+def test_hll_distinct_sketch_accuracy_and_merge(spark, tmp_path):
+    """HyperLogLog invariants on a multi-batch stream:
+
+    - bounded state: each shard emits exactly 2^p registers;
+    - the merged estimate lands within the standard error of the true
+      cardinality (generous 4x sigma to keep the test deterministic-ish:
+      the hash is fixed, so this either always passes or flags a real
+      regression);
+    - max-mergeability: merging the shard registers element-wise equals
+      the sketch a single-shard run would produce over the same keys.
+    """
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        _hll_hash,
+        hll_distinct_stream,
+        hll_estimate,
+    )
+
+    n_true = 700
+    rows = [(f"user{i % n_true}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "user_id string")
+    df.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "h"))
+    stream = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "h"))
+    )
+    p = 10
+    sk = hll_distinct_stream(stream, key_col="user_id", p=p, n_shards=4)
+    q = (
+        sk.writeStream.format("memory").queryName("t_hll")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    log = spark.table("t_hll")
+    # bounded state: every emission is a full 2^p register array
+    assert {r[0] for r in log.select(F.size("registers")).distinct().collect()} == {1 << p}
+    est = hll_estimate(log, p=p).collect()[0]
+    assert est.n_registers == 1 << p
+    sigma = 1.04 / (1 << p) ** 0.5 * n_true
+    assert abs(est.estimate - n_true) <= 4 * sigma, (est.estimate, n_true)
+
+    # mergeability: element-wise max of shard registers == single sketch
+    # computed directly from the same keys (reference in pure Python)
+    m = 1 << p
+    ref = [0] * m
+    for i in range(n_true):
+        h = _hll_hash(f"user{i}")
+        idx = h & (m - 1)
+        rho = (64 - p) - (h >> p).bit_length() + 1
+        ref[idx] = max(ref[idx], rho)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard")
+    latest = (
+        log.withColumn("__mx", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("__mx"))
+        .select("shard", "registers")
+        .collect()
+    )
+    merged = [0] * m
+    for r in latest:
+        for i, v in enumerate(r.registers):
+            merged[i] = max(merged[i], v)
+    assert merged == ref
