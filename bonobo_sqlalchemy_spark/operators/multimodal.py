@@ -299,6 +299,163 @@ def resize_nearest(img, out_h: int, out_w: int):
     return arr[rows][:, cols]
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Library-free encode of int16 PCM samples to a canonical RIFF/WAVE
+    payload (44-byte header + little-endian data chunk). Paired with
+    :func:`decode_wav` it makes the audio decode path genuinely executable
+    in this container — the audio analog of :func:`encode_bmp24`."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    data = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Library-free decode of a PCM RIFF/WAVE payload: walks the chunk list
+    (fmt / data — other chunks skipped per the RIFF spec), validates
+    PCM/16-bit, and returns ``(samples, sample_rate, n_channels)`` with
+    samples as an (n, channels) float64 array normalized to [-1, 1).
+
+    This is a REAL parser (chunk offsets, word-aligned skips), not a stub:
+    WAV needs no compression library, so audio decode runs fully in this
+    container — only compressed codecs (mp3/aac/opus) would need the
+    import-probed library path like compressed images do."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"library-free WAV branch handles 16-bit PCM only "
+            f"(got format={audio_format}, bits={bits})"
+        )
+    raw = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        raw = raw[: len(raw) - len(raw) % n_channels].reshape(-1, n_channels)
+    else:
+        raw = raw.reshape(-1, 1)
+    return raw.astype(np.float64) / 32768.0, sample_rate, n_channels
+
+
+#: Output schema of the REAL audio-feature stage.
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_ms bigint, rms double, zcr double, peak double"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL decode -> featurize for audio payloads over Arrow batches:
+    parses each WAV (:func:`decode_wav`), then computes the standard
+    waveform statistics a curation pipeline filters on — RMS energy,
+    zero-crossing rate (sign changes / (n-1), averaged over channels),
+    and peak amplitude. rms/zcr/peak round to 6dp (repo float policy);
+    partitioning is inherited from the scan, payload bytes never shuffle."""
+    from typing import Iterator
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                x, sr, nch = decode_wav(bytes(p))
+                ns = x.shape[0]
+                if ns > 1:
+                    # positivity flips, not np.sign: an exact-zero sample
+                    # would otherwise count both its enter and leave edges
+                    pos = x >= 0
+                    zcr = float(np.mean(pos[1:] != pos[:-1]))
+                else:
+                    zcr = 0.0
+                rows.append(
+                    (
+                        int(i),
+                        sr,
+                        nch,
+                        ns,
+                        ns * 1000 // sr,
+                        round(float(np.sqrt(np.mean(x**2))), 6),
+                        round(zcr, 6),
+                        round(float(np.abs(x).max()) if ns else 0.0, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zcr",
+                    "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def attach_wav_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sample_rate: int = 16000
+) -> DataFrame:
+    """Testdata adapter: synthesize a REAL WAV payload per document whose
+    PCM samples are ``ascii(char) * 128`` over the text bytes — a
+    deterministic, engine-portable definition (the oracle recomputes the
+    same waveform statistics straight from the characters), while the
+    Spark side round-trips through genuine RIFF encode + decode."""
+    from typing import Iterator
+
+    out_schema = f"{id_col} bigint, payload binary"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(
+                    np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8).astype(np.int16) * 128,
+                    sample_rate=sample_rate,
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 #: Output schema of the REAL image-feature stage.
 IMAGE_FEATURE_SCHEMA = (
     "doc_id bigint, height int, width int, "

@@ -129,6 +129,214 @@ def z_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "sort", "window"], k=10)
 
 
+@query(
+    "z_pipeline_curate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS t
+      FROM documents
+    ), vocab AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ), vtot AS (
+      SELECT SUM(c) AS n FROM vocab
+    ), fluency AS (
+      SELECT doc_id,
+             round(SUM(ln(c / (SELECT n FROM vtot))) / COUNT(*), 6) AS s
+      FROM tok JOIN vocab USING (t)
+      GROUP BY doc_id
+    ), tb AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % 1024 AS BIGINT) AS b
+      FROM tok WHERE t <> ''
+    ), cnt AS (
+      SELECT b, COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM tb JOIN documents USING (doc_id) GROUP BY b
+    ), ctot AS (
+      SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM cnt
+    ), ratio AS (
+      SELECT b,
+             ln((c_tgt + 0.5) / ((SELECT n_tgt FROM ctot) + 0.5 * 1024))
+           - ln((c_raw + 0.5) / ((SELECT n_raw FROM ctot) + 0.5 * 1024)) AS lr
+      FROM cnt
+    ), dsir AS (
+      SELECT doc_id, round(SUM(lr), 6) AS w
+      FROM tb JOIN ratio USING (b) GROUP BY doc_id
+    ), dedup AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS dedup_keep
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang,
+           dd.dedup_keep,
+           NTILE(10) OVER (PARTITION BY d.lang ORDER BY f.s DESC, d.doc_id)
+             AS quality_decile,
+           NTILE(10) OVER (PARTITION BY d.lang ORDER BY w.w DESC, d.doc_id)
+             AS dsir_decile,
+           dd.dedup_keep
+             AND NTILE(10) OVER (PARTITION BY d.lang ORDER BY f.s DESC, d.doc_id) <= 8
+             AND NTILE(10) OVER (PARTITION BY d.lang ORDER BY w.w DESC, d.doc_id) <= 6
+             AS keep
+    FROM documents d
+    JOIN dedup dd USING (doc_id)
+    JOIN fluency f USING (doc_id)
+    JOIN dsir w USING (doc_id)
+    """,
+    tags=("text", "selection", "dedup", "quality", "pipeline"),
+    bench=True,
+)
+def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision table — the composition a 100 TB
+    run actually executes, with every stage value-exact against the
+    oracle: exact-dedup survivorship (min-id per content fingerprint),
+    per-language fluency deciles (unigram LM), per-language DSIR deciles
+    (target = English subset), and the final keep verdict
+    ``dedup AND fluency_decile <= 8 AND dsir_decile <= 6``.
+
+    Plan shape: ONE token shuffle feeds both the fluency score and the
+    DSIR buckets; dedup is one fingerprint window; deciles are
+    lang-partitioned windows (no global sort). Per-doc signals join on
+    doc_id — already the clustering key of every stage's output."""
+    from pyspark.sql import Window as W
+
+    from ..operators.scale import scalar_attach
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    fluency = (
+        scalar_attach(toks.join(vocab, "tok"), vocab.agg(F.sum("c").alias("n")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("s")
+        )
+    )
+    dsir = dsir_log_weights(docs, F.col("lang") == "en", n_buckets=1024)
+    dedup = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+        ).alias("dedup_keep"),
+    )
+    q_w = W.partitionBy("lang").orderBy(F.col("s").desc(), "doc_id")
+    d_w = W.partitionBy("lang").orderBy(F.col("dsir_logw").desc(), "doc_id")
+    out = (
+        dedup.join(fluency, "doc_id")
+        .join(dsir, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "dedup_keep",
+            F.ntile(10).over(q_w).alias("quality_decile"),
+            F.ntile(10).over(d_w).alias("dsir_decile"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("dedup_keep")
+        & (F.col("quality_decile") <= 8)
+        & (F.col("dsir_decile") <= 6),
+    )
+
+
+@query(
+    "z_multimodal_audio",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+    )
+    SELECT doc_id,
+           16000 AS sample_rate,
+           1 AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(floor(COUNT(*) * 1000.0 / 16000) AS BIGINT) AS duration_ms,
+           round(sqrt(AVG(pow(ascii(c) * 128.0 / 32768.0, 2))), 6) AS rms,
+           0.0 AS zcr,
+           round(MAX(ascii(c)) * 128.0 / 32768.0, 6) AS peak
+    FROM ch GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio"),
+)
+def z_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode -> featurize: every document synthesizes a genuine
+    RIFF/WAVE payload (PCM samples = ascii(char)*128 over the text — a
+    deterministic, engine-portable waveform), the WAV is parsed back by the
+    library-free chunk-walking decoder (operators/multimodal.py::decode_wav),
+    and RMS / zero-crossing rate / peak are computed from the decoded
+    samples. The oracle recomputes the same statistics straight from the
+    characters, so the whole decode path is value-exact — audio now has a
+    genuinely-executed decode branch in this container, like BMP does for
+    images (zcr is identically 0 here because the synthesized samples are
+    all positive; sign-change semantics are covered by unit tests with
+    synthesized sine waves)."""
+    from ..operators.multimodal import attach_wav_payload, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_wav_payload(docs))
+
+
+@query(
+    "z_profile_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source
+    ), dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m USING (source)
+    ), mad AS (
+      SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round((dev.n_chars - dev.med) / (1.4826 * mad.mad), 6) AS robust_z
+    FROM dev JOIN mad USING (source)
+    WHERE mad.mad > 0
+      AND abs((dev.n_chars - dev.med) / (1.4826 * mad.mad)) > 2.5
+    """,
+    tags=("profile", "quality"),
+)
+def z_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier detection: median/MAD z-scores over
+    document lengths, flagging |z| > 2.5 — the distribution-free screen a
+    curation pipeline runs per source before trusting its length stats
+    (mean/stddev are themselves corrupted by the outliers being hunted).
+
+    Exact percentiles here (`F.percentile` = DuckDB `quantile_cont`, the
+    parity proven in relational2); at 100 TB the same query swaps in
+    `percentile_approx` per source — exact group percentiles buffer the
+    group in memory, the approx sketch is bounded. Guarded against
+    MAD = 0 (degenerate constant-length sources drop out rather than
+    dividing by zero)."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = docs.select("doc_id", "source", "n_chars").join(med, "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    z = (F.col("n_chars") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(mad, "source")
+        .where((F.col("mad") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
+
+
 @query("z_stream_distinct_hll", oracle=None, tags=("streaming", "sketch"))
 def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming HyperLogLog distinct-user count: 2^10 registers per

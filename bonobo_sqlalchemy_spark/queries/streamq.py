@@ -352,3 +352,57 @@ def z_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "z_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+)
+def z_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-STATIC join — the dimension-enrichment shape Structured
+    Streaming re-plans per micro-batch: the event stream joins the static
+    customer->nation dim (broadcast; the dim is re-read each batch, so
+    slowly-changing dims pick up updates between batches), then aggregates
+    per nation with the decimal-exact value-sum policy. Completes the join
+    matrix alongside the stream-stream inner/left/right/full suite: the
+    static side needs no watermark and holds NO join state — only the
+    aggregation keeps state, bounded by nation cardinality."""
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name"
+            ),
+            "c_nationkey",
+        )
+        .select("user_id", "n_name")
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+    name = "z_stream_static_tbl"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -619,3 +619,63 @@ def test_semantic_survivors_keep_best_member(spark, embs):
     for i in range(3):
         comp = by_comp.get(i)  # component label = min member id = original id
         assert comp is not None and comp.survivor_id == i + 10000, (i, comp)
+
+
+def test_wav_encode_decode_roundtrip():
+    """The library-free RIFF codec must round-trip PCM bit-exactly, walk
+    past unknown chunks, and reject non-PCM payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bonobo_sqlalchemy_spark.operators import multimodal as M
+
+    samples = (np.sin(np.linspace(0, 20 * np.pi, 800)) * 20000).astype(np.int16)
+    wav = M.encode_wav_pcm16(samples, sample_rate=8000)
+    x, sr, nch = M.decode_wav(wav)
+    assert sr == 8000 and nch == 1 and x.shape == (800, 1)
+    assert np.array_equal((x[:, 0] * 32768).astype(np.int16), samples)
+
+    # an extra LIST chunk between fmt and data must be skipped (incl. the
+    # odd-size word-alignment pad)
+    body = b"INFOxyz"  # 7 bytes -> odd, exercises the alignment skip
+    extra = wav[:36] + b"LIST" + struct.pack("<I", len(body)) + body + b"\x00" + wav[36:]
+    x2, sr2, _ = M.decode_wav(extra)
+    assert sr2 == 8000 and np.array_equal(x2, x)
+
+    # stereo interleave: (n, 2) with channels separated
+    st = np.empty(200, dtype=np.int16)
+    st[0::2] = 1000   # L
+    st[1::2] = -2000  # R
+    xs, _, nchs = M.decode_wav(M.encode_wav_pcm16(st, n_channels=2))
+    assert nchs == 2 and xs.shape == (100, 2)
+    assert np.allclose(xs[:, 0], 1000 / 32768) and np.allclose(xs[:, 1], -2000 / 32768)
+
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFX" + wav[4:])
+    # float-format WAV (format tag 3) refuses with NotImplementedError
+    bad = bytearray(wav)
+    struct.pack_into("<H", bad, 20, 3)
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(bad))
+
+
+def test_audio_features_zcr_on_sine(spark):
+    """extract_audio_features on a synthesized sine: zcr ~ 2*f/sr (two sign
+    changes per period), rms ~ A/sqrt(2) — the semantics the all-positive
+    oracle waveform can't exercise."""
+    import numpy as np
+
+    from bonobo_sqlalchemy_spark.operators import multimodal as M
+
+    sr, f, amp = 8000, 100, 16000
+    t = np.arange(sr)  # 1 second
+    samples = (np.sin(2 * np.pi * f * t / sr) * amp).astype(np.int16)
+    wav = M.encode_wav_pcm16(samples, sample_rate=sr)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id bigint, payload binary")
+    r = M.extract_audio_features(df).collect()[0]
+    assert r.sample_rate == sr and r.n_samples == sr and r.duration_ms == 1000
+    assert abs(r.zcr - 2 * f / sr) < 0.005, r.zcr
+    assert abs(r.rms - amp / 32768 / 2**0.5) < 0.01, r.rms
+    assert abs(r.peak - amp / 32768) < 0.01, r.peak

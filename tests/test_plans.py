@@ -92,6 +92,9 @@ NO_CARTESIAN_EXEMPT = {
     # 1-row total-token-count broadcast into the token stream (the unigram
     # score feeding the sweep) — same shape as z_text_unigram_logprob
     "z_quality_threshold_sweep",
+    # same 1-row unigram-denominator broadcast inside the curation
+    # composition's fluency stage
+    "z_pipeline_curate",
 }
 
 
