@@ -1,7 +1,8 @@
 """End-to-end training-data curation pipeline — the engine's north-star
 composition: profile -> exact dedup -> near-dup removal (Jaccard +
-containment) -> quality filter (heuristics + unigram-LM fluency) ->
-text metrics -> partitioned corpus write.
+containment) -> boilerplate strip -> quality filter (heuristics +
+unigram-LM fluency) -> DSIR target-matching selection -> text metrics ->
+partitioned corpus write -> verified training-shard export.
 
 Every stage is one of the engine's operators; nothing collects to the
 driver until the final summary. At 100 TB the same program runs with the
@@ -68,6 +69,22 @@ def main() -> None:
     docs = docs.join(keep, "doc_id", "left_semi")
     n2 = docs.count()
 
+    # 2b. boilerplate strip: drop 16-token chunks shared across documents
+    #     (templated headers/footers) and rewrite the surviving text —
+    #     sub-document dedup AFTER whole-document dedup removed exact and
+    #     near copies
+    from bonobo_sqlalchemy_spark.functions.cleaning import strip_shared_chunks
+
+    cleaned = strip_shared_chunks(docs, chunk_tokens=16, max_df=1).select(
+        "doc_id", F.col("clean_text")
+    )
+    docs = (
+        docs.join(cleaned, "doc_id")
+        .where(F.length("clean_text") > 0)
+        .drop("text")
+        .withColumnRenamed("clean_text", "text")
+    )
+
     # 3. quality gate + text metrics (all JVM-side column functions;
     #    quality was already attached for the survivor selection)
     scored = docs.select(
@@ -96,6 +113,25 @@ def main() -> None:
     ).drop("avg_log2p")
     n3 = curated.count()
 
+    # 3b. DSIR selection: keep documents whose hashed-unigram distribution
+    #     matches the target (English) subset — drop the bottom per-language
+    #     DSIR decile. Bucket tables are broadcast-sized at any corpus scale.
+    from pyspark.sql import Window as W
+
+    from bonobo_sqlalchemy_spark.operators.selection import dsir_log_weights
+
+    dsir = dsir_log_weights(curated, F.col("lang") == "en", n_buckets=1024)
+    d_w = W.partitionBy("lang").orderBy(F.col("dsir_logw").desc(), "doc_id")
+    dsir_keep = (
+        curated.select("doc_id", "lang")
+        .join(dsir, "doc_id")
+        .withColumn("dsir_decile", F.ntile(10).over(d_w))
+        .where(F.col("dsir_decile") <= 9)
+        .select("doc_id")
+    )
+    curated = curated.join(dsir_keep, "doc_id", "left_semi")
+    n3b = curated.count()
+
     # 4. weighted upsample bias toward long documents (Efraimidis–Spirakis,
     #    hash-deterministic — same sample every rerun) for the train cut
     from bonobo_sqlalchemy_spark.operators.sampling import (
@@ -122,12 +158,35 @@ def main() -> None:
     for lang_dir in sorted(Path(out).glob("lang=*")):
         stats[lang_dir.name] = compact_parquet(spark, str(lang_dir))
 
+    # 7. verified training-shard export of the train split: content-derived
+    #    sharding, per-shard manifest (rows/tokens/content hash), then the
+    #    loader-side integrity check — the last mile before a data loader
+    from bonobo_sqlalchemy_spark.operators.export import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    shards_out = str(Path(out).parent / "shards")
+    train = read_partitioned(spark, out).where(F.col("split") == "train")
+    manifest = write_training_shards(
+        train, shards_out, order_col="doc_id", token_col="n_tokens", n_shards=4
+    )
+    verify = verify_training_shards(spark, shards_out)
+    bad_shards = verify.where(~F.col("ok")).count()
+    assert bad_shards == 0, "shard verification failed"
+
     back = read_partitioned(spark, out)
     print(
         f"ingested={n0} after_exact_dedup={n1} after_near_dedup={n2} "
-        f"after_quality_gate={n3} sampled={target_n} written={back.count()} -> {out}"
+        f"after_quality_gate={n3} after_dsir={n3b} sampled={target_n} "
+        f"written={back.count()} -> {out}"
     )
     print("compaction:", {k: (v["files_before"], v["files_after"]) for k, v in stats.items()})
+    print(
+        f"shards: {len(manifest['shards'])} verified clean -> {shards_out} "
+        f"({sum(s['n_rows'] for s in manifest['shards'].values())} rows, "
+        f"{sum(s['n_tokens'] for s in manifest['shards'].values())} tokens)"
+    )
     back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),

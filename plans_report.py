@@ -37,6 +37,9 @@ NESTED_LOOP_OK = {
     "broadcast, no quadratic term",
     "z_text_unigram_logprob": "1-row broadcast scalar join (total token "
     "count) — constant broadcast, no quadratic term",
+    "z_pipeline_curate": "1-row broadcast scalar join (total token count, "
+    "the fluency stage's unigram denominator) — constant broadcast, no "
+    "quadratic term",
 }
 
 

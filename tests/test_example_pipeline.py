@@ -39,3 +39,12 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path):
     # both splits present, deterministic hash split
     splits = {r[0] for r in back.select("split").distinct().collect()}
     assert splits <= {"train", "val"} and "train" in splits
+    # verified training-shard export landed next to the corpus with a
+    # manifest whose totals match the shard files
+    import json
+
+    shards = tmp_path / "shards"
+    assert (shards / "_MANIFEST.json").exists()
+    manifest = json.loads((shards / "_MANIFEST.json").read_text())
+    n_manifest = sum(s["n_rows"] for s in manifest["shards"].values())
+    assert n_manifest == spark.read.parquet(str(shards)).count()
