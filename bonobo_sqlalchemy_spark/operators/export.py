@@ -92,6 +92,7 @@ def shard_manifest(
     order_col: str = "doc_id",
     token_col: str | None = None,
     n_shards: int = 16,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """``(shard, n_rows, n_tokens, content_hash)`` without writing anything.
 
@@ -101,13 +102,17 @@ def shard_manifest(
     overflow-free (ANSI mode would throw on wrap) up to ~2^35 rows per
     shard while still flipping on any single-row add/drop/corruption with
     ~1-2^-28 probability — an integrity check, not a cryptographic one.
+
+    ``shard_col``: use an existing shard-assignment column (curriculum
+    exports persist theirs) instead of recomputing the md5 hash bucket
+    from ``order_col``.
     """
-    shard = T.split_bucket(F.col(order_col), n_shards)
+    shard = F.col(shard_col) if shard_col else T.split_bucket(F.col(order_col), n_shards)
     hash_cols = sorted(c for c in df.columns if c != "shard")
     row_h = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(1 << 28))
     toks = F.col(token_col) if token_col else F.lit(0)
     return (
-        df.select(shard.alias("shard"), row_h.alias("__h"), toks.alias("__t"))
+        df.select(shard.cast("bigint").alias("shard"), row_h.alias("__h"), toks.alias("__t"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -117,6 +122,29 @@ def shard_manifest(
     )
 
 
+def curriculum_shard_expr(
+    df: DataFrame, curriculum_col: str, n_shards: int
+) -> tuple["F.Column", list[float]]:
+    """Range-based shard assignment for curriculum exports: exact quantile
+    boundaries over ``curriculum_col`` (driver receives ``n_shards - 1``
+    floats), shard = number of boundaries at or below the score — shard 0
+    holds the lowest scores, shard ``n_shards-1`` the highest, so a data
+    loader reading shards in order replays easy-to-hard (or any score
+    order you pass). Deterministic given the data; no global sort, no
+    single-partition window — one percentile aggregate + a broadcast-free
+    comparison chain. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (same contract, bounded memory)."""
+    probs = [i / n_shards for i in range(1, n_shards)]
+    bounds = df.agg(
+        F.percentile(curriculum_col, F.array(*[F.lit(p) for p in probs]))
+    ).first()[0]
+    bounds = [float(b) for b in bounds]
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + (F.col(curriculum_col) >= F.lit(b)).cast("int")
+    return expr.cast("bigint"), bounds
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -124,12 +152,21 @@ def write_training_shards(
     token_col: str | None = None,
     n_shards: int = 16,
     fmt: str = "parquet",
+    curriculum_col: str | None = None,
 ) -> dict:
     """Write ``shard=K/`` directories + ``_MANIFEST.json``; returns the
     manifest dict. One data pass computes the manifest aggregates; the
     hive-partitioned write repartitions BY SHARD so each shard lands as
-    one file (the loader's scheduling unit)."""
-    shard = T.split_bucket(F.col(order_col), n_shards)
+    one file (the loader's scheduling unit).
+
+    ``curriculum_col``: switch from content-hash sharding to RANGE
+    sharding over a score column (:func:`curriculum_shard_expr`) — shard
+    files become a curriculum the loader replays in score order; the
+    quantile boundaries are recorded in the manifest."""
+    if curriculum_col is not None:
+        shard, bounds = curriculum_shard_expr(df, curriculum_col, n_shards)
+    else:
+        shard, bounds = T.split_bucket(F.col(order_col), n_shards), None
     data = df.withColumn("shard", shard)
     (
         data.repartition(n_shards, "shard")
@@ -139,12 +176,15 @@ def write_training_shards(
         .partitionBy("shard")
         .save(path)
     )
-    rows = shard_manifest(df, order_col, token_col, n_shards).collect()
+    rows = shard_manifest(data, order_col, token_col, n_shards, shard_col="shard").collect()
     manifest = {
         "n_shards": n_shards,
         "order_col": order_col,
         "token_col": token_col,
         "format": fmt,
+        "sharding": "curriculum" if curriculum_col else "hash",
+        "curriculum_col": curriculum_col,
+        "boundaries": bounds,
         "shards": {
             str(r.shard): {
                 "n_rows": r.n_rows,
@@ -166,11 +206,17 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
     manifest = read_manifest(spark, path)
     expected = manifest["shards"]
     data = spark.read.format(manifest["format"]).load(path)
+    # hash layout: recompute the bucket from order_col (also validates
+    # shard MEMBERSHIP); curriculum layout: trust the persisted shard
+    # column (membership is range-derived; content hashes still catch
+    # any row add/drop/edit within a shard)
+    curriculum = manifest.get("sharding") == "curriculum"
     actual = shard_manifest(
         data,
         order_col=manifest["order_col"],
         token_col=manifest["token_col"],
         n_shards=manifest["n_shards"],
+        shard_col="shard" if curriculum else None,
     )
     spark_expected = spark.createDataFrame(
         [

@@ -337,6 +337,83 @@ def z_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "z_export_curriculum",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN n_chars >= q3 THEN 3
+                     WHEN n_chars >= q2 THEN 2
+                     WHEN n_chars >= q1 THEN 1
+                     ELSE 0 END AS BIGINT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM documents, b
+    GROUP BY 1
+    """,
+    tags=("export", "sink", "ml"),
+)
+def z_export_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-shard manifest aggregates: RANGE sharding over a score
+    column (here document length as the difficulty proxy) via exact
+    quantile boundaries — shard 0 holds the shortest docs, shard 3 the
+    longest, so a loader replaying shards in order trains easy-to-hard.
+    The boundary math (`operators/export.py::curriculum_shard_expr`) is
+    value-exact against the oracle's quantile_cont CASE ladder; the full
+    write + persisted-shard verification path is covered in
+    tests/test_export.py."""
+    from ..operators.export import curriculum_shard_expr, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard, _ = curriculum_shard_expr(docs, "n_chars", 4)
+    return shard_manifest(
+        docs.withColumn("shard", shard),
+        order_col="doc_id",
+        token_col="n_chars",
+        n_shards=4,
+        shard_col="shard",
+    ).select("shard", "n_rows", "n_tokens")
+
+
+@query(
+    "z_stream_bottomk_sample",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS key,
+           md5(CAST(event_id AS VARCHAR)) AS h
+    FROM events
+    ORDER BY h, key LIMIT 32
+    """,
+    tags=("streaming", "sketch", "sampling"),
+)
+def z_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming uniform sample with bounded state: the bottom-k
+    (hash-smallest) sketch keeps k=32 keys per shard ever, survives any
+    stream length, and — unlike an RNG reservoir — equals the batch
+    ``ORDER BY md5(key) LIMIT k`` bit-for-bit, which is why this
+    streaming query has a VALUE-EXACT oracle (the only sketch here that
+    does). Mergeable: the global sample is the k smallest of the shard
+    samples' union."""
+    from ..streaming.sketches import bottomk_sample_stream, final_bottomk
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = bottomk_sample_stream(ev, key_col="event_id", k=32, n_shards=4)
+    name = "z_stream_bottomk_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return final_bottomk(spark.table(name), k=32)
+
+
 @query("z_stream_distinct_hll", oracle=None, tags=("streaming", "sketch"))
 def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming HyperLogLog distinct-user count: 2^10 registers per

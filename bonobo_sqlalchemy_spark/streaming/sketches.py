@@ -115,6 +115,94 @@ def heavy_hitters_stream(
     )
 
 
+BOTTOMK_OUTPUT_SCHEMA = "shard int, key string, h string, batch_seq bigint"
+BOTTOMK_STATE_SCHEMA = "keys array<string>, hashes array<string>, seq bigint"
+
+
+def bottomk_sample_stream(
+    events: DataFrame,
+    key_col: str = "event_id",
+    k: int = 32,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming bottom-k sample: keep the ``k`` keys with the SMALLEST
+    md5 hash per shard — a uniform-without-replacement sample of an
+    unbounded stream with ``k`` rows of state per shard, ever.
+
+    This is the deterministic answer to streaming reservoir sampling:
+    random reservoirs need per-event RNG state and aren't reproducible
+    across retries/repartitioning; hash-ordered bottom-k is (a) uniform
+    (md5 is uniform on keys), (b) mergeable (union = k smallest of the
+    concatenation — same property the dedup/export md5 buckets rely on),
+    and (c) EXACTLY equal to the batch query ``ORDER BY md5(key) LIMIT k``
+    — so unlike any RNG reservoir it has a value-exact oracle. Emits each
+    shard's current sample every micro-batch (update mode); collapse with
+    :func:`final_bottomk`."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            keys, hashes, seq = state.get
+            best = dict(zip(keys, hashes))
+        else:
+            best, seq = {}, 0
+        touched = False
+        for pdf in pdfs:
+            for kv in pdf["__key"]:
+                kv = str(kv)
+                if kv not in best:
+                    best[kv] = hashlib.md5(kv.encode("utf-8")).hexdigest()
+                    touched = True
+        if not touched and not state.exists:
+            return
+        # keep the k hash-smallest (key tiebreak for identical hashes)
+        kept = sorted(best.items(), key=lambda it: (it[1], it[0]))[:k]
+        seq += 1
+        state.update(([kv for kv, _ in kept], [h for _, h in kept], seq))
+        yield pd.DataFrame(
+            [
+                {"shard": key[0], "key": kv, "h": h, "batch_seq": seq}
+                for kv, h in kept
+            ]
+        )
+
+    sharded = events.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(key_col).cast("string").alias("__key"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fold,
+        outputStructType=BOTTOMK_OUTPUT_SCHEMA,
+        stateStructType=BOTTOMK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_bottomk(update_log: DataFrame, k: int = 32) -> DataFrame:
+    """Collapse a bottom-k update log to the GLOBAL k-sample: latest rows
+    per shard, then the k hash-smallest across shards (mergeability —
+    every global bottom-k member is its shard's bottom-k member too).
+    Returns ``(key, h)`` — exactly the batch ``ORDER BY md5(key) LIMIT
+    k`` result."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard")
+    return (
+        update_log.withColumn("__mx", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("__mx"))
+        .orderBy("h", "key")
+        .limit(k)
+        .select("key", "h")
+    )
+
+
 HLL_OUTPUT_SCHEMA = "shard int, registers array<int>, batch_seq bigint"
 HLL_STATE_SCHEMA = "registers array<int>, seq bigint"
 

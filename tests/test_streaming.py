@@ -563,3 +563,39 @@ def test_hll_distinct_sketch_accuracy_and_merge(spark, tmp_path):
         for i, v in enumerate(r.registers):
             merged[i] = max(merged[i], v)
     assert merged == ref
+
+
+def test_bottomk_sample_bounded_state_and_batch_equivalence(spark, tmp_path):
+    """Bottom-k streaming sample over several micro-batches: per-shard
+    state stays <= k rows, and the collapsed global sample equals the
+    batch ORDER BY md5(key) LIMIT k on the same keys exactly."""
+    import hashlib
+
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        bottomk_sample_stream,
+        final_bottomk,
+    )
+
+    keys = [f"ev{i}" for i in range(500)]
+    df = spark.createDataFrame([(x,) for x in keys], "event_id string")
+    df.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "b"))
+    stream = (
+        spark.readStream.schema("event_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "b"))
+    )
+    k = 16
+    sk = bottomk_sample_stream(stream, key_col="event_id", k=k, n_shards=2)
+    q = (
+        sk.writeStream.format("memory").queryName("t_bk")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    log = spark.table("t_bk")
+    per_batch = (
+        log.groupBy("shard", "batch_seq").count().agg(F.max("count")).first()[0]
+    )
+    assert per_batch <= k, "state not bounded"
+    got = [r.key for r in final_bottomk(log, k=k).collect()]
+    want = sorted(keys, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))[:k]
+    assert got == want
