@@ -9,10 +9,16 @@ from .dedup import (
     survivors,
 )
 from .contamination import benchmark_overlap
+from .export import (
+    shard_manifest,
+    verify_training_shards,
+    write_training_shards,
+)
 from .multimodal import attach_binary_payload, extract_features
 from .packing import pack_sequences
 from .rangejoin import interval_join
-from .scale import bucketed_join, salted_join, write_bucketed
+from .scale import bucketed_join, salted_join, scalar_attach, write_bucketed
+from .selection import bm25_topk, dsir_log_weights, dsir_select, threshold_sweep
 from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .upsert import InsertOrUpdate
 
@@ -37,4 +43,12 @@ __all__ = [
     "salted_join",
     "write_bucketed",
     "bucketed_join",
+    "scalar_attach",
+    "dsir_log_weights",
+    "dsir_select",
+    "bm25_topk",
+    "threshold_sweep",
+    "write_training_shards",
+    "verify_training_shards",
+    "shard_manifest",
 ]

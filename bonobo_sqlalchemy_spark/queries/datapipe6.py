@@ -85,11 +85,17 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
 def z_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware token counts: train a BPE merge table distributedly
     (iterative pair-count hash-aggs over the distinct-word table), then
-    encode every document via one Arrow pass (functions/bpe.py). Rows-only
-    (training is iterative — not SQL-expressible; classic-BPE equivalence,
-    determinism and round-trip decode are asserted in tests/test_bpe.py)."""
+    encode every document via one Arrow pass (functions/bpe.py), with the
+    byte-level <0xHH> fallback alphabet closing the vocabulary over
+    out-of-training characters (round 7 — identical counts on this ASCII
+    corpus, bounded token ids on any corpus). Rows-only (training is
+    iterative — not SQL-expressible; classic-BPE equivalence, determinism,
+    round-trip decode and the 512-merge stress are asserted in
+    tests/test_bpe.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_token_counts(docs, _bpe_merges(spark, sf_dir)).orderBy("doc_id")
+    return bpe.bpe_token_counts(
+        docs, _bpe_merges(spark, sf_dir), alphabet=bpe.bpe_alphabet(docs)
+    ).orderBy("doc_id")
 
 
 @query("z_text_pack_bpe", oracle=None, tags=("text", "packing"), bench=False)

@@ -414,6 +414,52 @@ def z_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_bottomk(spark.table(name), k=32)
 
 
+@query("z_emb_pca_ann", oracle=None, tags=("similarity", "ml"))
+def z_emb_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-compressed ANN — the standard pre-step for large-scale vector
+    search: learn the top-16 principal components from partition-level
+    sufficient statistics (driver sees d^2 floats, never data), project
+    the 64-d embeddings down 4x in one Arrow pass, and run cosine top-5
+    in the REDUCED space. Rows-only (eigenbasis floats are partition-sum
+    sensitive at 1e-8); recall vs full-space exact search is asserted in
+    tests/test_embedding.py on planted low-rank data (this corpus's
+    vectors are deliberately isotropic, where no linear compression can
+    preserve neighborhoods — real encoder outputs are low-rank)."""
+    from ..operators.embedding import pca_project, pca_train
+    from ..operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_train(e, k=16)
+    proj = pca_project(e, mean, comps).withColumnRenamed("proj", "embedding")
+    queries = proj.where(F.col("vec_id") < 8)
+    return cosine_topk(proj, queries, k=5).orderBy("query_id", "rank")
+
+
+@query("z_stream_rate_anomaly", oracle=None, tags=("streaming", "monitor"))
+def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming EWMA control chart: per-event-type micro-batch
+    counts checked against an exponentially-weighted mean/variance with
+    O(1) state per key — the rate-monitoring op that runs beside the
+    sketches on an ingest stream. Rows-only (EWMA state is iterative);
+    the planted-spike detection semantics are asserted in
+    tests/test_streaming.py over a multi-batch replay."""
+    from ..streaming.anomaly import rate_anomaly_stream
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = rate_anomaly_stream(ev, key_col="event_type")
+    name = "z_stream_anomaly_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("key", "batch_seq")
+
+
 @query("z_stream_distinct_hll", oracle=None, tags=("streaming", "sketch"))
 def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming HyperLogLog distinct-user count: 2^10 registers per

@@ -63,6 +63,9 @@ NO_CARTESIAN_EXEMPT = {
     # brute-force ANN baseline intentionally broadcasts 8 query rows against
     # the corpus via a (tiny) nested-loop join
     "sim_cosine_topk",
+    # same brute-force top-k shape, run in PCA-projected space — the
+    # broadcast side is the 8 projected query rows
+    "z_emb_pca_ann",
     # scalar corpus-size aggregate broadcast-crossed into every row (the
     # oracle's scalar subquery) — a 1-row build side, not a data join
     "text_tfidf",

@@ -599,3 +599,51 @@ def test_bottomk_sample_bounded_state_and_batch_equivalence(spark, tmp_path):
     got = [r.key for r in final_bottomk(log, k=k).collect()]
     want = sorted(keys, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x))[:k]
     assert got == want
+
+
+def test_rate_anomaly_ewma_flags_planted_spike(spark, tmp_path):
+    """EWMA control chart over micro-batches: a steady key is never
+    flagged; a 10x spike after warm-up is; the spike then shifts the
+    baseline alpha-weighted instead of being discarded."""
+    import shutil
+    import time
+
+    from bonobo_sqlalchemy_spark.streaming.anomaly import rate_anomaly_stream
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    batches = [50, 50, 50, 50, 500, 50]  # spike in batch 5
+    for i, n in enumerate(batches):
+        rows = [("steady",)] * 50 + [("spiky",)] * n
+        df = spark.createDataFrame(rows, "event_type string")
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, watch / f"b{i:02d}.parquet")
+        time.sleep(0.05)  # strictly increasing mod-times -> batch order
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = rate_anomaly_stream(stream, alpha=0.3, z=3.0, min_batches=3)
+    q = (
+        out.writeStream.format("memory").queryName("t_anom")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_anom").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, {})[r.batch_seq] = r
+    # steady key: constant counts, never anomalous, zero variance
+    steady = by_key["steady"]
+    assert len(steady) == len(batches)
+    assert not any(r.is_anomaly for r in steady.values())
+    assert steady[len(batches)].ewma_std == 0.0
+    # spiky key: flagged exactly at the spike batch (post-warm-up),
+    # and the baseline then moved toward the spike
+    spiky = by_key["spiky"]
+    flagged = [s for s, r in spiky.items() if r.is_anomaly]
+    assert flagged == [5], (flagged, spiky)
+    assert spiky[5].ewma_mean > spiky[4].ewma_mean  # baseline absorbed it
