@@ -183,11 +183,13 @@ def threshold_sweep(
     scored: DataFrame,
     score_col: str,
     label_col: str,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Precision/recall operating table for a score used as a keep-filter
     against a (weak) boolean label: one row per DISTINCT score value with
     ``(threshold, n_kept, tp, precision, recall)`` for the filter
-    ``score >= threshold``.
+    ``score >= threshold``. With ``group_col``, one independent curve per
+    group (CCNet picks thresholds per language, never globally).
 
     The real curation step this serves: every heuristic filter needs an
     operating point, and sweeping thresholds by rescanning per candidate
@@ -195,12 +197,14 @@ def threshold_sweep(
     + one window over the DISTINCT-SCORE table (bounded: 6dp-rounded
     scores, not raw doubles), with cumulative sums ordered by score
     descending. Precision/recall round to 6dp."""
+    gcols = [group_col] if group_col else []
     per_score = (
         scored.select(
+            *gcols,
             F.col(score_col).alias("threshold"),
             F.col(label_col).cast("int").alias("pos"),
         )
-        .groupBy("threshold")
+        .groupBy(*gcols, "threshold")
         .agg(
             F.count(F.lit(1)).alias("n_at"),
             F.sum("pos").cast("bigint").alias("tp_at"),
@@ -208,23 +212,56 @@ def threshold_sweep(
     )
     from pyspark.sql import Window as W
 
-    # both frames share one ordering, so Spark evaluates them in a single
-    # WindowExec pass over the distinct-score table (bounded by the 6dp
-    # rounding of the score — never data-sized)
-    w = W.orderBy(F.col("threshold").desc()).rowsBetween(
+    # both frames share one partitioning+ordering, so Spark evaluates them
+    # in a single WindowExec pass over the distinct-score table (bounded
+    # by the 6dp rounding of the score — never data-sized); grouped sweeps
+    # partition the window, so no single-partition bottleneck either
+    base = W.partitionBy(*gcols) if gcols else W.partitionBy(F.lit(1))
+    w = base.orderBy(F.col("threshold").desc()).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    wall = W.orderBy(F.col("threshold").desc()).rowsBetween(
+    wall = base.orderBy(F.col("threshold").desc()).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
     return per_score.select(
+        *gcols,
         "threshold",
         F.sum("n_at").over(w).alias("n_kept"),
         F.sum("tp_at").over(w).alias("tp"),
         F.round(
             F.sum("tp_at").over(w) / F.sum("n_at").over(w), 6
         ).alias("precision"),
+        # try_divide: a group with ZERO positives has undefined recall —
+        # NULL (never a row the auto-threshold can pick), not an ANSI
+        # divide-by-zero error
         F.round(
-            F.sum("tp_at").over(w) / F.sum("tp_at").over(wall), 6
+            F.try_divide(F.sum("tp_at").over(w), F.sum("tp_at").over(wall)), 6
         ).alias("recall"),
+    )
+
+
+def auto_threshold(
+    sweep: DataFrame,
+    min_precision: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pick each group's operating point FROM its sweep curve: the most
+    permissive threshold (highest recall) whose precision still meets
+    ``min_precision``. Returns one row per group —
+    ``(group, threshold, n_kept, tp, precision, recall)`` — or no row for
+    groups that can't reach the precision floor at any threshold (the
+    honest answer; a caller falls back to a global default).
+
+    This is the composition the sweep exists for: threshold selection as
+    a QUERY over the curve, not a driver-side loop."""
+    from pyspark.sql import Window as W
+
+    gcols = [group_col] if group_col else []
+    ok = sweep.where(F.col("precision") >= min_precision)
+    base = W.partitionBy(*gcols) if gcols else W.partitionBy(F.lit(1))
+    w = base.orderBy(F.col("recall").desc(), F.col("threshold").asc())
+    return (
+        ok.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

@@ -485,6 +485,92 @@ def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(spark.table(name), p=10)
 
 
+from .datapipe import QUALITY_SQL as _Q
+
+
+@query(
+    "z_quality_auto_threshold",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c) AS n FROM vocab
+    ), scored AS (
+      SELECT doc_id,
+             round(SUM(ln(c / (SELECT n FROM tot))) / COUNT(*), 6) AS s
+      FROM t JOIN vocab USING (tok)
+      GROUP BY doc_id
+    ), lab AS (
+      SELECT d.lang, s.s,
+             ({_Q} >= 0.55) AS pos
+      FROM scored s JOIN documents d USING (doc_id)
+    ), per AS (
+      SELECT lang, s AS threshold, COUNT(*) AS n_at,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS tp_at
+      FROM lab GROUP BY lang, s
+    ), curve AS (
+      SELECT lang, threshold,
+             CAST(SUM(n_at) OVER w AS BIGINT) AS n_kept,
+             CAST(SUM(tp_at) OVER w AS BIGINT) AS tp,
+             round(SUM(tp_at) OVER w * 1.0 / SUM(n_at) OVER w, 6) AS precision,
+             round(SUM(tp_at) OVER w * 1.0 / SUM(tp_at) OVER wall, 6) AS recall
+      FROM per
+      WINDOW w AS (PARTITION BY lang ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wall AS (PARTITION BY lang ORDER BY threshold DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    )
+    SELECT lang, threshold, n_kept, tp, precision, recall
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY recall DESC, threshold ASC) AS rn
+      FROM curve WHERE precision >= 0.7
+    ) WHERE rn = 1
+    """,
+    tags=("text", "quality", "ml"),
+)
+def z_quality_auto_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language automatic operating-point selection — the composition
+    the sweep exists for: sweep the unigram-LM fluency score against the
+    heuristic quality gate (quality_score >= 0.55) PER LANGUAGE, then
+    keep each language's most permissive threshold whose precision still
+    clears 0.7. Threshold selection is a query over the curve (one
+    row_number window), not a driver loop; languages that can't reach
+    the floor honestly emit no row."""
+    from ..functions import text as T
+    from ..operators.scale import scalar_attach
+    from ..operators.selection import auto_threshold, threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        scalar_attach(toks.join(vocab, "tok"), vocab.agg(F.sum("c").alias("n")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("s")
+        )
+        .join(
+            docs.select(
+                "doc_id", "lang", (T.quality_score("text") >= 0.55).alias("pos")
+            ),
+            "doc_id",
+        )
+    )
+    sweep = threshold_sweep(scored, "s", "pos", group_col="lang")
+    return auto_threshold(sweep, min_precision=0.7, group_col="lang")
+
+
 @query(
     "z_quality_threshold_sweep",
     oracle="""

@@ -95,6 +95,9 @@ NO_CARTESIAN_EXEMPT = {
     # 1-row total-token-count broadcast into the token stream (the unigram
     # score feeding the sweep) — same shape as z_text_unigram_logprob
     "z_quality_threshold_sweep",
+    # same unigram-denominator broadcast inside the per-language
+    # auto-threshold composition
+    "z_quality_auto_threshold",
     # same 1-row unigram-denominator broadcast inside the curation
     # composition's fluency stage
     "z_pipeline_curate",

@@ -99,3 +99,25 @@ def test_threshold_sweep_math_hand_fixture(spark):
     assert got[2.0].precision == round(2 / 3, 6) and got[2.0].recall == 1.0
     assert got[1.0].n_kept == 4 and got[1.0].tp == 2
     assert got[1.0].precision == 0.5 and got[1.0].recall == 1.0
+
+
+def test_grouped_sweep_and_auto_threshold(spark):
+    """Two groups with known curves: auto_threshold must pick each group's
+    most permissive threshold meeting the precision floor, and emit no
+    row for a group that can't reach it at any threshold."""
+    from bonobo_sqlalchemy_spark.operators.selection import auto_threshold
+
+    rows = [
+        # group g1: scores 3,2,1 with labels T,T,F ->
+        #   thr=3: p=1.0 r=0.5; thr=2: p=1.0 r=1.0; thr=1: p=2/3 r=1.0
+        ("g1", 3.0, True), ("g1", 2.0, True), ("g1", 1.0, False),
+        # group g2: all negative -> precision 0 everywhere, no pick
+        ("g2", 3.0, False), ("g2", 2.0, False),
+    ]
+    scored = spark.createDataFrame(rows, "g string, s double, pos boolean")
+    sweep = threshold_sweep(scored, "s", "pos", group_col="g")
+    got = {(r.g, r.threshold): r for r in sweep.collect()}
+    assert got[("g1", 2.0)].precision == 1.0 and got[("g1", 2.0)].recall == 1.0
+    picked = {r.g: r for r in auto_threshold(sweep, 0.9, group_col="g").collect()}
+    assert set(picked) == {"g1"}  # g2 honestly absent
+    assert picked["g1"].threshold == 2.0  # most permissive at p>=0.9
