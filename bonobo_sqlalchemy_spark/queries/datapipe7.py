@@ -414,6 +414,94 @@ def z_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_bottomk(spark.table(name), k=32)
 
 
+@query(
+    "z_split_decontaminated",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INT) % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split_base
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 6),
+                                   i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM d WHERE len(w) >= 8
+    ), train_grams AS (
+      SELECT DISTINCT gram FROM g JOIN base USING (doc_id)
+      WHERE split_base = 'train'
+    ), leaky AS (
+      SELECT DISTINCT g.doc_id
+      FROM g JOIN base USING (doc_id)
+      WHERE split_base = 'val'
+        AND gram IN (SELECT gram FROM train_grams)
+    )
+    SELECT b.doc_id, b.split_base,
+           CASE WHEN l.doc_id IS NOT NULL THEN 'train' ELSE b.split_base END
+             AS split_final,
+           (l.doc_id IS NOT NULL) AS reassigned
+    FROM base b LEFT JOIN leaky l USING (doc_id)
+    """,
+    tags=("text", "split", "ml"),
+)
+def z_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated held-out split — the step that makes a val set
+    trustworthy: start from the deterministic 90/10 hash split, then
+    REASSIGN to train every val document sharing any 8-gram with any
+    train document (a leaked val doc measures memorization, not
+    generalization; moving it to train is the conservative fix that
+    never shrinks training data).
+
+    Plan shape: one codegen 8-gram explode feeding both sides, a
+    distinct on train grams, one semi join for the leak test (semi —
+    never a fan-out join on hot grams), one id-partitioned left join for
+    the verdict. Every step is value-exact vs the oracle."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.trim("text"), " +"), lambda x: x != "")
+    base = docs.select(
+        "doc_id", T.train_val_split(F.col("doc_id")).alias("split_base")
+    )
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 7),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i.cast("int"), 8)
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    gb = grams.join(base, "doc_id")
+    train_grams = gb.where(F.col("split_base") == "train").select("gram").distinct()
+    leaky = (
+        gb.where(F.col("split_base") == "val")
+        .join(train_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__leak", F.lit(True))
+    )
+    return base.join(leaky, "doc_id", "left").select(
+        "doc_id",
+        "split_base",
+        F.when(F.col("__leak").isNotNull(), F.lit("train"))
+        .otherwise(F.col("split_base"))
+        .alias("split_final"),
+        F.col("__leak").isNotNull().alias("reassigned"),
+    )
+
+
 @query("z_emb_pca_ann", oracle=None, tags=("similarity", "ml"))
 def z_emb_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-compressed ANN — the standard pre-step for large-scale vector
