@@ -64,3 +64,36 @@ def profile_columns(
             "AS (col_name, n_null, n_distinct, min_value, max_value)"
         ),
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff for incremental pipelines: one row per document with
+    ``(id, status)`` where status is ``added`` / ``removed`` / ``changed``
+    / ``unchanged``, judged by a content fingerprint (md5 of
+    ``fingerprint_col``).
+
+    The step a recurring 100 TB crawl refresh runs FIRST: everything
+    downstream (dedup, scoring, export) only needs to touch ``added`` +
+    ``changed`` — the incremental counterpart of the full-corpus pass,
+    same pattern as ``incremental_dedup``'s batch-vs-corpus split. One
+    full outer equi-join on the id, fingerprints computed inline on each
+    side (no precompute pass); both sides shuffle once on the id they are
+    usually already clustered by.
+    """
+    fp = lambda df, alias: df.select(  # noqa: E731
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(fingerprint_col).cast("binary")).alias(alias),
+    )
+    j = fp(old, "__fp_old").join(fp(new, "__fp_new"), "__id", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

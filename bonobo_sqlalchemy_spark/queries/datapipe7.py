@@ -283,6 +283,50 @@ def z_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS fp
+      FROM documents WHERE doc_id % 17 <> 0
+    )
+    SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_docs
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("profile", "incremental"),
+)
+def z_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/profile.py::corpus_diff): the first step of
+    a recurring crawl refresh — classify every document added / removed /
+    changed / unchanged by content fingerprint so downstream stages touch
+    only the delta. The 'new' snapshot here is a deterministic transform
+    of the same corpus (every 17th doc dropped, every 10th edited), so
+    the status counts are value-exact against the oracle's full-outer
+    fingerprint join."""
+    from ..operators.profile import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        corpus_diff(docs, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "z_profile_outliers",
     oracle="""
     WITH med AS (

@@ -679,3 +679,16 @@ def test_audio_features_zcr_on_sine(spark):
     assert abs(r.zcr - 2 * f / sr) < 0.005, r.zcr
     assert abs(r.rms - amp / 32768 / 2**0.5) < 0.01, r.rms
     assert abs(r.peak - amp / 32768) < 0.01, r.peak
+
+
+def test_corpus_diff_all_four_statuses(spark):
+    from bonobo_sqlalchemy_spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
