@@ -546,6 +546,30 @@ def z_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("z_text_pack_bfd", oracle=None, tags=("text", "packing"))
+def z_text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing (operators/packing.py): the
+    higher-fill alternative to start-offset binning — BFD places
+    largest-first into the tightest open bin, so fewer training sequences
+    carry padding. Shards pack in parallel (the greedy loop runs inside
+    each shard's Arrow batch); rows-only (the loop is iterative), with
+    budget-compliance, fewer-bins-than-start-offset, and
+    partitioning-invariance asserted in tests/test_packing_bfd.py.
+    Output: per-(shard, bin) fill statistics."""
+    from ..operators.packing import pack_sequences_bfd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_sequences_bfd(docs, token_col="n_chars", budget=4096, n_shards=8)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("bin_fill").alias("bin_fill"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
 @query("z_emb_pca_ann", oracle=None, tags=("similarity", "ml"))
 def z_emb_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-compressed ANN — the standard pre-step for large-scale vector
