@@ -616,6 +616,36 @@ def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("key", "batch_seq")
 
 
+@query("z_stream_hh_windowed", oracle=None, tags=("streaming", "sketch"))
+def z_stream_hh_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WINDOW Misra-Gries heavy hitters with event-time state
+    eviction: sketches are keyed by (window, shard) and each window's
+    state times out and emits its final sketch exactly once when the
+    watermark passes the window end — live state stays bounded by the
+    watermark horizon instead of growing with stream age. Rows-only;
+    the eviction/exactly-once-final/late-data semantics are asserted in
+    tests/test_streaming.py over a multi-batch replay (this single-file
+    replay emits interim rows only — no later batch advances the
+    watermark past a window)."""
+    from ..streaming.sketches import windowed_heavy_hitters_stream
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = windowed_heavy_hitters_stream(
+        ev, window="6 hours", watermark="1 hour", capacity=16, n_shards=2
+    )
+    name = "z_stream_hh_win_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start", "shard", "key")
+
+
 @query("z_stream_distinct_hll", oracle=None, tags=("streaming", "sketch"))
 def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming HyperLogLog distinct-user count: 2^10 registers per

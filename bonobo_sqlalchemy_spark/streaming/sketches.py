@@ -325,6 +325,120 @@ def hll_estimate(update_log: DataFrame, p: int = 10) -> DataFrame:
     )
 
 
+WINDOWED_HH_OUTPUT_SCHEMA = (
+    "window_start timestamp, shard int, key string, est_count bigint, "
+    "max_err bigint, final boolean"
+)
+WINDOWED_HH_STATE_SCHEMA = STATE_SCHEMA
+
+
+def windowed_heavy_hitters_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    capacity: int = 16,
+    n_shards: int = 2,
+) -> DataFrame:
+    """Per-WINDOW Misra-Gries heavy hitters with event-time state
+    EVICTION — the piece the global sketches don't need but any
+    windowed sketch does: state is keyed by (window_start, shard), and
+    when the watermark passes a window's end the state times out, the
+    window's FINAL sketch is emitted exactly once (``final=true``), and
+    the state is removed. Without the timeout, per-window state
+    accumulates forever — the unbounded-state bug this operator exists
+    to avoid; with it, live state is bounded by (windows inside the
+    watermark horizon) x n_shards x capacity counters.
+
+    Interim (``final=false``) rows stream out each micro-batch for
+    monitoring; the ``final`` row is the one a consumer trusts
+    (late data inside the watermark still folds in before it fires).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        win_start, shard = key
+        if state.hasTimedOut:
+            keys, counts, dec, seq = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "window_start": win_start,
+                        "shard": shard,
+                        "key": k,
+                        "est_count": int(c),
+                        "max_err": int(dec),
+                        "final": True,
+                    }
+                    for k, c in zip(keys, counts)
+                ]
+            )
+            return
+        if state.exists:
+            keys, counts, dec, seq = state.get
+            sketch = dict(zip(keys, (int(c) for c in counts)))
+        else:
+            sketch, dec, seq = {}, 0, 0
+        batch: dict[str, int] = {}
+        win_end_ms = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for k, c in pdf["__key"].value_counts().items():
+                batch[str(k)] = batch.get(str(k), 0) + int(c)
+            win_end_ms = int(pdf["__win_end_ms"].iloc[0])
+        if not batch and not state.exists:
+            return
+        sketch, dec = _mg_merge(sketch, batch, capacity, dec)
+        seq += 1
+        ks = sorted(sketch)
+        state.update((ks, [sketch[k] for k in ks], dec, seq))
+        # evict when the watermark passes this window's END: late rows
+        # within the watermark still arrive before the timeout fires
+        if win_end_ms is not None:
+            state.setTimeoutTimestamp(win_end_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "window_start": win_start,
+                    "shard": shard,
+                    "key": k,
+                    "est_count": sketch[k],
+                    "max_err": dec,
+                    "final": False,
+                }
+                for k in ks
+            ]
+        )
+
+    win = F.window(F.col(ts_col), window)
+    keyed = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            # the watermarked event-time column must survive the projection
+            # or the stateful operator loses the watermark it times out on
+            F.col(ts_col),
+            win["start"].alias("__win_start"),
+            (F.unix_timestamp(win["end"]) * 1000).alias("__win_end_ms"),
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+            .cast("int")
+            .alias("__shard"),
+            F.col(key_col).cast("string").alias("__key"),
+        )
+    )
+    return keyed.groupBy("__win_start", "__shard").applyInPandasWithState(
+        fold,
+        outputStructType=WINDOWED_HH_OUTPUT_SCHEMA,
+        stateStructType=WINDOWED_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def final_sketch(update_log: DataFrame) -> DataFrame:
     """Collapse the update-mode emission log to each shard's FINAL sketch:
     rows from the shard's highest batch_seq (keys evicted earlier are

@@ -647,3 +647,65 @@ def test_rate_anomaly_ewma_flags_planted_spike(spark, tmp_path):
     flagged = [s for s, r in spiky.items() if r.is_anomaly]
     assert flagged == [5], (flagged, spiky)
     assert spiky[5].ewma_mean > spiky[4].ewma_mean  # baseline absorbed it
+
+
+def test_windowed_heavy_hitters_evicts_on_watermark(spark, tmp_path):
+    """Per-window MG sketch with event-time timeout: once the watermark
+    passes a window's end, that window emits its FINAL sketch exactly
+    once and its state is removed; late data inside the watermark still
+    folds in before the final fires."""
+    import shutil
+    import time
+
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        windowed_heavy_hitters_stream,
+    )
+
+    def batch(rows, i):
+        df = spark.createDataFrame(rows, "ts timestamp, user_id string")
+        stage = tmp_path / f"s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, tmp_path / "w" / f"b{i:02d}.parquet")
+        time.sleep(0.05)
+
+    (tmp_path / "w").mkdir()
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # window A = [10:00, 11:00): hot user 12x across two batches + late row
+    batch([(t(10, 5), "hot")] * 6 + [(t(10, 10), "u1")], 0)
+    batch([(t(10, 30), "hot")] * 6 + [(t(10, 40), "u2")], 1)
+    # batch 3 jumps event time to 13:00 -> watermark (10 min lag) passes
+    # 11:00; also carries a LATE row for window A at 10:50 (inside the
+    # horizon at the time it arrives in the same batch)
+    batch([(t(13, 0), "b1"), (t(10, 50), "hot")], 2)
+    # batch 4 only advances the clock so A's timeout fires
+    batch([(t(13, 30), "b2")], 3)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "w"))
+    )
+    out = windowed_heavy_hitters_stream(
+        stream, window="1 hour", watermark="10 minutes", capacity=8, n_shards=1
+    )
+    q = (
+        out.writeStream.format("memory").queryName("t_whh")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("t_whh").collect()
+    finals = [r for r in rows if r.final]
+    a_start = t(10, 0)
+    a_finals = [r for r in finals if r.window_start == a_start]
+    assert a_finals, "window A never emitted a final sketch"
+    assert all(r.window_start == a_start for r in finals), (
+        "only the watermark-passed window may finalize"
+    )
+    got = {r.key: r.est_count for r in a_finals}
+    # capacity 8 >= distinct keys, so counts are exact — incl. the late row
+    assert got["hot"] == 13 and got["u1"] == 1 and got["u2"] == 1
+    # exactly one final emission per key (state removed after timeout)
+    assert len(a_finals) == len(got)
