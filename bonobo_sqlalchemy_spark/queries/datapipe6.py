@@ -72,6 +72,22 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+@query("z_dedup_semantic_capped", oracle=None, tags=("dedup", "sketch"))
+def z_dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the hot-cluster guard engaged (round 7): clusters
+    larger than max_cluster_size sub-split by a content hash, bounding
+    per-key join fan-out at ~the cap no matter how degenerate the
+    clustering gets (measured 18.0M -> 300k candidate pairs on a planted
+    mega-cluster — SCALING.md skew table). Rows-only; the structural
+    bound and the untouched-small-cluster property are asserted in
+    tests/test_scale.py. Production guidance: run THIS variant; the
+    uncapped z_dedup_semantic is the reference behavior."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, threshold=0.35, n_clusters=16, train_iters=1, max_cluster_size=64
+    ).orderBy("id1", "id2")
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     docs = load_table(spark, sf_dir, "documents")
     # 24 merges in 3 batched rounds: enough vocabulary to measurably
