@@ -427,7 +427,8 @@ def z_export_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z_stream_bottomk_sample",
     oracle="""
     SELECT CAST(event_id AS VARCHAR) AS key,
-           md5(CAST(event_id AS VARCHAR)) AS h
+           md5(CAST(event_id AS VARCHAR)) AS h,
+           CAST(value AS DOUBLE) AS val
     FROM events
     ORDER BY h, key LIMIT 32
     """,
@@ -445,7 +446,9 @@ def z_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import read_events_stream
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    sk = bottomk_sample_stream(ev, key_col="event_id", k=32, n_shards=4)
+    sk = bottomk_sample_stream(
+        ev, key_col="event_id", k=32, n_shards=4, value_col="value"
+    )
     name = "z_stream_bottomk_tbl"
     q = (
         sk.writeStream.format("memory")
@@ -614,6 +617,51 @@ def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("key", "batch_seq")
+
+
+@query(
+    "z_stream_quantiles",
+    oracle="""
+    WITH sample AS (
+      SELECT CAST(value AS DOUBLE) AS val
+      FROM events
+      ORDER BY md5(CAST(event_id AS VARCHAR)), CAST(event_id AS VARCHAR)
+      LIMIT 128
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           round(quantile_cont(val, 0.25), 6) AS q_25,
+           round(quantile_cont(val, 0.50), 6) AS q_5,
+           round(quantile_cont(val, 0.75), 6) AS q_75,
+           round(quantile_cont(val, 0.90), 6) AS q_9
+    FROM sample
+    """,
+    tags=("streaming", "sketch", "stats"),
+)
+def z_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming quantile estimates with bounded state: the bottom-k
+    value sample (k doubles of state per shard, ever) yields the stream's
+    percentiles at ~O(1/sqrt(k)) sampling error — and because the sample
+    is the deterministic hash-ordered prefix rather than an RNG
+    reservoir, the whole estimate is VALUE-EXACT against the batch
+    oracle (sample membership = ORDER BY md5(key) LIMIT k; percentiles =
+    exact quantile_cont over the sample)."""
+    from ..streaming.sketches import bottomk_sample_stream, quantiles_from_bottomk
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = bottomk_sample_stream(
+        ev, key_col="event_id", k=128, n_shards=4, value_col="value"
+    )
+    name = "z_stream_quantiles_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return quantiles_from_bottomk(spark.table(name), k=128)
 
 
 @query("z_stream_hh_windowed", oracle=None, tags=("streaming", "sketch"))

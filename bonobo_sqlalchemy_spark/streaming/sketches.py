@@ -115,8 +115,12 @@ def heavy_hitters_stream(
     )
 
 
-BOTTOMK_OUTPUT_SCHEMA = "shard int, key string, h string, batch_seq bigint"
-BOTTOMK_STATE_SCHEMA = "keys array<string>, hashes array<string>, seq bigint"
+BOTTOMK_OUTPUT_SCHEMA = (
+    "shard int, key string, h string, val double, batch_seq bigint"
+)
+BOTTOMK_STATE_SCHEMA = (
+    "keys array<string>, hashes array<string>, vals array<double>, seq bigint"
+)
 
 
 def bottomk_sample_stream(
@@ -124,6 +128,7 @@ def bottomk_sample_stream(
     key_col: str = "event_id",
     k: int = 32,
     n_shards: int = 4,
+    value_col: str | None = None,
 ) -> DataFrame:
     """Streaming bottom-k sample: keep the ``k`` keys with the SMALLEST
     md5 hash per shard — a uniform-without-replacement sample of an
@@ -137,7 +142,13 @@ def bottomk_sample_stream(
     and (c) EXACTLY equal to the batch query ``ORDER BY md5(key) LIMIT k``
     — so unlike any RNG reservoir it has a value-exact oracle. Emits each
     shard's current sample every micro-batch (update mode); collapse with
-    :func:`final_bottomk`."""
+    :func:`final_bottomk`.
+
+    ``value_col``: carry a numeric column with each sampled key — the
+    sample then doubles as a streaming QUANTILE sketch (the carried
+    values are a uniform value sample, so their empirical quantiles
+    estimate the stream's with ~O(1/sqrt(k·n_shards)) error; collapse
+    with :func:`quantiles_from_bottomk`)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fold(key, pdfs, state: GroupState):
@@ -146,35 +157,47 @@ def bottomk_sample_stream(
         import pandas as pd
 
         if state.exists:
-            keys, hashes, seq = state.get
-            best = dict(zip(keys, hashes))
+            keys, hashes, vals, seq = state.get
+            best = {kk: (h, v) for kk, h, v in zip(keys, hashes, vals)}
         else:
             best, seq = {}, 0
         touched = False
         for pdf in pdfs:
-            for kv in pdf["__key"]:
+            for kv, val in zip(pdf["__key"], pdf["__val"]):
                 kv = str(kv)
                 if kv not in best:
-                    best[kv] = hashlib.md5(kv.encode("utf-8")).hexdigest()
+                    best[kv] = (
+                        hashlib.md5(kv.encode("utf-8")).hexdigest(),
+                        float(val),
+                    )
                     touched = True
         if not touched and not state.exists:
             return
         # keep the k hash-smallest (key tiebreak for identical hashes)
-        kept = sorted(best.items(), key=lambda it: (it[1], it[0]))[:k]
+        kept = sorted(best.items(), key=lambda it: (it[1][0], it[0]))[:k]
         seq += 1
-        state.update(([kv for kv, _ in kept], [h for _, h in kept], seq))
+        state.update(
+            (
+                [kv for kv, _ in kept],
+                [h for _, (h, _) in kept],
+                [v for _, (_, v) in kept],
+                seq,
+            )
+        )
         yield pd.DataFrame(
             [
-                {"shard": key[0], "key": kv, "h": h, "batch_seq": seq}
-                for kv, h in kept
+                {"shard": key[0], "key": kv, "h": h, "val": v, "batch_seq": seq}
+                for kv, (h, v) in kept
             ]
         )
 
+    val = F.col(value_col).cast("double") if value_col else F.lit(0.0)
     sharded = events.select(
         F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
         F.col(key_col).cast("string").alias("__key"),
+        val.alias("__val"),
     )
     return sharded.groupBy("shard").applyInPandasWithState(
         fold,
@@ -199,8 +222,35 @@ def final_bottomk(update_log: DataFrame, k: int = 32) -> DataFrame:
         .where(F.col("batch_seq") == F.col("__mx"))
         .orderBy("h", "key")
         .limit(k)
-        .select("key", "h")
+        .select("key", "h", "val")
     )
+
+
+def quantiles_from_bottomk(
+    update_log: DataFrame,
+    k: int = 32,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Streaming quantile estimates from the GLOBAL bottom-k value sample
+    (:func:`final_bottomk`): the k hash-smallest keys' values form a
+    uniform value sample, and exact percentiles OVER THE SAMPLE estimate
+    the stream's quantiles with the standard ~O(1/sqrt(k)) sampling
+    error. One row: ``(n_sample, q_25, q_50, ...)``.
+
+    This is the bounded-state answer to streaming percentiles: the exact
+    answer needs every value; the sample needs k doubles, ever. The
+    GLOBAL prefix (not the per-shard union) is used so sample membership
+    equals the batch ``ORDER BY md5(key) LIMIT k`` — shard boundaries
+    (engine-private xxhash) never affect the result, which is what makes
+    the estimate deterministic AND oracle-checkable."""
+    sample = final_bottomk(update_log, k=k).select("val")
+    aggs = [F.count(F.lit(1)).alias("n_sample")] + [
+        F.round(F.percentile("val", F.lit(p)), 6).alias(
+            f"q_{str(p).replace('0.', '')}"
+        )
+        for p in probs
+    ]
+    return sample.agg(*aggs)
 
 
 HLL_OUTPUT_SCHEMA = "shard int, registers array<int>, batch_seq bigint"
