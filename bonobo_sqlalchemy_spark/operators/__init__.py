@@ -11,6 +11,7 @@ from .dedup import (
 from .contamination import benchmark_overlap
 from .export import (
     shard_manifest,
+    update_training_shards,
     verify_training_shards,
     write_training_shards,
 )
@@ -50,5 +51,6 @@ __all__ = [
     "threshold_sweep",
     "write_training_shards",
     "verify_training_shards",
+    "update_training_shards",
     "shard_manifest",
 ]

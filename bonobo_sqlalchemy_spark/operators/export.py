@@ -199,6 +199,117 @@ def write_training_shards(
     return manifest
 
 
+def update_training_shards(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame | None = None,
+    delete_ids=None,
+) -> dict:
+    """Incremental shard maintenance: apply a delta (upserted rows and/or
+    deleted ids) to an existing hash-sharded export, rewriting ONLY the
+    shards the delta touches and re-publishing the merged manifest.
+
+    The composition a recurring refresh runs after :func:`corpus_diff`
+    (operators/profile.py): added + changed rows arrive as ``upserts``,
+    removed ids as ``delete_ids``; content-derived sharding means each
+    doc's shard is knowable without reading anything, so untouched shard
+    files are never rewritten (their bytes — and manifest entries — are
+    byte-identical to before). Result equals a from-scratch export of the
+    updated corpus (asserted in tests). Affected shards rewrite via
+    dynamic partition overwrite; the manifest merge + publish-last
+    protocol is unchanged. Hash layout only — curriculum (range) shards
+    depend on global quantiles, so their refresh is a full re-export by
+    design."""
+    manifest = read_manifest(spark, path)
+    if manifest.get("sharding") == "curriculum":
+        raise ValueError(
+            "incremental update requires the hash layout; curriculum "
+            "shards depend on global quantile boundaries — re-export"
+        )
+    order_col = manifest["order_col"]
+    token_col = manifest["token_col"]
+    n_shards = manifest["n_shards"]
+    fmt = manifest["format"]
+
+    delta_ids = None
+    affected = set()
+    if upserts is not None:
+        up = upserts.withColumn(
+            "shard", T.split_bucket(F.col(order_col), n_shards)
+        )
+        affected |= {r.shard for r in up.select("shard").distinct().collect()}
+        delta_ids = up.select(F.col(order_col).alias("__did"))
+    if delete_ids is not None:
+        dele = spark.createDataFrame([(i,) for i in delete_ids], ["__did"])
+        del_shards = dele.select(
+            T.split_bucket(F.col("__did"), n_shards).alias("shard")
+        )
+        affected |= {r.shard for r in del_shards.distinct().collect()}
+        delta_ids = (
+            dele if delta_ids is None else delta_ids.unionByName(dele)
+        ).distinct()
+    if not affected:
+        return manifest
+
+    old = (
+        spark.read.format(fmt)
+        .load(path)
+        .where(F.col("shard").isin([int(s) for s in affected]))
+    )
+    kept = old.join(
+        F.broadcast(delta_ids), old[order_col] == delta_ids["__did"], "left_anti"
+    )
+    merged = kept
+    if upserts is not None:
+        merged = kept.drop("shard").unionByName(up.drop("shard")).withColumn(
+            "shard", T.split_bucket(F.col(order_col), n_shards)
+        )
+    # materialize the merged delta BEFORE overwriting: merged's lineage
+    # reads the very files the write replaces, so the post-write manifest
+    # recompute would otherwise chase deleted parquet parts
+    merged = merged.localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(len(affected), "shard")
+            .sortWithinPartitions("shard", order_col)
+            .write.mode("overwrite")
+            .format(fmt)
+            .partitionBy("shard")
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only touches partitions it writes rows for: a
+    # shard whose every row was deleted keeps stale files unless removed
+    present = {r.shard for r in merged.select("shard").distinct().collect()}
+    jvm = spark._jvm
+    fs, dirp = _fs_and_path(spark, path)
+    for s in affected - present:
+        gone = jvm.org.apache.hadoop.fs.Path(dirp, f"shard={int(s)}")
+        if fs.exists(gone):
+            fs.delete(gone, True)
+    rows = shard_manifest(
+        merged, order_col, token_col, n_shards, shard_col="shard"
+    ).collect()
+    new_entries = {
+        str(r.shard): {
+            "n_rows": r.n_rows,
+            "n_tokens": r.n_tokens,
+            "content_hash": r.content_hash,
+        }
+        for r in rows
+    }
+    shards = dict(manifest["shards"])
+    for s in affected:
+        shards.pop(str(s), None)  # a shard can become empty
+    shards.update(new_entries)
+    manifest = {**manifest, "shards": dict(sorted(shards.items(), key=lambda kv: int(kv[0])))}
+    _publish_manifest(spark, path, manifest)
+    return manifest
+
+
 def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Recompute every shard's (n_rows, content_hash) from the written files
     and compare against the manifest: ``(shard, ok, n_rows_expected,

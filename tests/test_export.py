@@ -162,3 +162,62 @@ def test_curriculum_export_orders_shards_by_score(spark, sf_small, tmp_path):
     report = {r.shard: r for r in E.verify_training_shards(spark, path).collect()}
     assert not report[1].ok
     assert all(r.ok for s, r in report.items() if s != 1)
+
+
+def test_incremental_update_equals_fresh_export(spark, sf_small, tmp_path):
+    """Apply a delta (adds, edits, deletes) incrementally and compare the
+    result against a FROM-SCRATCH export of the updated corpus: manifests
+    must be identical entry-for-entry, verification must be clean, and
+    shards the delta never touched must keep their original data files
+    (they are not rewritten)."""
+    docs = load_table(spark, sf_small, "documents").limit(120)
+    path = str(tmp_path / "inc")
+    E.write_training_shards(
+        docs, path, order_col="doc_id", token_col="n_chars", n_shards=8
+    )
+    mtimes_before = {
+        d.name: max(os.path.getmtime(os.path.join(path, d.name, f))
+                    for f in os.listdir(os.path.join(path, d.name)))
+        for d in os.scandir(path) if d.name.startswith("shard=")
+    }
+
+    # delta: edit docs 3 and 7, add two new ids, delete docs 11 and 20
+    edits = docs.where(F.col("doc_id").isin(3, 7)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" EDITED"))
+    ).withColumn("n_chars", F.length("text").cast(docs.schema["n_chars"].dataType))
+    adds = docs.where(F.col("doc_id").isin(0, 1)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    upserts = edits.unionByName(adds.select(edits.columns))
+    manifest = E.update_training_shards(
+        spark, path, upserts=upserts, delete_ids=[11, 20]
+    )
+    report = E.verify_training_shards(spark, path).collect()
+    assert rows_ok(report)
+
+    # gold: from-scratch export of the same updated corpus
+    updated = (
+        docs.where(~F.col("doc_id").isin(3, 7, 11, 20))
+        .unionByName(upserts.select(docs.columns))
+    )
+    gold_path = str(tmp_path / "gold")
+    gold = E.write_training_shards(
+        updated, gold_path, order_col="doc_id", token_col="n_chars", n_shards=8
+    )
+    assert manifest["shards"] == {k: dict(v) for k, v in gold["shards"].items()}
+
+    # untouched shards were not rewritten
+    from bonobo_sqlalchemy_spark.functions.text import split_bucket
+    touched = {
+        r[0] for r in upserts.select(split_bucket(F.col("doc_id"), 8)).collect()
+    } | {
+        r[0] for r in spark.createDataFrame([(11,), (20,)], ["i"])
+        .select(split_bucket(F.col("i"), 8)).collect()
+    }
+    for name, t0 in mtimes_before.items():
+        s = int(name.split("=")[1])
+        if s not in touched:
+            t1 = max(os.path.getmtime(os.path.join(path, name, f))
+                     for f in os.listdir(os.path.join(path, name)))
+            assert t1 == t0, f"untouched shard {name} was rewritten"
