@@ -424,6 +424,63 @@ def z_export_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z_export_incremental",
+    oracle="""
+    WITH updated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 3 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 17 <> 0
+    )
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INT) % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM updated
+    GROUP BY 1
+    """,
+    tags=("export", "incremental", "sink"),
+)
+def z_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard maintenance END-TO-END, oracle-checked: export
+    the corpus, apply the corpus-diff convention's delta (every 17th doc
+    deleted, every 10th edited — ' v2' appended, so n_chars grows by 3)
+    through update_training_shards (only affected shards rewrite), read
+    the maintained layout back, and emit per-shard row/token aggregates.
+    The oracle computes the same aggregates directly from the updated
+    corpus definition — so the value-exact match proves the incremental
+    path converges to the from-scratch state (the per-file
+    not-rewritten property is pinned in tests/test_export.py)."""
+    import tempfile
+
+    from ..operators.export import (
+        shard_manifest,
+        update_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp() + "/shards"
+    write_training_shards(
+        docs, path, order_col="doc_id", token_col="n_chars", n_shards=8
+    )
+    edits = (
+        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 17 != 0))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+        .withColumn("n_chars", F.col("n_chars") + 3)
+    )
+    deletes = [
+        r.doc_id
+        for r in docs.where(F.col("doc_id") % 17 == 0).select("doc_id").collect()
+    ]
+    update_training_shards(spark, path, upserts=edits, delete_ids=deletes)
+    data = spark.read.parquet(path)
+    return shard_manifest(
+        data, order_col="doc_id", token_col="n_chars", n_shards=8, shard_col="shard"
+    ).select("shard", "n_rows", "n_tokens")
+
+
+@query(
     "z_stream_bottomk_sample",
     oracle="""
     SELECT CAST(event_id AS VARCHAR) AS key,
