@@ -125,15 +125,27 @@ def mixture_sample(
     Quotas larger than a group's population yield the whole group (no
     replacement); callers wanting upsampling-with-replacement should union
     repeated epochs with distinct seeds instead.
+
+    Scale note: the per-group quota is a COLUMN, which alone would defeat
+    Spark's rank-limit pushdown (`InferWindowGroupLimit` only fires on a
+    foldable bound) and leave a full per-group sort — a straggler when one
+    group dominates. The redundant literal ``rk <= max(targets)`` conjunct
+    restores the pushdown: the plan gets a Partial WindowGroupLimit before
+    the shuffle, so each map task forwards at most ``max(targets)`` rows
+    per group and no task ever sorts a whole group.
     """
     lookup = F.create_map(
         *[F.lit(x) for kv in targets.items() for x in kv]
     )
+    max_quota = max(targets.values(), default=0)
     w = W.partitionBy(group_col).orderBy(hash_key(id_col, seed), F.col(id_col))
     return (
         df.withColumn("__quota", lookup[F.col(group_col)])
         .where(F.col("__quota").isNotNull())
         .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= F.col("__quota"))
+        .where(
+            (F.col("__rk") <= F.lit(max_quota))
+            & (F.col("__rk") <= F.col("__quota"))
+        )
         .drop("__rk", "__quota")
     )

@@ -179,6 +179,63 @@ def bm25_topk(
     )
 
 
+def grouped_decile(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_buckets: int = 10,
+    out_col: str = "decile",
+) -> DataFrame:
+    """Per-group quality buckets WITHOUT a data-sized window partition.
+
+    Replaces ``ntile(n) OVER (PARTITION BY group ORDER BY score DESC)``,
+    whose physical plan sorts EVERY row of a group inside one task — on a
+    language-skewed corpus (one language is routinely >50% of a crawl)
+    that is one task sorting tens of TB at 100 TB scale. Instead:
+
+    1. one exact ``percentile`` aggregate per group over the score column
+       — the boundary table is ``n_buckets - 1`` doubles per group row
+       (KB-sized regardless of corpus size);
+    2. broadcast-join the boundary row back on the group key;
+    3. bucket = 1 + COUNT of boundaries strictly above the score — a flat
+       codegen comparison over the broadcast array; no window, no sort.
+
+    Bucket 1 holds the highest scores. Semantics differ from NTILE only
+    at ties: equal scores always share a bucket (deterministic under ANY
+    row order, where NTILE must split ties by rank and needs a total
+    order to be stable), so bucket populations are approximately — not
+    exactly — equal. Cross-engine exactness: boundaries interpolate
+    between 6dp-rounded scores, so a score only ever EQUALS a boundary
+    when the boundary lands on a data point, and then both engines return
+    that exact double (verified bit-exact against DuckDB
+    ``quantile_cont`` at sf0.01; interpolated boundaries sit strictly
+    inside a >=1e-6 gap no score occupies, so the < comparison is immune
+    to last-ulp drift). At 100 TB swap ``percentile`` for
+    ``percentile_approx`` — same plan shape, bounded executor memory, a
+    documented epsilon on bucket edges only.
+
+    DuckDB oracle equivalent::
+
+        b AS (SELECT g, quantile_cont(s, [0.1, ..., 0.9]) AS qs ... GROUP BY g)
+        SELECT 1 + len(list_filter(b.qs, q -> t.s < q)) AS decile
+        FROM t JOIN b USING (g)
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    b = df.groupBy(group_col).agg(
+        F.percentile(score_col, F.array(*[F.lit(p) for p in probs])).alias("__qs")
+    )
+    return (
+        df.join(F.broadcast(b), group_col)
+        .withColumn(
+            out_col,
+            (
+                F.lit(1) + F.size(F.filter("__qs", lambda q: F.col(score_col) < q))
+            ).cast("int"),
+        )
+        .drop("__qs")
+    )
+
+
 def threshold_sweep(
     scored: DataFrame,
     score_col: str,

@@ -219,20 +219,51 @@ def z_sample_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nucleus (top-p) selection per source: keep the highest-value docs
     (by n_chars here; any quality score in production) until they cover 70%
     of each source's total mass — quality-weighted data selection with a
-    per-domain budget. One shuffle on source; cumulative sums are exact
-    integer arithmetic, so the boundary row is engine-deterministic.
+    per-domain budget. Cumulative sums are exact integer arithmetic, so
+    the boundary row is engine-deterministic.
+
+    Scale shape: the naive spelling (`SUM OVER (PARTITION BY source ORDER
+    BY n_chars DESC)`) runs the cumulative sum over EVERY document of a
+    source in one task — the same low-cardinality-partition straggler as
+    the retired decile ntile. Instead the run-length decomposition: (1)
+    one aggregation to the DISTINCT (source, value) table (bounded by the
+    value domain, not the corpus) carries per-run counts and mass; (2) the
+    cumulative/total windows run over THAT table and broadcast back; (3) a
+    document's keep decision is its position within its equal-value run
+    (`row_number` partitioned by (source, value) — data-sized KEY
+    cardinality, a hot task only if one source has millions of docs with
+    the identical value) plugged into ``cum_before_run + (pos-1)*value <
+    p * total`` — algebraically identical to the naive cumulative rule,
+    so the oracle keeps the window spelling and the result is value-exact.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
-    cum = F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    tot = F.sum("n_chars").over(W.partitionBy("source"))
+    per_v = docs.groupBy("source", "n_chars").agg(
+        (F.count(F.lit(1)) * F.col("n_chars")).alias("__mass")
+    )
+    wv = W.partitionBy("source").orderBy(F.desc("n_chars"))
+    runs = per_v.select(
+        "source",
+        "n_chars",
+        F.coalesce(
+            F.sum("__mass").over(wv.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__cb"),
+        F.sum("__mass")
+        .over(wv.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("__tot"),
+    )
+    pos = F.row_number().over(W.partitionBy("source", "n_chars").orderBy("doc_id"))
     return (
-        docs.select("doc_id", "source", "n_chars", cum.alias("__cum"), tot.alias("__tot"))
-        .where(F.col("__cum") - F.col("n_chars") < 0.7 * F.col("__tot"))
-        .drop("__cum", "__tot")
+        docs.select("doc_id", "source", "n_chars", pos.alias("__pos"))
+        .join(F.broadcast(runs), ["source", "n_chars"])
+        .where(
+            F.col("__cb") + (F.col("__pos") - 1) * F.col("n_chars")
+            < 0.7 * F.col("__tot")
+        )
+        .select("doc_id", "source", "n_chars")
     )
 
 

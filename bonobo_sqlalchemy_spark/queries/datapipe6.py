@@ -355,11 +355,18 @@ def z_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(SUM(ln(c / (SELECT n FROM tot))) / COUNT(*), 6) AS avg_logprob
       FROM t JOIN vocab USING (tok)
       GROUP BY doc_id
-    ), decile AS (
-      SELECT s.doc_id, d.lang,
-             NTILE(10) OVER (PARTITION BY d.lang
-                             ORDER BY s.avg_logprob DESC, s.doc_id) AS q
+    ), sl AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob
       FROM scored s JOIN documents d USING (doc_id)
+    ), b AS (
+      SELECT lang,
+             quantile_cont(avg_logprob,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM sl GROUP BY lang
+    ), decile AS (
+      SELECT sl.doc_id, sl.lang,
+             1 + len(list_filter(b.qs, q -> sl.avg_logprob < q)) AS q
+      FROM sl JOIN b USING (lang)
     )
     SELECT doc_id, lang, q AS quality_decile FROM decile
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 1000
@@ -376,11 +383,15 @@ def z_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle 4, and 10% of the bottom 3. Sampling is the same deterministic
     md5-bucket rule as `text_stratified_sample` (content-derived,
     partitioning-invariant), so the whole query is value-exact against the
-    oracle. One token shuffle (scoring), one lang-partitioned window
-    (deciles — no global single-partition sort; a mega-language would swap
-    to boundary assignment from percentile_approx, same output contract),
-    zero extra passes for the sample itself."""
-    from pyspark.sql import Window as W
+    oracle. One token shuffle (scoring); deciles come from
+    `operators.selection.grouped_decile` — an exact per-language
+    percentile aggregate broadcast back as range boundaries, so NO task
+    ever sorts a whole language (the ntile window this replaced put every
+    document of a language into one task: a straggler on real
+    language-skewed corpora where one language is routinely >50% of the
+    crawl). Ties share a decile (deterministic under any row order); zero
+    extra passes for the sample itself."""
+    from ..operators.selection import grouped_decile
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -399,15 +410,12 @@ def z_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob")
         )
     )
-    decile = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
+    decile = grouped_decile(
+        scored.join(docs.select("doc_id", "lang"), "doc_id"),
+        "avg_logprob",
         "lang",
-        F.ntile(10)
-        .over(
-            W.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
-        )
-        .alias("quality_decile"),
-    )
+        out_col="quality_decile",
+    ).select("doc_id", "lang", "quality_decile")
     rate = (
         F.when(F.col("quality_decile") <= 3, 1000)
         .when(F.col("quality_decile") <= 7, 500)

@@ -166,21 +166,28 @@ def z_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS dedup_keep
       FROM documents
+    ), fb AS (
+      SELECT d.lang,
+             quantile_cont(f.s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM fluency f JOIN documents d USING (doc_id) GROUP BY d.lang
+    ), wb AS (
+      SELECT d.lang,
+             quantile_cont(w.w, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM dsir w JOIN documents d USING (doc_id) GROUP BY d.lang
+    ), deciled AS (
+      SELECT d.doc_id, d.lang, dd.dedup_keep,
+             1 + len(list_filter(fb.qs, q -> f.s < q)) AS quality_decile,
+             1 + len(list_filter(wb.qs, q -> w.w < q)) AS dsir_decile
+      FROM documents d
+      JOIN dedup dd USING (doc_id)
+      JOIN fluency f USING (doc_id)
+      JOIN dsir w USING (doc_id)
+      JOIN fb ON fb.lang = d.lang
+      JOIN wb ON wb.lang = d.lang
     )
-    SELECT d.doc_id, d.lang,
-           dd.dedup_keep,
-           NTILE(10) OVER (PARTITION BY d.lang ORDER BY f.s DESC, d.doc_id)
-             AS quality_decile,
-           NTILE(10) OVER (PARTITION BY d.lang ORDER BY w.w DESC, d.doc_id)
-             AS dsir_decile,
-           dd.dedup_keep
-             AND NTILE(10) OVER (PARTITION BY d.lang ORDER BY f.s DESC, d.doc_id) <= 8
-             AND NTILE(10) OVER (PARTITION BY d.lang ORDER BY w.w DESC, d.doc_id) <= 6
-             AS keep
-    FROM documents d
-    JOIN dedup dd USING (doc_id)
-    JOIN fluency f USING (doc_id)
-    JOIN dsir w USING (doc_id)
+    SELECT doc_id, lang, dedup_keep, quality_decile, dsir_decile,
+           dedup_keep AND quality_decile <= 8 AND dsir_decile <= 6 AS keep
+    FROM deciled
     """,
     tags=("text", "selection", "dedup", "quality", "pipeline"),
     bench=True,
@@ -194,12 +201,18 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup AND fluency_decile <= 8 AND dsir_decile <= 6``.
 
     Plan shape: ONE token shuffle feeds both the fluency score and the
-    DSIR buckets; dedup is one fingerprint window; deciles are
-    lang-partitioned windows (no global sort). Per-doc signals join on
-    doc_id — already the clustering key of every stage's output."""
+    DSIR buckets; dedup is one fingerprint window (partitioned by the
+    content hash — data-sized KEY CARDINALITY, so no straggler); deciles
+    come from `operators.selection.grouped_decile` — per-language exact
+    percentile boundaries broadcast back as range comparisons, so no task
+    ever sorts a whole language (the former per-language ntile window was
+    the repo's one real 100x scale-killer: one language is routinely >50%
+    of a crawl). Ties share a decile. Per-doc signals join on doc_id —
+    already the clustering key of every stage's output."""
     from pyspark.sql import Window as W
 
     from ..operators.scale import scalar_attach
+    from ..operators.selection import grouped_decile
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -225,19 +238,13 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
         ).alias("dedup_keep"),
     )
-    q_w = W.partitionBy("lang").orderBy(F.col("s").desc(), "doc_id")
-    d_w = W.partitionBy("lang").orderBy(F.col("dsir_logw").desc(), "doc_id")
-    out = (
-        dedup.join(fluency, "doc_id")
-        .join(dsir, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "dedup_keep",
-            F.ntile(10).over(q_w).alias("quality_decile"),
-            F.ntile(10).over(d_w).alias("dsir_decile"),
-        )
-    )
+    base = dedup.join(fluency, "doc_id").join(dsir, "doc_id")
+    out = grouped_decile(
+        grouped_decile(base, "s", "lang", out_col="quality_decile"),
+        "dsir_logw",
+        "lang",
+        out_col="dsir_decile",
+    ).select("doc_id", "lang", "dedup_keep", "quality_decile", "dsir_decile")
     return out.withColumn(
         "keep",
         F.col("dedup_keep")

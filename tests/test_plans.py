@@ -6,6 +6,8 @@ results stay correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from bonobo_sqlalchemy_spark.queries import REGISTRY
@@ -135,6 +137,54 @@ def test_no_accidental_cartesian_products(spark):
     assert not broke, f"queries no longer plan-constructible: {broke}"
     assert swept >= 100, f"sweep shrank to {swept} queries — skip set too wide?"
     assert not offenders, f"cartesian/nested-loop products in: {offenders}"
+
+
+#: Queries allowed to keep a Window partitioned solely by a low-cardinality
+#: data column (lang/source) because the window's INPUT is provably bounded
+#: (never the corpus itself) — the rationale must name the bound.
+LOWCARD_WINDOW_EXEMPT = {
+    # cumulative sweep windows run over the DISTINCT-SCORE table, bounded
+    # by the 6dp score-rounding grid, not the corpus (operators/selection.py)
+    "z_quality_threshold_sweep",
+    "z_quality_auto_threshold",
+    # run-length cumulative window over the DISTINCT (source, n_chars)
+    # table — bounded by the value domain; per-doc work is partitioned by
+    # (source, n_chars), see the query docstring
+    "z_sample_top_p",
+}
+
+_LOWCARD_WINDOW = re.compile(r"\bWindow \[.*\], \[(?:lang|source)#\d+\], \[")
+
+
+def test_no_lowcard_data_sized_window_partitions(spark):
+    """The decile-ntile lesson as a standing gate: a Window partitioned by
+    ONLY a language/source column puts every row of that group into one
+    task — on a language-skewed corpus that is a single task sorting tens
+    of TB at 100x scale. Every registered query must avoid that shape
+    unless (a) Spark's rank-limit pushdown bounds the per-group work (a
+    Partial WindowGroupLimit appears below the window), or (b) the window
+    input is provably bounded and the query is exempted with the bound
+    named above. Mirrors the no-cartesian sweep: formerly-planning queries
+    that start throwing fail loudly."""
+    offenders, broke = [], []
+    for name in REGISTRY:
+        if name in LOWCARD_WINDOW_EXEMPT or name.startswith(EXECUTES_ON_CALL_PREFIXES):
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as exc:
+            broke.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        if _LOWCARD_WINDOW.search(plan) and "Partial" not in "".join(
+            l for l in plan.splitlines() if "WindowGroupLimit" in l
+        ):
+            offenders.append(name)
+    assert not broke, f"queries no longer plan-constructible: {broke}"
+    assert not offenders, (
+        "data-sized low-cardinality window partitions (lang/source) in: "
+        f"{offenders} — use operators.selection.grouped_decile (boundary "
+        "broadcast) or a WindowGroupLimit-eligible literal rank filter"
+    )
 
 
 @pytest.mark.parametrize("name,max_scans", [("dedup_ngram_jaccard", 2), ("dedup_minhash_lsh", 2)])

@@ -121,3 +121,46 @@ def test_grouped_sweep_and_auto_threshold(spark):
     picked = {r.g: r for r in auto_threshold(sweep, 0.9, group_col="g").collect()}
     assert set(picked) == {"g1"}  # g2 honestly absent
     assert picked["g1"].threshold == 2.0  # most permissive at p>=0.9
+
+
+def test_grouped_decile_semantics_and_plan(spark):
+    """grouped_decile: bucket 1 holds the best scores, equal scores share
+    a bucket regardless of row order, every bucket label is in [1, n],
+    and the physical plan contains NO Window operator at all (the entire
+    point: boundaries broadcast back instead of a per-group sort)."""
+    from bonobo_sqlalchemy_spark.operators.selection import grouped_decile
+
+    rows = [(i, "en", float(i)) for i in range(100)]
+    # a tied clump in 'de': 10 docs share score 5.0, others spread
+    rows += [(200 + i, "de", 5.0) for i in range(10)]
+    rows += [(300 + i, "de", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, s double")
+    out = grouped_decile(df, "s", "lang", out_col="d")
+    got = {r.doc_id: r.d for r in out.collect()}
+    # highest english score -> bucket 1, lowest -> bucket 10
+    assert got[99] == 1 and got[0] == 10
+    # monotone: higher score never lands in a worse (higher) bucket
+    for i in range(99):
+        assert got[i + 1] <= got[i]
+    # the tied 'de' clump shares one bucket
+    assert len({got[200 + i] for i in range(10)}) == 1
+    assert all(1 <= d <= 10 for d in got.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_rank_pushdown(spark):
+    """The literal max-quota conjunct must produce a Partial
+    WindowGroupLimit (map-side per-group truncation) — without it one
+    dominant group is a single-task sort at scale."""
+    from bonobo_sqlalchemy_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], "doc_id bigint, g string"
+    )
+    out = mixture_sample(df, "g", {"a": 5, "b": 7}, "doc_id", seed=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 7}
