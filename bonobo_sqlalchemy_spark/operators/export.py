@@ -219,7 +219,21 @@ def update_training_shards(
     dynamic partition overwrite; the manifest merge + publish-last
     protocol is unchanged. Hash layout only — curriculum (range) shards
     depend on global quantiles, so their refresh is a full re-export by
-    design."""
+    design.
+
+    Delta-size contract: ``delete_ids`` is a driver-side list and the
+    affected-shard sets come from ``.collect()`` over the delta's
+    DISTINCT shard ids — the DELTA (not the corpus) must fit on the
+    driver, the natural shape for a :func:`corpus_diff`-derived refresh.
+    A corpus-sized delta should be a fresh :func:`write_training_shards`
+    instead.
+
+    Conflict precedence: an id present in BOTH ``upserts`` and
+    ``delete_ids`` is treated as an upsert — the anti-join removes the
+    old row and the union re-adds the new one, so the upserted row wins.
+    (corpus_diff never produces such overlap — 'changed' and 'removed'
+    are disjoint — but hand-built deltas can; pinned in
+    tests/test_export.py.)"""
     manifest = read_manifest(spark, path)
     if manifest.get("sharding") == "curriculum":
         raise ValueError(

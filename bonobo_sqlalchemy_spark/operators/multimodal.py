@@ -405,7 +405,7 @@ def extract_audio_features(
                         nch,
                         ns,
                         ns * 1000 // sr,
-                        round(float(np.sqrt(np.mean(x**2))), 6),
+                        round(float(np.sqrt(np.mean(x**2))), 6) if ns else 0.0,
                         round(zcr, 6),
                         round(float(np.abs(x).max()) if ns else 0.0, 6),
                     )

@@ -84,16 +84,25 @@ def corpus_diff(
     full outer equi-join on the id, fingerprints computed inline on each
     side (no precompute pass); both sides shuffle once on the id they are
     usually already clustered by.
+
+    Presence is carried by an explicit per-side flag, NOT by fingerprint
+    nullness: a present document whose ``fingerprint_col`` is NULL keeps
+    a NULL fingerprint but still counts as present, and changed-ness is
+    judged null-safely (NULL vs non-NULL = changed, NULL vs NULL =
+    unchanged) — so NULL-text rows are never misclassified added/removed.
     """
-    fp = lambda df, alias: df.select(  # noqa: E731
+    fp = lambda df, alias, flag: df.select(  # noqa: E731
         F.col(id_col).alias("__id"),
         F.md5(F.col(fingerprint_col).cast("binary")).alias(alias),
+        F.lit(True).alias(flag),
     )
-    j = fp(old, "__fp_old").join(fp(new, "__fp_new"), "__id", "full_outer")
+    j = fp(old, "__fp_old", "__in_old").join(
+        fp(new, "__fp_new", "__in_new"), "__id", "full_outer"
+    )
     status = (
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-        .when(F.col("__fp_new").isNull(), F.lit("removed"))
-        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__fp_old").eqNullSafe(F.col("__fp_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -293,15 +293,16 @@ def z_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z_corpus_diff",
     oracle="""
     WITH old AS (
-      SELECT doc_id, md5(text) AS fp FROM documents
+      SELECT doc_id, md5(text) AS fp, TRUE AS pres FROM documents
     ), new AS (
       SELECT doc_id,
-             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS fp
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS fp,
+             TRUE AS pres
       FROM documents WHERE doc_id % 17 <> 0
     )
-    SELECT CASE WHEN o.fp IS NULL THEN 'added'
-                WHEN n.fp IS NULL THEN 'removed'
-                WHEN o.fp <> n.fp THEN 'changed'
+    SELECT CASE WHEN o.pres IS NULL THEN 'added'
+                WHEN n.pres IS NULL THEN 'removed'
+                WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
                 ELSE 'unchanged' END AS status,
            COUNT(*) AS n_docs
     FROM old o FULL OUTER JOIN new n USING (doc_id)
@@ -457,7 +458,12 @@ def z_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same aggregates directly from the updated
     corpus definition — so the value-exact match proves the incremental
     path converges to the from-scratch state (the per-file
-    not-rewritten property is pinned in tests/test_export.py)."""
+    not-rewritten property is pinned in tests/test_export.py).
+
+    The scratch export is deleted before returning: the 8-row aggregate
+    is materialized driver-side (localCheckpoint-sized, not data-sized)
+    so repeated benchmark invocations leak no disk."""
+    import shutil
     import tempfile
 
     from ..operators.export import (
@@ -467,24 +473,30 @@ def z_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp() + "/shards"
-    write_training_shards(
-        docs, path, order_col="doc_id", token_col="n_chars", n_shards=8
-    )
-    edits = (
-        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 17 != 0))
-        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
-        .withColumn("n_chars", F.col("n_chars") + 3)
-    )
-    deletes = [
-        r.doc_id
-        for r in docs.where(F.col("doc_id") % 17 == 0).select("doc_id").collect()
-    ]
-    update_training_shards(spark, path, upserts=edits, delete_ids=deletes)
-    data = spark.read.parquet(path)
-    return shard_manifest(
-        data, order_col="doc_id", token_col="n_chars", n_shards=8, shard_col="shard"
-    ).select("shard", "n_rows", "n_tokens")
+    base = tempfile.mkdtemp()
+    path = base + "/shards"
+    try:
+        write_training_shards(
+            docs, path, order_col="doc_id", token_col="n_chars", n_shards=8
+        )
+        edits = (
+            docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 17 != 0))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+            .withColumn("n_chars", F.col("n_chars") + 3)
+        )
+        deletes = [
+            r.doc_id
+            for r in docs.where(F.col("doc_id") % 17 == 0).select("doc_id").collect()
+        ]
+        update_training_shards(spark, path, upserts=edits, delete_ids=deletes)
+        data = spark.read.parquet(path)
+        out = shard_manifest(
+            data, order_col="doc_id", token_col="n_chars", n_shards=8,
+            shard_col="shard",
+        ).select("shard", "n_rows", "n_tokens")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(

@@ -38,9 +38,22 @@ def rate_anomaly_stream(
 ) -> DataFrame:
     """Per-key EWMA control chart over micro-batch event counts.
 
-    Emits one row per (key, batch): the batch's count, the chart state
-    BEFORE folding it in (that's what the anomaly verdict is judged
-    against), and the verdict. State per key is three numbers.
+    Emits one row per (key, batch): the batch's count, the verdict, and
+    the chart state AFTER folding the batch in (``ewma_mean`` /
+    ``ewma_std`` are the updated baseline the NEXT batch will be judged
+    against; the verdict itself is computed against the pre-fold state).
+    State per key is three numbers.
+
+    Detection scope: with ``GroupStateTimeout.NoTimeout`` the fold runs
+    only for keys PRESENT in a micro-batch, so a key whose rate collapses
+    to exactly zero emits no row and is not flagged — this chart detects
+    spikes and partial collapses (count drops below ``mean - z*std`` with
+    at least one event), not total silence. Silence detection needs a
+    processing-time timeout so zero-count batches are observable; wire
+    ``timeoutConf=ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
+    if that matters for the deployment — kept out of the default because
+    it makes emission wall-clock-dependent and untestable against a
+    deterministic oracle.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -692,3 +692,45 @@ def test_corpus_diff_all_four_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_null_text_is_presence_not_status(spark):
+    """A present document with NULL text must classify by PRESENCE (its
+    fingerprint is NULL but the row exists): NULL->NULL is unchanged,
+    NULL->text and text->NULL are changed — never added/removed."""
+    from bonobo_sqlalchemy_spark.operators.profile import corpus_diff
+
+    schema = "doc_id bigint, text string"
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "gone-null")], schema
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now-text"), (3, "x"), (5, None)], schema
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",   # NULL -> NULL
+        2: "changed",     # NULL -> text
+        3: "unchanged",
+        4: "removed",     # truly absent from new
+        5: "added",       # truly new, even with NULL text
+    }
+
+
+def test_audio_features_zero_sample_wav_no_nan(spark):
+    """A zero-sample WAV (empty doc) must yield rms/zcr/peak of 0.0, not
+    NaN."""
+    import math
+
+    from bonobo_sqlalchemy_spark.operators.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    feats = extract_audio_features(attach_wav_payload(docs)).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert r.n_samples == 0
+    for v in (r.rms, r.zcr, r.peak):
+        assert v == 0.0 and not math.isnan(v)

@@ -221,3 +221,79 @@ def test_incremental_update_equals_fresh_export(spark, sf_small, tmp_path):
             t1 = max(os.path.getmtime(os.path.join(path, name, f))
                      for f in os.listdir(os.path.join(path, name)))
             assert t1 == t0, f"untouched shard {name} was rewritten"
+
+
+def test_incremental_update_upsert_wins_over_delete(spark, sf_small, tmp_path):
+    """An id present in BOTH upserts and delete_ids: the documented
+    precedence is upsert-wins (anti-join removes the old row, the union
+    re-adds the new one). Pin it so a refactor can't silently flip it."""
+    docs = load_table(spark, sf_small, "documents").limit(60)
+    path = str(tmp_path / "conflict")
+    E.write_training_shards(
+        docs, path, order_col="doc_id", token_col="n_chars", n_shards=4
+    )
+    up = docs.where(F.col("doc_id") == 5).withColumn(
+        "text", F.lit("CONFLICT-UPSERT")
+    )
+    manifest = E.update_training_shards(
+        spark, path, upserts=up, delete_ids=[5, 9]
+    )
+    back = spark.read.parquet(path)
+    survivors = back.where(F.col("doc_id") == 5).collect()
+    assert len(survivors) == 1 and survivors[0].text == "CONFLICT-UPSERT"
+    assert back.where(F.col("doc_id") == 9).count() == 0  # plain delete
+    assert sum(s["n_rows"] for s in manifest["shards"].values()) == 59
+    assert rows_ok(E.verify_training_shards(spark, path).collect())
+
+
+def test_pack_export_load_composition(spark, sf_oracle, tmp_path):
+    """The loader's actual consumption path, end-to-end: BFD-pack the
+    corpus, export the packed assignment as training shards (same shard
+    key and count, so packing shards and export shards coincide), read
+    the shards back, and assert the invariants a data loader depends on:
+    nothing lost or duplicated, every bin's recomputed token sum equals
+    its recorded bin_fill and respects the budget (single-oversized-doc
+    bins excepted), packing bins never straddle shard files, and each
+    shard file's rows are stored in order_col order (the loader streams
+    files sequentially)."""
+    import pyarrow.parquet as pq
+
+    from bonobo_sqlalchemy_spark.operators import packing as P
+
+    budget, n_shards = 2048, 8
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "n_chars")
+    packed = P.pack_sequences_bfd(
+        docs, token_col="n_chars", order_col="doc_id",
+        budget=budget, n_shards=n_shards,
+    )
+    path = str(tmp_path / "packed")
+    E.write_training_shards(
+        packed, path, order_col="doc_id", token_col="n_chars",
+        n_shards=n_shards,
+    )
+    assert rows_ok(E.verify_training_shards(spark, path).collect())
+
+    back = spark.read.parquet(path)
+    n = docs.count()
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+
+    bins = back.groupBy("shard", "bin").agg(
+        F.sum("n_chars").alias("tok"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("bin_fill").alias("n_fills"),
+        F.max("bin_fill").alias("fill"),
+    ).collect()
+    for b in bins:
+        assert b.n_fills == 1 and b.tok == b.fill, b
+        assert b.fill <= budget or b.n_docs == 1, b
+
+    # in-file order + bins intra-file: inspect the physical files directly
+    for d in os.scandir(path):
+        if not d.name.startswith("shard="):
+            continue
+        files = [f for f in os.listdir(d.path) if f.endswith(".parquet")]
+        assert len(files) == 1, (d.name, files)
+        t = pq.read_table(os.path.join(d.path, files[0])).to_pandas()
+        ids = list(t["doc_id"])
+        assert ids == sorted(ids), f"{d.name} not stored in order_col order"
