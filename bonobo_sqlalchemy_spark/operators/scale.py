@@ -36,6 +36,21 @@ def scalar_attach(df: DataFrame, scalars: DataFrame) -> DataFrame:
     return df.crossJoin(F.broadcast(scalars))
 
 
+def single_partition_key():
+    """Window partition key for an intentional single-partition window over
+    a PROVABLY BOUNDED input (bucket tables, distinct-score grids — never
+    the corpus).
+
+    ``lit(1)`` would express the same thing, but Catalyst constant-folds a
+    foldable partition key away entirely, turning the spec into "no
+    partition defined" — which makes Spark log the global-window warning on
+    every run, burying real warnings under noise from windows that are
+    single-partition BY DESIGN. ``spark_partition_id() * 0`` evaluates to
+    the same constant 0 for every row yet is flagged non-deterministic, so
+    the optimizer keeps it and the warning never fires."""
+    return F.spark_partition_id() * F.lit(0)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

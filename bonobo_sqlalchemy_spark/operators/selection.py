@@ -88,7 +88,9 @@ def dsir_log_weights(
     # over anything data-sized
     from pyspark.sql import Window as W
 
-    wfull = W.partitionBy(F.lit(1))
+    from .scale import single_partition_key
+
+    wfull = W.partitionBy(single_partition_key())
     ratio = counts.select(
         "b",
         (
@@ -241,6 +243,7 @@ def threshold_sweep(
     score_col: str,
     label_col: str,
     group_col: str | None = None,
+    score_decimals: int = 6,
 ) -> DataFrame:
     """Precision/recall operating table for a score used as a keep-filter
     against a (weak) boolean label: one row per DISTINCT score value with
@@ -251,14 +254,24 @@ def threshold_sweep(
     The real curation step this serves: every heuristic filter needs an
     operating point, and sweeping thresholds by rescanning per candidate
     threshold is O(T·N). This computes the whole curve in one aggregation
-    + one window over the DISTINCT-SCORE table (bounded: 6dp-rounded
-    scores, not raw doubles), with cumulative sums ordered by score
-    descending. Precision/recall round to 6dp."""
+    + one window over the DISTINCT-SCORE table, with cumulative sums
+    ordered by score descending. Precision/recall round to 6dp.
+
+    Stated bound: candidate thresholds are the scores ROUNDED to
+    ``score_decimals`` places (enforced here, not assumed of the caller),
+    so the window input is at most ``score_range * 10^score_decimals + 1``
+    rows — for the normal [0, 1]-ish quality scores at the default 6dp
+    that is <= ~1e6 tiny rows, safe for the ungrouped sweep's single
+    intentional partition at any corpus size. A caller sweeping a score
+    with a LARGE numeric range must lower ``score_decimals`` (coarser
+    grid) or pass ``group_col`` (the window partitions per group); the
+    rounding is toward the filter's operating resolution, not a loss —
+    nobody deploys a keep-filter thresholded at the 7th decimal."""
     gcols = [group_col] if group_col else []
     per_score = (
         scored.select(
             *gcols,
-            F.col(score_col).alias("threshold"),
+            F.round(F.col(score_col), score_decimals).alias("threshold"),
             F.col(label_col).cast("int").alias("pos"),
         )
         .groupBy(*gcols, "threshold")
@@ -269,11 +282,13 @@ def threshold_sweep(
     )
     from pyspark.sql import Window as W
 
+    from .scale import single_partition_key
+
     # both frames share one partitioning+ordering, so Spark evaluates them
     # in a single WindowExec pass over the distinct-score table (bounded
-    # by the 6dp rounding of the score — never data-sized); grouped sweeps
+    # by the score_decimals grid — never data-sized); grouped sweeps
     # partition the window, so no single-partition bottleneck either
-    base = W.partitionBy(*gcols) if gcols else W.partitionBy(F.lit(1))
+    base = W.partitionBy(*gcols) if gcols else W.partitionBy(single_partition_key())
     w = base.orderBy(F.col("threshold").desc()).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -313,9 +328,11 @@ def auto_threshold(
     a QUERY over the curve, not a driver-side loop."""
     from pyspark.sql import Window as W
 
+    from .scale import single_partition_key
+
     gcols = [group_col] if group_col else []
     ok = sweep.where(F.col("precision") >= min_precision)
-    base = W.partitionBy(*gcols) if gcols else W.partitionBy(F.lit(1))
+    base = W.partitionBy(*gcols) if gcols else W.partitionBy(single_partition_key())
     w = base.orderBy(F.col("recall").desc(), F.col("threshold").asc())
     return (
         ok.withColumn("__rn", F.row_number().over(w))
