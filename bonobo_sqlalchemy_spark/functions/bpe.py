@@ -118,15 +118,29 @@ def bpe_train(
     n_merges: int = 32,
     merges_per_round: int = 1,
     min_freq: int = 2,
-) -> list[tuple[str, str]]:
+    return_alphabet: bool = False,
+) -> list[tuple[str, str]] | tuple[list[tuple[str, str]], set[str]]:
     """Train a BPE merge table; returns merges in rank order.
 
     ``merges_per_round=1`` is classic sequential BPE; >1 batches
     non-overlapping merges to cut the number of Spark rounds (see module
     docstring). ``min_freq`` stops merging pairs rarer than the floor
     (classic BPE's vocabulary-size stop re-expressed as a support floor).
+
+    ``return_alphabet=True`` additionally returns the training character
+    set (the base vocabulary a byte-fallback encoder closes over) as a
+    second element — computed from the ALREADY-MATERIALIZED vocabulary
+    table, so it costs one tiny job over checkpointed data instead of the
+    extra corpus scan + token shuffle :func:`bpe_alphabet` pays (that
+    standalone path measured ~1.3x on the bench encode query).
     """
     syms = _init_symbols(word_frequencies(docs, text_col)).localCheckpoint()
+    alphabet: set[str] = set()
+    if return_alphabet:
+        alphabet = {
+            r.ch
+            for r in syms.select(F.explode("syms").alias("ch")).distinct().collect()
+        } - {EOW}
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         want = min(merges_per_round, n_merges - len(merges))
@@ -160,7 +174,7 @@ def bpe_train(
         # localCheckpoint truncates the per-round lineage (same pattern as
         # connected_components' label-propagation rounds in dedup.py).
         syms = _apply_merges_batch(syms, batch).localCheckpoint()
-    return merges
+    return (merges, alphabet) if return_alphabet else merges
 
 
 #: ``<0xHH>`` byte-fallback tokens, the SentencePiece convention.

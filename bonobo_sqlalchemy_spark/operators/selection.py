@@ -222,20 +222,39 @@ def grouped_decile(
         SELECT 1 + len(list_filter(b.qs, q -> t.s < q)) AS decile
         FROM t JOIN b USING (g)
     """
-    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return grouped_deciles(df, [(score_col, out_col)], group_col, n_buckets)
+
+
+def grouped_deciles(
+    df: DataFrame,
+    scores: list[tuple[str, str]],
+    group_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Multi-score :func:`grouped_decile`: assign one bucket column per
+    ``(score_col, out_col)`` pair with a SINGLE per-group percentile
+    aggregation (all boundary arrays in one agg row) and a SINGLE
+    broadcast join back — a pipeline deciling k signals pays one boundary
+    pass, not k (z_pipeline_curate ranks fluency and DSIR together)."""
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     b = df.groupBy(group_col).agg(
-        F.percentile(score_col, F.array(*[F.lit(p) for p in probs])).alias("__qs")
+        *[
+            F.percentile(s, probs).alias(f"__qs_{out}")
+            for s, out in scores
+        ]
     )
-    return (
-        df.join(F.broadcast(b), group_col)
-        .withColumn(
-            out_col,
-            (
-                F.lit(1) + F.size(F.filter("__qs", lambda q: F.col(score_col) < q))
-            ).cast("int"),
+    def above(score_col: str):
+        # closure factory: F.filter inspects the lambda's arity, so the
+        # score column must be captured by closure, not a default arg
+        return lambda q: F.col(score_col) < q
+
+    out_df = df.join(F.broadcast(b), group_col)
+    for s, out in scores:
+        out_df = out_df.withColumn(
+            out,
+            (F.lit(1) + F.size(F.filter(f"__qs_{out}", above(s)))).cast("int"),
         )
-        .drop("__qs")
-    )
+    return out_df.drop(*[f"__qs_{out}" for _, out in scores])
 
 
 def threshold_sweep(

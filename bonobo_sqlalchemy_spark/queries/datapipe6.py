@@ -97,6 +97,13 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     return bpe.bpe_train(docs, n_merges=24, merges_per_round=8)
 
 
+def _bpe_merges_and_alphabet(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(
+        docs, n_merges=24, merges_per_round=8, return_alphabet=True
+    )
+
+
 @query("z_text_bpe_tokens", oracle=None, tags=("text", "tokenize"), bench=True)
 def z_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware token counts: train a BPE merge table distributedly
@@ -104,14 +111,17 @@ def z_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode every document via one Arrow pass (functions/bpe.py), with the
     byte-level <0xHH> fallback alphabet closing the vocabulary over
     out-of-training characters (round 7 — identical counts on this ASCII
-    corpus, bounded token ids on any corpus). Rows-only (training is
-    iterative — not SQL-expressible; classic-BPE equivalence, determinism,
-    round-trip decode and the 512-merge stress are asserted in
-    tests/test_bpe.py)."""
+    corpus, bounded token ids on any corpus). The alphabet comes out of
+    training's already-materialized vocabulary table
+    (``return_alphabet=True``), not a second corpus scan — the standalone
+    ``bpe_alphabet`` path re-paid the corpus token shuffle and measured
+    ~1.3x on this query (r8 adjudication, SCALING.md). Rows-only
+    (training is iterative — not SQL-expressible; classic-BPE
+    equivalence, determinism, round-trip decode and the 512-merge stress
+    are asserted in tests/test_bpe.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_token_counts(
-        docs, _bpe_merges(spark, sf_dir), alphabet=bpe.bpe_alphabet(docs)
-    ).orderBy("doc_id")
+    merges, alphabet = _bpe_merges_and_alphabet(spark, sf_dir)
+    return bpe.bpe_token_counts(docs, merges, alphabet=alphabet).orderBy("doc_id")
 
 
 @query("z_text_pack_bpe", oracle=None, tags=("text", "packing"), bench=False)

@@ -212,7 +212,7 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..operators.scale import scalar_attach
-    from ..operators.selection import grouped_decile
+    from ..operators.selection import grouped_deciles
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -239,11 +239,10 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dedup_keep"),
     )
     base = dedup.join(fluency, "doc_id").join(dsir, "doc_id")
-    out = grouped_decile(
-        grouped_decile(base, "s", "lang", out_col="quality_decile"),
-        "dsir_logw",
+    out = grouped_deciles(
+        base,
+        [("s", "quality_decile"), ("dsir_logw", "dsir_decile")],
         "lang",
-        out_col="dsir_decile",
     ).select("doc_id", "lang", "dedup_keep", "quality_decile", "dsir_decile")
     return out.withColumn(
         "keep",

@@ -127,6 +127,20 @@ def test_alphabet_extraction_matches_corpus(spark):
     assert bpe.bpe_alphabet(docs) == set("héllowörld") - {" "}
 
 
+def test_train_return_alphabet_equals_standalone(spark):
+    """bpe_train(return_alphabet=True) must produce the same character set
+    as the standalone bpe_alphabet corpus pass (it reads the training's
+    materialized vocabulary table instead of re-scanning the corpus) and
+    the same merges as the plain call."""
+    docs = spark.createDataFrame(
+        [("héllo low wörld",), ("low lower lowest",)], "text string"
+    )
+    merges, alphabet = bpe.bpe_train(docs, n_merges=4, return_alphabet=True)
+    assert alphabet == bpe.bpe_alphabet(docs)
+    assert merges == bpe.bpe_train(docs, n_merges=4)
+    assert bpe.EOW not in alphabet
+
+
 @pytest.mark.slow
 def test_bpe_stress_512_merges_at_bench_scale(spark):
     """The claimed scale story, measured: >=512 merges trained with batched
