@@ -769,14 +769,135 @@ def z_stream_hh_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "shard", "key")
 
 
-@query("z_stream_distinct_hll", oracle=None, tags=("streaming", "sketch"))
+@query(
+    "z_stream_hh_windowed_verified",
+    oracle="""
+    WITH w AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+               AS ws,
+             event_type AS key
+      FROM events
+    ), tot AS (
+      SELECT ws, COUNT(*) AS n FROM w GROUP BY ws
+    )
+    SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           w.key,
+           CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM w JOIN tot USING (ws)
+    GROUP BY w.ws, w.key, tot.n
+    HAVING COUNT(*) > tot.n / 8.0
+    """,
+    tags=("streaming", "sketch"),
+)
+def z_stream_hh_windowed_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WINDOW sketch-then-verify heavy hitters — the windowed twin of
+    `z_stream_hh_verified`, and like it VALUE-EXACT against SQL: the
+    streaming windowed Misra-Gries sketch (event-time state eviction,
+    bounded state) nominates candidates per (window, key); one batch
+    aggregation restricted to candidate pairs recomputes exact counts and
+    keeps keys above 1/8 of their window's traffic.
+
+    Exactness argument: keys are hash-sharded, so a key's (window, shard)
+    stream IS its window stream; MG with capacity 16 never evicts a key
+    whose count exceeds its stream length / 16, and the 1/8 threshold is
+    2x that guarantee — every true heavy hitter is among the candidates
+    (interim rows included — a superset is safe, the exact recheck
+    discards impostors), so the verified output equals the plain SQL
+    answer. At 100 TB the recheck is a broadcast semi-join on a
+    candidate-sized list, never a full-cardinality per-window groupBy."""
+    from ..streaming.sketches import windowed_heavy_hitters_stream
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = windowed_heavy_hitters_stream(
+        ev,
+        key_col="event_type",
+        window="6 hours",
+        watermark="1 hour",
+        capacity=16,
+        n_shards=2,
+    )
+    name = "z_stream_hh_winv_tbl"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    candidates = (
+        spark.table(name).select("window_start", "key").distinct()
+    )
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "6 hours")["start"]
+    pairs = events.select(
+        win.alias("window_start"),
+        F.col("event_type").cast("string").alias("key"),
+    )
+    totals = pairs.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        pairs.join(F.broadcast(candidates), ["window_start", "key"], "left_semi")
+        .groupBy("window_start", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .join(F.broadcast(totals), "window_start")
+        .where(F.col("exact_count") > F.col("__n") / 8.0)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "key",
+            "exact_count",
+        )
+    )
+
+
+@query(
+    "z_stream_distinct_hll",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT CAST(h % 1024 AS INT) AS idx,
+             MAX(CASE WHEN h // 1024 = 0 THEN 55
+                 ELSE 55 - length(bin(h // 1024)) END) AS rho
+      FROM h GROUP BY 1
+    ), agg AS (
+      SELECT COUNT(*) AS n_present, SUM(power(2.0, -rho)) AS s FROM r
+    ), est AS (
+      SELECT n_present,
+             (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+               / (s + (1024 - n_present)) AS raw
+      FROM agg
+    )
+    SELECT CAST(1024 AS BIGINT) AS n_registers,
+           CAST(1024 - n_present AS BIGINT) AS n_zero_registers,
+           CAST(round(CASE WHEN raw <= 2560 AND n_present < 1024
+                           THEN 1024 * ln(1024.0 / (1024 - n_present))
+                           ELSE raw END) AS BIGINT) AS estimate
+    FROM est
+    """,
+    tags=("streaming", "sketch"),
+)
 def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming HyperLogLog distinct-user count: 2^10 registers per
     shard TOTAL — the bounded-state answer to COUNT(DISTINCT) over an
     unbounded stream, companion to the Misra-Gries frequency sketch.
-    Rows-only (register contents are not SQL-expressible); the ~3.2%
-    (1.04/sqrt(1024)) error bound and max-mergeability are asserted
-    against exact batch counts in tests/test_streaming.py."""
+
+    VALUE-EXACT oracle (r8): register contents are a deterministic
+    function of the key SET — ``register[i] = max rho over keys hashing
+    to i`` — independent of batch order or shard assignment (max-merge is
+    associative/commutative/idempotent), and the md5-based register hash
+    is engine-portable, so DuckDB recomputes the identical registers and
+    estimator from the raw events: the streaming sketch's
+    (n_registers, n_zero_registers, estimate) row must match it exactly.
+    The ~3.2% (1.04/sqrt(1024)) error bound vs the TRUE count and
+    max-mergeability are additionally asserted in tests/test_streaming.py."""
     from ..streaming.sketches import hll_distinct_stream, hll_estimate
     from ..streaming.windows import read_events_stream
 

@@ -258,14 +258,16 @@ HLL_STATE_SCHEMA = "registers array<int>, seq bigint"
 
 
 def _hll_hash(key: str) -> int:
-    """Stable 64-bit hash for HLL register updates (blake2b — independent
+    """Stable 64-bit hash for HLL register updates: the first 8 bytes of
+    md5, big-endian. md5 (not blake2b) so the register contents are
+    ENGINE-PORTABLE — DuckDB reproduces the identical value with
+    ``('0x' || substr(md5(key), 1, 16))::UBIGINT``, which is what gives
+    the streaming HLL query a value-exact SQL oracle. Still independent
     of the xxhash64 used for sharding, so shard membership doesn't bias
-    register indices)."""
+    register indices."""
     import hashlib
 
-    return int.from_bytes(
-        hashlib.blake2b(key.encode("utf-8"), digest_size=8).digest(), "big"
-    )
+    return int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big")
 
 
 def hll_distinct_stream(
