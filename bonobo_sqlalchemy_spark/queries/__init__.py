@@ -29,7 +29,6 @@ from . import streamq  # noqa: E402,F401
 # (z_-prefixed) would otherwise never get a driver-recorded verdict. These
 # aliases sort inside the window ('d'/'p' < 'q'); the relational rows they
 # displace remain value-checked by PARITY_LOCAL.md each round.
-register_alias("dedup_semantic_capped", "z_dedup_semantic_capped")
 register_alias("pipeline_curate", "z_pipeline_curate")
 register_alias("pipeline_dsir_weights", "z_text_dsir_weights")
 register_alias("pipeline_export_incremental", "z_export_incremental")

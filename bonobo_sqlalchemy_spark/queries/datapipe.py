@@ -489,11 +489,74 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, e.where(F.col("vec_id") < 8), k=5)
 
 
-@query("sim_lsh_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
+def _sim_lsh_oracle(
+    k: int = 5,
+    bits_per_table: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of `lsh_topk` (same recipe as `_emb_lsh_oracle`): the
+    identical seeded-LCG hyperplanes are inlined as array literals (repr
+    round-trips the doubles bit-exactly), the per-table packed-long bucket
+    keys are reproduced as ``SUM(sign_bit << bit)``, and candidates from ANY
+    matching table are exactly re-ranked under the rounded-cosine
+    determinism policy — so the *approximate* index is value-checkable
+    because every source of randomness is a shared deterministic constant."""
+    from ..functions import vectors as V
+
+    planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
+    rows = []
+    for t in range(n_tables):
+        for j in range(bits_per_table):
+            arr = ", ".join(repr(w) for w in planes[t * bits_per_table + j])
+            rows.append(f"({t}, {j}, [{arr}])")
+    values = ",\n".join(rows)
+    return f"""
+    WITH p(tbl, bit, w) AS (VALUES {values}),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    u AS (SELECT vec_id, tbl, bit, unnest(embedding) AS x, unnest(w) AS y FROM e, p),
+    dots AS (SELECT vec_id, tbl, bit, SUM(CAST(x AS DOUBLE) * y) AS d FROM u GROUP BY 1, 2, 3),
+    sig AS (SELECT vec_id, tbl,
+                   SUM(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS key
+            FROM dots GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM sig q JOIN sig c
+               ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
+             WHERE q.vec_id < 8),
+    j AS (SELECT query_id, neighbor_id, eq.embedding AS qv, ec.embedding AS cv
+          FROM cand JOIN e eq ON query_id = eq.vec_id
+                    JOIN e ec ON neighbor_id = ec.vec_id),
+    u2 AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM j),
+    p2 AS (SELECT query_id, neighbor_id,
+                  SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                  SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           FROM u2 GROUP BY 1, 2),
+    r AS (SELECT query_id, neighbor_id, round(dot / sqrt(na * nb), 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY round(dot / sqrt(na * nb), 6) DESC,
+                                             neighbor_id) AS rn
+          FROM p2)
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= {k}
+    """
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=_sim_lsh_oracle(),
+    tags=("similarity", "sketch"),
+    bench=True,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-5 (bucket join + exact
     re-rank; ~80% top-5 recall on this corpus at (4 bits, 16 tables)).
-    Recall vs brute force asserted in tests."""
+    VALUE-EXACT despite being an approximate index (round 8): the planes
+    are a seeded-LCG constant shared with the oracle, so buckets,
+    candidate sets, and the re-ranked top-5 are all deterministic — the
+    DuckDB oracle reproduces them end-to-end. Recall vs brute force is
+    additionally asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, bits_per_table=4, n_tables=16)
 

@@ -237,12 +237,66 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS w
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    u AS (SELECT e.vec_id, cb.cell, unnest(e.embedding) AS x, unnest(cb.w) AS y
+          FROM e, cb),
+    dots AS (SELECT vec_id, cell, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d
+             FROM u GROUP BY 1, 2),
+    corpus_cells AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    query_cells AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM dots WHERE vec_id < 8
+      ) WHERE rn <= 4
+    ),
+    cand AS (SELECT DISTINCT query_id, neighbor_id
+             FROM corpus_cells JOIN query_cells USING (cell)
+             WHERE neighbor_id <> query_id),
+    j AS (SELECT query_id, neighbor_id, eq.embedding AS qv, ec.embedding AS cv
+          FROM cand JOIN e eq ON query_id = eq.vec_id
+                    JOIN e ec ON neighbor_id = ec.vec_id),
+    u2 AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM j),
+    p2 AS (SELECT query_id, neighbor_id,
+                  SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                  SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           FROM u2 GROUP BY 1, 2),
+    r AS (SELECT query_id, neighbor_id, round(dot / sqrt(na * nb), 6) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY round(dot / sqrt(na * nb), 6) DESC,
+                                             neighbor_id) AS rn
+          FROM p2)
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+    tags=("similarity", "sketch"),
+    bench=True,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors to the nearest of K fixed
     centroids (deterministic: the first K corpus vectors by id), search only
-    the query's nearest `n_probe` cells, exact re-rank inside. Rows-only
-    (recall vs brute force asserted in tests)."""
+    the query's nearest `n_probe` cells, exact re-rank inside.
+
+    VALUE-EXACT despite being an approximate index (round 8): with
+    ``train_iters=0`` the codebook is the first-16-by-id corpus vectors —
+    a shared deterministic constant — so cell assignment (argmax dot,
+    ties to the lowest cell), the probed candidate set, and the re-ranked
+    top-5 are all reproduced by the DuckDB oracle. Recall vs brute force
+    is additionally asserted in tests."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")

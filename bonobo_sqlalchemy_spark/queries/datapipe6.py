@@ -72,7 +72,11 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
-@query("z_dedup_semantic_capped", oracle=None, tags=("dedup", "sketch"))
+# Registered directly under its driver-window name (round 8): this was
+# `z_dedup_semantic_capped` plus a `dedup_semantic_capped` alias; a single
+# registration keeps it inside the driver's first-50 correctness window
+# without double-counting one operator as two registry rows.
+@query("dedup_semantic_capped", oracle=None, tags=("dedup", "sketch"))
 def z_dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the hot-cluster guard engaged (round 7): clusters
     larger than max_cluster_size sub-split by a content hash, bounding
@@ -457,32 +461,14 @@ def z_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("component")
 
 
-@query("z_stream_heavy_hitters", oracle=None, tags=("streaming", "sketch"))
-def z_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL streaming Misra-Gries heavy hitters: state is `capacity`
-    counters per hash shard TOTAL (not per key — the thing that makes
-    exact streaming counts unscalable at 100 TB key cardinalities), with
-    the mergeable-summaries guarantee est <= true <= est + max_err and
-    every key above N/capacity surviving. Rows-only (sketch content is
-    not SQL-expressible; the frequency guarantees are asserted against
-    exact batch counts in tests/test_streaming.py)."""
-    from ..streaming.sketches import final_sketch, heavy_hitters_stream
-    from ..streaming.windows import read_events_stream
-
-    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    sk = heavy_hitters_stream(ev, key_col="user_id", capacity=16, n_shards=4)
-    name = "z_stream_hh_tbl"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return final_sketch(spark.table(name)).orderBy("shard", "key")
-
-
+# NOTE (round 8): the raw Misra-Gries sketch query (`z_stream_heavy_hitters`)
+# was consolidated into `z_stream_hh_verified` below — the verified
+# composition runs the identical `heavy_hitters_stream` operator and then
+# exactly rechecks its candidates, so it strictly subsumes the raw-sketch
+# registry row while being value-checkable. The sketch's own frequency
+# guarantees (est <= true <= est + max_err, every key above N/capacity
+# survives, max-mergeability) remain asserted against exact batch counts in
+# tests/test_streaming.py.
 @query(
     "z_stream_hh_verified",
     oracle="""
@@ -497,7 +483,7 @@ def z_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z_stream_hh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-then-verify, the standard production composition: the
     streaming Misra-Gries sketch nominates candidate heavy hitters with
-    BOUNDED state (z_stream_heavy_hitters), then ONE batch-side exact
+    BOUNDED state (streaming/sketches.py heavy_hitters_stream), then ONE batch-side exact
     aggregation over the candidates only — a broadcast semi-join filter,
     never a full-cardinality groupBy held as state — confirms or discards
     each. MG guarantees every key with true count > N/capacity survives

@@ -739,36 +739,13 @@ def z_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_bottomk(spark.table(name), k=128)
 
 
-@query("z_stream_hh_windowed", oracle=None, tags=("streaming", "sketch"))
-def z_stream_hh_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-WINDOW Misra-Gries heavy hitters with event-time state
-    eviction: sketches are keyed by (window, shard) and each window's
-    state times out and emits its final sketch exactly once when the
-    watermark passes the window end — live state stays bounded by the
-    watermark horizon instead of growing with stream age. Rows-only;
-    the eviction/exactly-once-final/late-data semantics are asserted in
-    tests/test_streaming.py over a multi-batch replay (this single-file
-    replay emits interim rows only — no later batch advances the
-    watermark past a window)."""
-    from ..streaming.sketches import windowed_heavy_hitters_stream
-    from ..streaming.windows import read_events_stream
-
-    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    sk = windowed_heavy_hitters_stream(
-        ev, window="6 hours", watermark="1 hour", capacity=16, n_shards=2
-    )
-    name = "z_stream_hh_win_tbl"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("window_start", "shard", "key")
-
-
+# NOTE (round 8): the raw windowed-sketch query (`z_stream_hh_windowed`)
+# was consolidated into `z_stream_hh_windowed_verified` below — the verified
+# composition runs the identical `windowed_heavy_hitters_stream` operator
+# (event-time state eviction, bounded state) and then exactly rechecks its
+# candidates, so it strictly subsumes the raw registry row while being
+# value-checkable. The eviction/exactly-once-final/late-data semantics
+# remain asserted in tests/test_streaming.py over a multi-batch replay.
 @query(
     "z_stream_hh_windowed_verified",
     oracle="""
