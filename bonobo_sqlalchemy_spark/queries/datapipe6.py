@@ -57,12 +57,83 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("z_dedup_semantic", oracle=None, tags=("dedup", "sketch"), bench=True)
+def _semantic_kmeans_prefix(n_clusters: int = 16) -> str:
+    """Shared DuckDB CTE prefix reproducing `semantic_dedup_pairs` with
+    ``train_iters=1`` exactly: the spherical k-means init is the
+    deterministic first-K corpus vectors L2-normalized, ONE Lloyd round is
+    two aggregations (argmax-dot assignment with first-max tie rule =
+    ``ROW_NUMBER ... ORDER BY dot DESC, cell``; per-(cell, dim) mean then
+    re-normalize, empty cells keeping their init centroid), and the final
+    assignment + intra-cluster candidate join mirror the Spark plan
+    step-for-step. Cross-engine FP note: Spark's ``F.aggregate`` fold and
+    DuckDB's ``SUM`` over ``unnest`` agree bitwise on these 64-dim lists
+    (measured over the full sf0.01 table), and every comparison downstream
+    of an aggregate (argmax margins, the 6dp-rounded cosine threshold) has
+    margins many orders above any residual summation-order difference."""
+    return f"""
+    e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    init0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) AS cell, v
+      FROM e ORDER BY id LIMIT {n_clusters}
+    ),
+    iu AS (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM init0),
+    inorm AS (SELECT cell, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+              FROM iu GROUP BY 1),
+    c0 AS (SELECT iu.cell, iu.d, CAST(iu.x AS DOUBLE) / inorm.nrm AS w
+           FROM iu JOIN inorm USING (cell)),
+    eu AS (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+    d1 AS (SELECT eu.id, c0.cell, SUM(CAST(eu.x AS DOUBLE) * c0.w) AS dot
+           FROM eu JOIN c0 USING (d) GROUP BY 1, 2),
+    a1 AS (SELECT id, cell FROM (
+             SELECT id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dot DESC, cell) AS rn
+             FROM d1) WHERE rn = 1),
+    m AS (SELECT a1.cell, eu.d, AVG(CAST(eu.x AS DOUBLE)) AS mu
+          FROM eu JOIN a1 USING (id) GROUP BY 1, 2),
+    mn AS (SELECT cell, sqrt(SUM(mu * mu)) AS nrm FROM m GROUP BY 1),
+    c1 AS (SELECT m.cell, m.d, m.mu / mn.nrm AS w FROM m JOIN mn USING (cell)
+           UNION ALL
+           SELECT c0.cell, c0.d, c0.w FROM c0
+           WHERE c0.cell NOT IN (SELECT DISTINCT cell FROM m)),
+    d2 AS (SELECT eu.id, c1.cell, SUM(CAST(eu.x AS DOUBLE) * c1.w) AS dot
+           FROM eu JOIN c1 USING (d) GROUP BY 1, 2),
+    a2 AS (SELECT id, CAST(cell AS INT) AS cluster FROM (
+             SELECT id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dot DESC, cell) AS rn
+             FROM d2) WHERE rn = 1),
+    cand AS (SELECT x.id AS id1, y.id AS id2, x.cluster
+             FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.id < y.id),
+    jj AS (SELECT id1, id2, cluster, e1.v AS va, e2.v AS vb
+           FROM cand JOIN e e1 ON id1 = e1.id JOIN e e2 ON id2 = e2.id),
+    u2 AS (SELECT id1, id2, cluster, unnest(va) AS x, unnest(vb) AS y FROM jj),
+    p2 AS (SELECT id1, id2, cluster,
+                  SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                  SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           FROM u2 GROUP BY 1, 2, 3)
+    """
+
+
+@query(
+    "z_dedup_semantic",
+    oracle="WITH " + _semantic_kmeans_prefix() + """
+    SELECT id1, id2, round(dot / sqrt(na * nb), 6) AS cosine, cluster
+    FROM p2 WHERE round(dot / sqrt(na * nb), 6) >= 0.35
+    """,
+    tags=("dedup", "sketch"),
+    bench=True,
+)
 def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: spherical k-means clusters the embedding space, cosine
     near-dup pairs are generated intra-cluster ONLY (equi-join on cluster
-    id — no all-pairs product), exact-cosine verified. Rows-only (recall vs
-    LSH near-dup pairs on planted duplicates asserted in tests)."""
+    id — no all-pairs product), exact-cosine verified.
+
+    VALUE-EXACT (round 8, was rows-only): with the deterministic first-K
+    init and ``train_iters=1``, one Lloyd round is just two aggregations —
+    SQL-expressible — so the DuckDB oracle reproduces clustering,
+    candidate generation, and the verified pairs end-to-end
+    (`_semantic_kmeans_prefix`). Recall vs LSH near-dup pairs on planted
+    duplicates additionally asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     # 0.35 sits at the ~p99 of the synthetic (near-random-direction)
     # embedding table's cosine distribution — the "semantically redundant"
@@ -439,15 +510,51 @@ def z_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decile.where(bucket.cast("int") % 1000 < rate)
 
 
-@query("z_dedup_semantic_survivors", oracle=None, tags=("dedup", "sketch"))
+@query(
+    "z_dedup_semantic_survivors",
+    oracle="WITH RECURSIVE " + _semantic_kmeans_prefix() + """,
+    pairs AS (SELECT id1, id2 FROM p2
+              WHERE round(dot / sqrt(na * nb), 6) >= 0.35),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL
+              SELECT id2 AS a, id1 AS b FROM pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM e
+      UNION
+      SELECT reach.id, eg.b FROM reach JOIN edges eg ON eg.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    csize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+              FROM comp GROUP BY 1),
+    nrm AS (SELECT id,
+                   round(sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 9) AS nrm
+            FROM eu GROUP BY 1),
+    ranked AS (SELECT comp.component, comp.id, nrm.nrm,
+                      ROW_NUMBER() OVER (PARTITION BY comp.component
+                                         ORDER BY nrm.nrm DESC, comp.id) AS rn
+               FROM comp JOIN nrm ON comp.id = nrm.id)
+    SELECT ranked.component, ranked.id AS survivor_id, ranked.nrm,
+           csize.component_size
+    FROM ranked JOIN csize USING (component)
+    WHERE rn = 1
+    """,
+    tags=("dedup", "sketch"),
+)
 def z_dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end: cluster-blocked cosine pairs -> connected
     components -> quality-aware survivorship keeping the highest-norm
     member of each duplicate group (norm stands in for the quality score a
     curation run would supply). The full composition a 100 TB semantic
-    dedup actually executes. Rows-only (components are iterative); the
-    pair stage is recall-tested, survivorship is oracle-checked for the
-    text path via `dedup_survivors`."""
+    dedup actually executes.
+
+    VALUE-EXACT (round 8, was rows-only): Spark's iterative min-label
+    propagation converges to "component = minimum id reachable through the
+    pair graph" — a fixpoint DuckDB computes with a recursive transitive
+    closure, so components, sizes, and the per-component (nrm DESC, id)
+    survivor pick are all reproduced exactly on top of the shared
+    `_semantic_kmeans_prefix` pair derivation. The 9dp-rounded norm is
+    safe cross-engine: Spark's F.aggregate fold and DuckDB's SUM over
+    unnest agree bitwise on these lists (measured on the full table)."""
     from ..functions import vectors as V
     from ..operators.dedup import best_survivors
 
