@@ -682,6 +682,105 @@ def best_survivors(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans per document — the signal behind
+    "exact substring deduplication" (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better*): any ``gram``-token window
+    whose exact text occurs ``min_count``+ times anywhere in the corpus
+    (other documents OR elsewhere in the same one) marks its tokens as
+    duplicated; overlapping/adjacent duplicated windows merge into maximal
+    spans.
+
+    Returns one row per document:
+    ``(id_col, n_tokens, n_dup_spans, dup_tokens, dup_ratio)`` —
+    ``dup_ratio`` is the fraction of tokens inside duplicated spans, the
+    number a curation run thresholds on (or uses to cut the spans out).
+
+    Scale shape (100 TB): unlike pair-generating dedup, this NEVER joins
+    occurrences against occurrences — the corpus-wide step is ONE hash
+    aggregation on the gram fingerprint (map-side partial agg; a
+    boilerplate gram occurring 10^9 times is still one count row) followed
+    by ONE semi join back, so there is no quadratic regime and no hot-key
+    cap needed. Window steps are partitioned by document id — bounded by
+    document length, never by corpus size. Shingling reuses the codegen
+    explode + slice + concat_ws shape of `_exploded_shingles` (the
+    interpreted `transform` lambda measured ~8µs/element in round 1).
+
+    The md5 gram fingerprint keeps the operator value-exact against a
+    DuckDB oracle, same hash-determinism policy as MinHash/SimHash.
+    """
+    w = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), " +").alias("w"),
+        )
+        .withColumn("n", F.size("w"))
+        .repartition("id")
+    )
+    occ = w.where(F.col("n") >= gram).select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - F.lit(gram))).alias("pos"),
+        "w",
+    ).select(
+        "id", "pos", F.md5(F.concat_ws(" ", F.slice("w", F.col("pos") + 1, gram))).alias("gh")
+    )
+    dup_grams = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("gh")
+    )
+    dup_occ = occ.join(dup_grams, "gh", "left_semi").select(
+        "id", "pos", (F.col("pos") + F.lit(gram - 1)).alias("end")
+    )
+    # Gaps-and-islands merge: a window starts a new span iff it begins more
+    # than one token past everything covered so far (overlap OR adjacency
+    # merges). Running-max end over (id, pos) — per-document window state.
+    w_prev = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = W.partitionBy("id").orderBy("pos")
+    spans = (
+        dup_occ.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w_run))
+        .groupBy("id", "span_id")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        w.select("id", F.col("n").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -734,3 +734,72 @@ def test_audio_features_zero_sample_wav_no_nan(spark):
     assert r.n_samples == 0
     for v in (r.rms, r.zcr, r.peak):
         assert v == 0.0 and not math.isnan(v)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication spans (round 8)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark):
+    shared = " ".join(f"dup{i}" for i in range(10))  # 10-token shared run
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
+        (2, f"one two three {shared} four five six seven eight nine"),
+        (3, "unique tokens only nothing repeated here at all today friend"),
+        # doc 4 repeats an 8-gram WITHIN itself (self-repetition counts)
+        (4, "r0 r1 r2 r3 r4 r5 r6 r7 mid r0 r1 r2 r3 r4 r5 r6 r7 tail"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_planted_cross_doc(spark):
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicate_span_stats(_span_docs(spark), gram=8).collect()
+    }
+    # docs 1 and 2 share a 10-token run -> exactly one merged span of 10
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 10
+    # doc 3 has no duplicated 8-gram anywhere
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["dup_ratio"] == 0.0
+
+
+def test_duplicate_spans_self_repetition_counts(spark):
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicate_span_stats(_span_docs(spark), gram=8).collect()
+    }
+    # doc 4: the 8-gram r0..r7 occurs twice within one document ->
+    # two merged spans (positions 0-7 and 9-16), 16 duplicated tokens
+    assert out[4]["n_dup_spans"] == 2
+    assert out[4]["dup_tokens"] == 16
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    # 12 consecutive duplicated tokens -> 5 overlapping 8-gram windows
+    # must merge into ONE span covering all 12 tokens, not 5 spans
+    run = " ".join(f"m{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, f"{run} x1 x2 x3"), (2, f"y1 y2 {run} y3")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.duplicate_span_stats(df, gram=8).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 12
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 12
+
+
+def test_duplicate_spans_short_docs_never_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = D.duplicate_span_stats(df, gram=8).collect()
+    assert all(r["n_dup_spans"] == 0 for r in out)
+    assert all(r["n_tokens"] == 3 for r in out)
+
+
+def test_duplicate_spans_partitioning_invariant(spark, docs):
+    a = D.duplicate_span_stats(docs, gram=8)
+    b = D.duplicate_span_stats(docs.repartition(13), gram=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
