@@ -439,13 +439,22 @@ def pq_topk(
             # scores[q, b] = sum_s LUT[q, s, codes[b, s]]
             scores = LUT[:, np.arange(m)[None, :], codes].sum(axis=2)  # (Q, B)
             rows = []
-            top = min(n_local, scores.shape[1])
             for qi in range(scores.shape[0]):
-                s = scores[qi]
-                idx = np.argpartition(-s, top - 1)[:top]
+                # Self is dropped BEFORE the local cut and ties break by
+                # (adc desc, neighbor_id) — the same total order the global
+                # reduction uses. That makes the emitted union provably a
+                # superset of the global top-n_local under ANY partitioning
+                # (each global top candidate has < n_local rows above it in
+                # the total order, partition-wide too), so the final
+                # candidate set is partitioning-invariant and oracle-exact;
+                # argpartition's arbitrary tie choice (identical-code
+                # vectors share an exact adc) broke that in edge cases.
+                keep = nid != qid_arr[qi]
+                s, nk = scores[qi][keep], nid[keep]
+                top = min(n_local, len(nk))
+                idx = np.lexsort((nk, -s))[:top]
                 for bi in idx:
-                    if nid[bi] != qid_arr[qi]:
-                        rows.append((qids[qi], nid[bi], float(s[bi])))
+                    rows.append((qids[qi], nk[bi], float(s[bi])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
 
     local_top = coded.mapInPandas(_scan, out_schema)
@@ -582,13 +591,15 @@ def ivfpq_topk(
                 nid = grp["neighbor_id"].to_numpy()
                 # scores[i, b] = sum_s LUT[qis[i], s, codes[b, s]]
                 scores = LUT[qis][:, np.arange(m)[None, :], codes].sum(axis=2)
-                top = min(n_local, scores.shape[1])
                 for row_i, qi in enumerate(qis):
-                    s = scores[row_i]
-                    idx = np.argpartition(-s, top - 1)[:top]
+                    # Same partitioning-invariant emission as pq_topk's scan:
+                    # self dropped before the cut, (adc desc, id) total order.
+                    keep = nid != qids[qi]
+                    s, nk = scores[row_i][keep], nid[keep]
+                    top = min(n_local, len(nk))
+                    idx = np.lexsort((nk, -s))[:top]
                     for bi in idx:
-                        if nid[bi] != qids[qi]:
-                            rows.append((qids[qi], nid[bi], float(s[bi])))
+                        rows.append((qids[qi], nk[bi], float(s[bi])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc"])
 
     local_top = coded.mapInPandas(_scan, out_schema)

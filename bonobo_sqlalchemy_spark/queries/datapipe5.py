@@ -338,14 +338,26 @@ def z_text_dup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_pq_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
+def _pq_oracle() -> str:
+    from .pqsql import pq_topk_oracle
+
+    return pq_topk_oracle(iters=1)
+
+
+@query("sim_pq_topk", oracle=_pq_oracle(), tags=("similarity", "sketch"), bench=True)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC): vectors compress to m byte codes
     (32x for d=64/m=8), the scan is m lookup-table adds per vector emitting
     per-partition local top-R, and only the global top-R candidates fetch
     real vectors for the exact cosine re-rank — the memory-scale path
-    beyond IVF (operators/similarity.py::pq_topk). Rows-only (recall vs
-    brute force asserted in tests)."""
+    beyond IVF (operators/similarity.py::pq_topk).
+
+    VALUE-EXACT (round 8, was rows-only): deterministic first-16 codebook
+    init + one L2 k-means round in SQL (queries/pqsql.py), and the scan's
+    partitioning-invariant (adc DESC, id) candidate emission makes the
+    global top-R reproducible — so the DuckDB oracle rebuilds codebooks,
+    codes, ADC scores and the re-ranked top-5 end-to-end. Recall vs brute
+    force additionally asserted in tests."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import pq_topk

@@ -36,13 +36,30 @@ from ..sources.files import load_table
 from .base import query
 
 
-@query("sim_ivfpq_topk", oracle=None, tags=("similarity", "sketch"), bench=True)
+def _ivfpq_oracle() -> str:
+    from .pqsql import ivfpq_topk_oracle
+
+    return ivfpq_topk_oracle(n_probe=6, pq_iters=1)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "sketch"),
+    bench=True,
+)
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: coarse cells route each query to its n_probe nearest
     cells, PQ-ADC scans ONLY those cells' byte codes (~n_probe/n_cells of
     `sim_pq_topk`'s scan on 32x-compressed codes), exact cosine re-rank on
-    the survivors. Rows-only (recall + candidate-fraction asserted in
-    tests/test_datapipe.py)."""
+    the survivors.
+
+    VALUE-EXACT (round 8, was rows-only): the coarse spherical k-means
+    round, the PQ codebook round, cell routing/probing, and the ADC
+    top-R are all deterministic and reproduced in SQL
+    (queries/pqsql.py::ivfpq_topk_oracle) — the last ANN family member to
+    gain a full oracle. Recall + candidate-fraction additionally asserted
+    in tests/test_datapipe.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         e,
