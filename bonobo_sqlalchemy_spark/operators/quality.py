@@ -197,3 +197,103 @@ def quality_model_scores(
     )
     scores = score_quality(docs, w, text_col, id_col)
     return labeled.select(id_col, "heuristic", "label").join(scores, id_col)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_alpha_ratio: float = 0.8,
+    max_dup_bigram_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rule bundle (Rae et al. 2021,
+    *Scaling Language Models: ... Gopher*, Appendix A): the standard
+    pre-filter a curation run applies BEFORE expensive dedup/selection.
+    One row per document with each rule's verdict and the combined
+    ``keep`` (all rules pass):
+
+    - ``ok_n_words``: word count in [min_words, max_words];
+    - ``ok_mean_word_len``: mean word length in [min, max];
+    - ``ok_stopwords``: >= min_stopwords hits on Gopher's 8-stopword list
+      (the / be / to / of / and / that / have / with);
+    - ``ok_alpha``: >= min_alpha_ratio of words contain a letter;
+    - ``ok_dup_bigram``: repeated-bigram fraction (1 - distinct/total)
+      <= max_dup_bigram_ratio — the cheap repetition screen.
+
+    Scale shape: ONE explode of the token stream, ONE per-document window
+    (lead for bigram pairing — partitions bounded by document length),
+    ONE per-document aggregate that the window's id-clustering already
+    satisfies (no second exchange). Every metric is integer counts or a
+    single IEEE division compared to a threshold, so the bundle is
+    value-exact against the DuckDB oracle — boundary docs land on the
+    same side in both engines because both compare the identical double.
+    """
+    from pyspark.sql import Window as W
+
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), " +")).alias("pos", "tk"),
+        )
+        .repartition("id")
+    )
+    wl = W.partitionBy("id").orderBy("pos")
+    paired = toks.withColumn("nxt", F.lead("tk").over(wl)).withColumn(
+        "bg", F.when(F.col("nxt").isNotNull(), F.concat_ws(" ", "tk", "nxt"))
+    )
+    agg = paired.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("tk")).cast("bigint").alias("__sumlen"),
+        F.sum(F.when(F.col("tk").isin(*stop), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        F.sum(F.when(F.col("tk").rlike("[A-Za-z]"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__alpha"),
+        F.count("bg").cast("bigint").alias("__nb"),
+        F.countDistinct("bg").cast("bigint").alias("__db"),
+    )
+    mean_wl = F.col("__sumlen") / F.col("n_words")
+    alpha_ratio = F.col("__alpha") / F.col("n_words")
+    dup_bg = F.when(
+        F.col("__nb") > 0, F.lit(1.0) - F.col("__db") / F.col("__nb")
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        "n_stopwords",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(dup_bg, 6).alias("dup_bigram_ratio"),
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        F.col("n_stopwords") >= min_stopwords,
+        alpha_ratio >= min_alpha_ratio,
+        dup_bg <= max_dup_bigram_ratio,
+    ).toDF(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "alpha_ratio",
+        "dup_bigram_ratio",
+        "ok_n_words",
+        "ok_mean_word_len",
+        "ok_stopwords",
+        "ok_alpha",
+        "ok_dup_bigram",
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_n_words")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_alpha")
+        & F.col("ok_dup_bigram"),
+    )

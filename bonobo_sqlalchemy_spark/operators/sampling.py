@@ -149,3 +149,64 @@ def mixture_sample(
         )
         .drop("__rk", "__quota")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    total_n: int,
+    id_col: str,
+    tau: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based domain re-weighting: per-group quotas proportional
+    to ``count^tau`` (normalized to ``total_n``), then the same
+    hash-deterministic rank-within-group pick as :func:`mixture_sample`.
+
+    THE multilingual/multi-domain mixing recipe: ``tau = 1`` keeps natural
+    proportions, ``tau -> 0`` approaches uniform-per-group — sub-linear
+    temperatures upsample small domains without the manual per-source
+    target table `mixture_sample` needs. Quotas cap at each group's
+    population (no replacement).
+
+    Scale shape: group counts are ONE map-side-combined aggregate
+    (group-cardinality rows), the scalar normalizer is a 1-row broadcast,
+    quotas ride back on a broadcast join, and the pick is one window
+    shuffle on the group key with the ``rk <= total_n`` literal conjunct
+    restoring Spark's rank-limit pushdown (Partial WindowGroupLimit before
+    the shuffle — no task sorts a whole group).
+
+    Determinism note: ``tau = 0.5`` (the default, and the common published
+    choice) computes shares via ``sqrt``, which IEEE requires correctly
+    rounded — bit-identical across engines, so quota boundaries are
+    oracle-exact. Other ``tau`` values use ``pow``, which carries no such
+    guarantee (last-ulp drift could flip a ``floor`` at an exact quota
+    boundary); they remain deterministic WITHIN Spark.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    share = (
+        F.sqrt(F.col("__n"))
+        if tau == 0.5
+        else F.pow(F.col("__n"), F.lit(float(tau)))
+    )
+    weights = counts.withColumn("__w", share)
+    z = weights.agg(F.sum("__w").alias("__z"))
+    quotas = weights.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.least(
+            F.col("__n"),
+            F.floor(F.lit(int(total_n)) * F.col("__w") / F.col("__z")),
+        )
+        .cast("bigint")
+        .alias("__quota"),
+    )
+    w = W.partitionBy(group_col).orderBy(hash_key(id_col, seed), F.col(id_col))
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(
+            (F.col("__rk") <= F.lit(int(total_n)))
+            & (F.col("__rk") <= F.col("__quota"))
+        )
+        .drop("__rk", "__quota")
+    )

@@ -1,14 +1,21 @@
-"""Round-8 queries: exact substring-duplication spans and their removal
-(`operators/dedup.py::duplicate_span_stats`) — the "exact substring
-deduplication" signal of Lee et al. 2022 (*Deduplicating Training Data
-Makes Language Models Better*), the strongest-known dedup intervention for
-LLM training corpora after document-level dedup.
+"""Round-8 queries.
 
-Reference scope note: not in the reference engine (bonobo-sqlalchemy);
-part of the driver-mandated training-data extension surface (SURVEY §2.4).
-Both queries are VALUE-EXACT: the gram fingerprint is md5 (the same
-hash-determinism policy as MinHash/SimHash), so DuckDB reproduces
-occurrence sets, span merges, and cleaned text end-to-end.
+- Exact substring-duplication spans and their removal
+  (`operators/dedup.py::duplicate_span_stats`) — the "exact substring
+  deduplication" signal of Lee et al. 2022 (*Deduplicating Training Data
+  Makes Language Models Better*), the strongest-known dedup intervention
+  for LLM training corpora after document-level dedup.
+- The Gopher heuristic quality rule bundle (Rae et al. 2021, Appendix A;
+  `operators/quality.py::gopher_rules`).
+- Temperature (count^tau) mixture sampling
+  (`operators/sampling.py::temperature_mixture_sample`).
+
+Reference scope note: none exist in the reference engine
+(bonobo-sqlalchemy); all belong to the driver-mandated training-data
+extension surface (SURVEY §2.4). Every query here is VALUE-EXACT: gram
+fingerprints and sampling keys are md5 (the MinHash/SimHash
+hash-determinism policy), rule metrics are integer counts or single IEEE
+divisions, and sqrt-share quotas are correctly rounded in both engines.
 """
 
 from __future__ import annotations
@@ -191,3 +198,105 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, ws[t.i] AS tk, ws[t.i + 1] AS nxt
+            FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t),
+    agg AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(tk)) AS BIGINT) AS sumlen,
+                   CAST(SUM(CASE WHEN tk IN ('the','be','to','of','and',
+                                             'that','have','with')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+                   CAST(SUM(CASE WHEN regexp_matches(tk, '[A-Za-z]')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS alpha,
+                   CAST(COUNT(nxt) AS BIGINT) AS nb,
+                   CAST(COUNT(DISTINCT CASE WHEN nxt IS NOT NULL
+                              THEN tk || ' ' || nxt END) AS BIGINT) AS db
+            FROM tok GROUP BY 1),
+    m AS (SELECT doc_id, n_words, n_stopwords,
+                 sumlen / n_words AS mwl,
+                 alpha / n_words AS ar,
+                 CASE WHEN nb > 0 THEN 1.0 - db / nb ELSE 0.0 END AS dbr
+          FROM agg)
+    SELECT doc_id, n_words,
+           round(mwl, 6) AS mean_word_len,
+           n_stopwords,
+           round(ar, 6) AS alpha_ratio,
+           round(dbr, 6) AS dup_bigram_ratio,
+           n_words >= 20 AND n_words <= 90 AS ok_n_words,
+           mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+           n_stopwords >= 2 AS ok_stopwords,
+           ar >= 0.8 AS ok_alpha,
+           dbr <= 0.05 AS ok_dup_bigram,
+           (n_words >= 20 AND n_words <= 90)
+             AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND n_stopwords >= 2 AND ar >= 0.8 AND dbr <= 0.05 AS keep
+    FROM m
+    """,
+    tags=("text", "quality"),
+    bench=True,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rule bundle (Rae et al. 2021,
+    Appendix A) — the standard pre-filter before expensive dedup/selection:
+    word-count bounds, mean-word-length band, stopword floor, alphabetic
+    ratio, repeated-bigram ceiling, and the combined keep verdict, one row
+    per document (operators/quality.py::gopher_rules). Bounds tuned to the
+    fixture's 10-99-token documents so the verdict genuinely splits the
+    corpus (~1/3 keep at sf0.01); every metric is an integer count or a
+    single IEEE division, so the bundle is value-exact cross-engine."""
+    from ..operators.quality import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(
+        docs,
+        min_words=20,
+        max_words=90,
+        min_mean_word_len=3.0,
+        max_mean_word_len=10.0,
+        min_stopwords=2,
+        min_alpha_ratio=0.8,
+        max_dup_bigram_ratio=0.05,
+    ).orderBy("doc_id")
+
+
+@query(
+    "z_sample_temperature",
+    oracle="""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    z AS (SELECT SUM(sqrt(n)) AS z FROM c),
+    q AS (SELECT source, least(n, CAST(floor(100 * sqrt(n) / z.z) AS BIGINT))
+                   AS quota
+          FROM c, z),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('17|' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+    WHERE r.rk <= q.quota
+    """,
+    tags=("sampling",),
+)
+def z_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (tau = 0.5) domain re-weighting: per-source quotas
+    proportional to sqrt(count), normalized to a 100-row budget — the
+    multilingual/multi-domain mixing recipe that upsamples small sources
+    without a manual target table
+    (operators/sampling.py::temperature_mixture_sample). VALUE-EXACT:
+    sqrt is IEEE-correctly-rounded in both engines, so quota boundaries
+    and the hash-ranked member picks agree bit-for-bit."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, "source", total_n=100, id_col="doc_id", tau=0.5, seed=17
+    ).select("doc_id", "source")

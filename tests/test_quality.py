@@ -76,3 +76,42 @@ def test_bias_only_doc_gets_scored(spark):
     )
     w = [0.5] * 129
     assert Q.score_quality(df, w).count() == 3
+
+
+def test_gopher_rules_verdict_logic(spark):
+    from bonobo_sqlalchemy_spark.operators.quality import gopher_rules
+
+    rows = [
+        # passes everything: 25 words, normal lengths, 2 stopwords, no repeats
+        (1, "the cat sat on a mat today and then walked across town before "
+            "dinner with friends who arrived early bringing fresh bread "
+            "plus cheese wine"),
+        # too short
+        (2, "the and tiny doc"),
+        # no stopwords
+        (3, " ".join(f"w{i}" for i in range(30))),
+        # heavy bigram repetition: 'x y' repeated
+        (4, "the and " + "x y " * 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(
+        df, min_words=10, max_words=90, min_stopwords=2,
+        max_dup_bigram_ratio=0.2,
+    ).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_n_words"] is False and out[2]["keep"] is False
+    assert out[3]["ok_stopwords"] is False and out[3]["keep"] is False
+    assert out[4]["ok_dup_bigram"] is False and out[4]["keep"] is False
+    # metric spot-checks
+    assert out[3]["n_words"] == 30 and out[3]["n_stopwords"] == 0
+    assert out[4]["dup_bigram_ratio"] > 0.2
+
+
+def test_gopher_rules_partitioning_invariant(spark):
+    from bonobo_sqlalchemy_spark.operators.quality import gopher_rules
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = gopher_rules(docs, min_words=20, max_words=90)
+    b = gopher_rules(docs.repartition(11), min_words=20, max_words=90)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -159,3 +159,36 @@ def test_mixture_sample_quotas_and_cap(spark, docs):
         for r in mixture_sample(docs, "source", {src_a: 3}, "doc_id", seed=12).collect()
     }
     assert ids3 != {i for i in ids1 if i not in ids2 - ids1} or ids3 != ids1
+
+
+def test_temperature_sample_quotas_follow_sqrt_counts(spark, docs):
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    import math
+
+    out = temperature_mixture_sample(
+        docs, "source", total_n=100, id_col="doc_id", tau=0.5, seed=17
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    z = sum(math.sqrt(n) for n in counts.values())
+    for s, n in counts.items():
+        expect = min(n, math.floor(100 * math.sqrt(n) / z))
+        assert got.get(s, 0) == expect, (s, got.get(s), expect)
+
+
+def test_temperature_sample_partitioning_invariant(spark, docs):
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    a = temperature_mixture_sample(
+        docs, "source", 80, "doc_id", seed=3
+    ).select("doc_id")
+    b = temperature_mixture_sample(
+        docs.repartition(17), "source", 80, "doc_id", seed=3
+    ).select("doc_id")
+    assert sorted(r[0] for r in a.collect()) == sorted(r[0] for r in b.collect())
