@@ -183,6 +183,8 @@ def temperature_mixture_sample(
     guarantee (last-ulp drift could flip a ``floor`` at an exact quota
     boundary); they remain deterministic WITHIN Spark.
     """
+    from .scale import single_partition_key
+
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     share = (
         F.sqrt(F.col("__n"))
@@ -190,8 +192,12 @@ def temperature_mixture_sample(
         else F.pow(F.col("__n"), F.lit(float(tau)))
     )
     weights = counts.withColumn("__w", share)
-    z = weights.agg(F.sum("__w").alias("__z"))
-    quotas = weights.crossJoin(F.broadcast(z)).select(
+    # The normalizer attaches on the BOUNDED group-count table (one row per
+    # group), so per scalar_attach's own guidance a single-partition window
+    # over it replaces the scalar cross join entirely — no nested-loop node
+    # anywhere in the plan.
+    wz = W.partitionBy(single_partition_key())
+    quotas = weights.withColumn("__z", F.sum("__w").over(wz)).select(
         group_col,
         F.least(
             F.col("__n"),

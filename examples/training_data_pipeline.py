@@ -1,7 +1,9 @@
 """End-to-end training-data curation pipeline — the engine's north-star
 composition: profile -> exact dedup -> near-dup removal (Jaccard +
-containment) -> boilerplate strip -> quality filter (heuristics +
-unigram-LM fluency) -> DSIR target-matching selection -> text metrics ->
+containment) -> boilerplate strip -> exact substring-span screen ->
+Gopher rule bundle -> quality filter (heuristics + unigram-LM fluency)
+-> DSIR target-matching selection (broadcast-boundary deciles, no
+per-language window) -> temperature source re-mix -> text metrics ->
 partitioned corpus write -> verified training-shard export.
 
 Every stage is one of the engine's operators; nothing collects to the
@@ -85,6 +87,40 @@ def main() -> None:
         .withColumnRenamed("clean_text", "text")
     )
 
+    # 2c. exact substring-span screen (Lee et al. 2022): after doc-level
+    #     and chunk-level dedup, flag exact 8-token runs still duplicated
+    #     anywhere in the corpus and drop documents that are mostly
+    #     duplicated text. One gram-hash aggregation + one semi join —
+    #     no pair join, no quadratic regime.
+    span_ok = (
+        D.duplicate_span_stats(docs, gram=8)
+        .where(F.col("dup_ratio") < 0.5)
+        .select("doc_id")
+    )
+    docs = docs.join(span_ok, "doc_id", "left_semi")
+
+    # 2d. Gopher heuristic rule bundle (Rae et al. 2021): the cheap
+    #     structural pre-filter — word-count bounds, mean-word-length band,
+    #     stopword floor, alpha ratio, repeated-bigram ceiling. Thresholds
+    #     here are lenient screens; the learned/statistical gates below do
+    #     the fine selection.
+    from bonobo_sqlalchemy_spark.operators.quality import gopher_rules
+
+    gr_ok = gopher_rules(
+        docs,
+        min_words=8,
+        max_words=100_000,
+        min_stopwords=1,
+        min_alpha_ratio=0.5,
+        max_dup_bigram_ratio=0.6,
+    ).where("keep").select("doc_id")
+    docs = docs.join(gr_ok, "doc_id", "left_semi")
+    #     Truncate lineage here: everything above (pair graphs, span
+    #     screens, rule bundles) is decided; without this, every downstream
+    #     action (counts, write, export) re-executes the whole dedup DAG —
+    #     at cluster scale you'd persist/write the curated snapshot instead.
+    docs = docs.localCheckpoint()
+
     # 3. quality gate + text metrics (all JVM-side column functions;
     #    quality was already attached for the survivor selection)
     scored = docs.select(
@@ -115,22 +151,42 @@ def main() -> None:
 
     # 3b. DSIR selection: keep documents whose hashed-unigram distribution
     #     matches the target (English) subset — drop the bottom per-language
-    #     DSIR decile. Bucket tables are broadcast-sized at any corpus scale.
-    from pyspark.sql import Window as W
-
-    from bonobo_sqlalchemy_spark.operators.selection import dsir_log_weights
+    #     DSIR decile. Bucket tables are broadcast-sized at any corpus
+    #     scale, and deciles come from broadcast percentile BOUNDARIES
+    #     (`grouped_decile`), never a per-language ntile window — a window
+    #     partitioned by language sorts a whole language in one task, the
+    #     round-7-flagged 100 TB straggler.
+    from bonobo_sqlalchemy_spark.operators.selection import (
+        dsir_log_weights,
+        grouped_decile,
+    )
 
     dsir = dsir_log_weights(curated, F.col("lang") == "en", n_buckets=1024)
-    d_w = W.partitionBy("lang").orderBy(F.col("dsir_logw").desc(), "doc_id")
     dsir_keep = (
-        curated.select("doc_id", "lang")
-        .join(dsir, "doc_id")
-        .withColumn("dsir_decile", F.ntile(10).over(d_w))
+        grouped_decile(
+            curated.select("doc_id", "lang").join(dsir, "doc_id"),
+            "dsir_logw",
+            "lang",
+            out_col="dsir_decile",
+        )
         .where(F.col("dsir_decile") <= 9)
         .select("doc_id")
     )
     curated = curated.join(dsir_keep, "doc_id", "left_semi")
     n3b = curated.count()
+
+    # 3c. temperature re-mix across sources (count^0.5 shares): flatten the
+    #     source distribution so small curated sources are not drowned by
+    #     the crawl — quotas from one group-count agg + a broadcast join,
+    #     rank pick keeps the WindowGroupLimit pushdown.
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    curated = temperature_mixture_sample(
+        curated, "source", total_n=max(20, int(n3b * 0.9)), id_col="doc_id"
+    ).localCheckpoint()  # selection settled; downstream actions reuse it
+    n3c = curated.count()
 
     # 4. weighted upsample bias toward long documents (Efraimidis–Spirakis,
     #    hash-deterministic — same sample every rerun) for the train cut
@@ -139,7 +195,7 @@ def main() -> None:
         weighted_sample_topk,
     )
 
-    target_n = max(10, int(n3 * 0.8))
+    target_n = max(10, int(n3c * 0.8))
     curated = weighted_sample_topk(curated, "n_tokens", target_n, "doc_id").drop(
         "sample_score"
     )
@@ -178,8 +234,8 @@ def main() -> None:
     back = read_partitioned(spark, out)
     print(
         f"ingested={n0} after_exact_dedup={n1} after_near_dedup={n2} "
-        f"after_quality_gate={n3} after_dsir={n3b} sampled={target_n} "
-        f"written={back.count()} -> {out}"
+        f"after_quality_gate={n3} after_dsir={n3b} after_remix={n3c} "
+        f"sampled={target_n} written={back.count()} -> {out}"
     )
     print("compaction:", {k: (v["files_before"], v["files_after"]) for k, v in stats.items()})
     print(
