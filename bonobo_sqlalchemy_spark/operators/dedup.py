@@ -875,3 +875,102 @@ def semantic_dedup_pairs(
         .select("id1", "id2", cos("v1", "v2").alias("cosine"), "cluster")
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _bloom_positions(value: F.Column, m_bits: int, k: int) -> F.Column:
+    """Array of ``k`` bit positions for one key: position_j = first 8 hex
+    digits of ``md5(j || '|' || value)`` as an integer, mod ``m_bits``.
+    Content-derived and engine-portable (the repo's md5 determinism
+    policy), so a DuckDB oracle reproduces every bit."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(j)), value)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    ref: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a reference key set as a ONE-ROW DataFrame
+    ``(bloom: map<bigint, bigint>)`` — set 64-bit words keyed by word index
+    (sparse: absent word == all-zero). The build is one explode + one
+    hash aggregate of the reference side; nothing touches the driver.
+
+    This is the scale path for membership screens against a reference set
+    (benchmark decontamination, "seen in a previous snapshot" dedup): the
+    filter is O(m_bits) regardless of corpus size, rides a broadcast, and
+    turns the probe into map-side-only work — the corpus being screened
+    never shuffles at all, unlike an anti-join which shuffles both sides.
+    """
+    pos = ref.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    )
+    words = pos.groupBy(F.expr("CAST(pos DIV 64 AS BIGINT)").alias("w")).agg(
+        # bit_or of per-position masks; shiftleft on 1L is exact for 0..63
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias(
+            "bits"
+        )
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe a `bloom_build` filter: adds ``flag_col`` (true = probably in
+    the reference set, false = DEFINITELY not). The 1-row filter crosses
+    in as a broadcast (scalar-subquery shape, documented in
+    tests/test_plans.py NO_CARTESIAN_EXEMPT); the probe itself is pure
+    map-side expression work — zero shuffle of the probed corpus.
+
+    Standard Bloom semantics: false positives at roughly
+    ``(1 - e^(-k*n/m))^k`` (~0.2% at the 2^16/k=4 default with n=2000
+    keys), zero false negatives. Production screens confirm hits exactly
+    (the hit subset is tiny, so the confirm join is cheap) — see the
+    `dedup_bloom_prefilter` query for the composed shape."""
+    probed = df.crossJoin(F.broadcast(bloom))
+    pos_cols = []
+    for j in range(k):
+        pc = f"__bpos{j}"
+        probed = probed.withColumn(
+            pc,
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(j)), F.col(key_col))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits,
+        )
+        pos_cols.append(pc)
+    checks = [
+        F.expr(
+            f"(coalesce(element_at(bloom, CAST({pc} DIV 64 AS BIGINT)), "
+            f"CAST(0 AS BIGINT)) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT))) != 0"
+        )
+        for pc in pos_cols
+    ]
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    return probed.withColumn(flag_col, hit).drop("bloom", *pos_cols)

@@ -106,3 +106,78 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def source_overlap_kmv(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise content-overlap estimate between corpus groups (crawl
+    snapshots, sources, shards) via K-Minimum-Values sketches — "how much
+    of snapshot B have I already got in snapshot A?" answered WITHOUT a
+    cross-group join of the corpora (Beyer et al. 2007, KMV synopses).
+
+    Per group: the k smallest md5 fingerprints of its distinct documents.
+    Per ordered pair (a < b): the k smallest of the union of both
+    sketches; the fraction of those present in both sides estimates the
+    Jaccard overlap of the two groups' distinct-document sets. Exactly
+    reproducible cross-engine: md5 order is total (ties impossible for
+    distinct fingerprints) so sketch membership is deterministic, and the
+    estimate is one IEEE division rounded to 1e-6.
+
+    Output: ``(group_a, group_b, k_used, n_shared, jaccard_est)`` for each
+    unordered pair, group_a < group_b. ``k_used`` is min(k, |union
+    sketch|) — the exact denominator used.
+
+    Scale: the per-group bottom-k runs as a rank-limit window — Spark
+    plans ``row_number() <= k`` as Partial WindowGroupLimit BELOW the
+    exchange (asserted in tests/test_plans.py), so each input partition
+    forwards at most k rows per group and no task ever sorts a whole
+    group. Everything after the sketch stage is sketch-sized
+    (groups² × k rows). The pair expansion is two equi-joins (no
+    nested-loop shape): pairs ⋈ sketch on group_a plus pairs ⋈ sketch on
+    group_b, unioned.
+    """
+    from pyspark.sql import Window as W
+
+    fp = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
+        .dropDuplicates(["g", "h"])
+    )
+    rn = F.row_number().over(W.partitionBy("g").orderBy("h"))
+    sketch = fp.withColumn("rn", rn).where(F.col("rn") <= k).drop("rn")
+
+    groups = fp.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("group_a"))
+        .join(groups.select(F.col("g").alias("group_b")))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    side_a = pairs.join(
+        sketch.select(F.col("g").alias("group_a"), "h"), "group_a"
+    ).select("group_a", "group_b", "h", F.lit("a").alias("side"))
+    side_b = pairs.join(
+        sketch.select(F.col("g").alias("group_b"), "h"), "group_b"
+    ).select("group_a", "group_b", "h", F.lit("b").alias("side"))
+    union = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "h")
+        .agg((F.countDistinct("side") == 2).alias("in_both"))
+    )
+    w_pair = W.partitionBy("group_a", "group_b").orderBy("h")
+    kmin = union.withColumn("rn", F.row_number().over(w_pair)).where(
+        F.col("rn") <= k
+    )
+    return kmin.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.sum(F.when(F.col("in_both"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("jaccard_est"),
+    )

@@ -297,3 +297,73 @@ def gopher_rules(
         & F.col("ok_alpha")
         & F.col("ok_dup_bigram"),
     )
+
+
+def bigram_interpolated_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """CCNet-style LM fluency score, one order up from the unigram scorer:
+    mean log2 probability of each document's tokens under an interpolated
+    bigram model trained on the corpus itself,
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                         + (1 - lam) * c(w_i) / N.
+
+    CCNet (Wenzek et al. 2019) filters crawl text by KenLM perplexity;
+    this is the same signal class computed engine-side: a document full of
+    token sequences the corpus has never seen scores low even when every
+    individual token is common — exactly what the unigram score cannot
+    see. Returns ``(id, n_scored, avg_log2p)`` where ``n_scored`` counts
+    the positions with a predecessor (documents shorter than 2 tokens drop
+    out: the bigram model has nothing to score).
+
+    Interpolation (not backoff) keeps every term defined without
+    discounting state, and because the model is trained on the scoring
+    corpus itself, no bigram probability is ever zero: the bigram term's
+    count table contains every pair the scorer will look up.
+
+    Scale: count tables are vocabulary-sized hash aggregates (map-side
+    partial — a pair seen 10^9 times is one row); the token stream
+    shuffles on the gram keys to pick up its three counts (pair, context,
+    target — AQE skew handling bounds hot tokens) and once more on doc id
+    for the final mean. N rides as a 1-row broadcast (scalar-subquery
+    shape, see tests/test_plans.py NO_CARTESIAN_EXEMPT). Per the
+    determinism policy the mean is rounded to 1e-6, far above the ~1e-12
+    float-reorder noise of summed log2 terms.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), " +")).alias("pos", "tk"),
+    ).repartition("id")
+    paired = toks.withColumn(
+        "nxt", F.lead("tk").over(W.partitionBy("id").orderBy("pos"))
+    )
+    uni = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("n_total"))
+    bi = (
+        paired.where(F.col("nxt").isNotNull())
+        .groupBy("tk", "nxt")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    scored = (
+        paired.where(F.col("nxt").isNotNull())
+        .join(bi, ["tk", "nxt"])
+        .join(uni.withColumnRenamed("c1", "c_ctx"), "tk")
+        .join(
+            uni.select(F.col("tk").alias("nxt"), F.col("c1").alias("c_tgt")),
+            "nxt",
+        )
+        .join(F.broadcast(total))
+    )
+    p = F.lit(lam) * F.col("c2") / F.col("c_ctx") + F.lit(1.0 - lam) * F.col(
+        "c_tgt"
+    ) / F.col("n_total")
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.round(F.sum(F.log2(p)) / F.count(F.lit(1)), 6).alias("avg_log2p"),
+    ).withColumnRenamed("id", id_col)

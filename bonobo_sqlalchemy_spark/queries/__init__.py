@@ -23,6 +23,7 @@ from . import datapipe5  # noqa: E402,F401
 from . import datapipe6  # noqa: E402,F401
 from . import datapipe7  # noqa: E402,F401
 from . import datapipe8  # noqa: E402,F401
+from . import datapipe9  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 
 # Driver-gate window aliases: the driver's hard correctness check covers the

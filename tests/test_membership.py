@@ -1,0 +1,182 @@
+"""Bloom-filter membership, KMV source overlap, bigram LM fluency.
+
+Planted-case tests for the round-8 part-2 operators; their corpus-level
+value-exactness is covered by the registry oracles
+(`dedup_bloom_prefilter`, `profile_source_overlap`,
+`text_bigram_logprob`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bonobo_sqlalchemy_spark.operators.dedup import bloom_build, bloom_probe
+from bonobo_sqlalchemy_spark.operators.profile import source_overlap_kmv
+from bonobo_sqlalchemy_spark.operators.quality import bigram_interpolated_logprob
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_zero_false_negatives(spark):
+    """Every reference key MUST hit — the Bloom guarantee that makes
+    bloom_hit=false a safe discard at scale."""
+    ref = spark.createDataFrame([(f"key{i}",) for i in range(500)], ["k"])
+    bloom = bloom_build(ref, "k")
+    probed = bloom_probe(ref, bloom, "k")
+    assert probed.where(~F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-members mostly miss: with n=500, m=2^16, k=4 the expected FP
+    rate is ~1e-5; assert a generous 1% ceiling on 2000 probes."""
+    ref = spark.createDataFrame([(f"key{i}",) for i in range(500)], ["k"])
+    bloom = bloom_build(ref, "k")
+    others = spark.createDataFrame([(f"other{i}",) for i in range(2000)], ["k"])
+    fp = bloom_probe(others, bloom, "k").where(F.col("bloom_hit")).count()
+    assert fp <= 20, f"false-positive count {fp} exceeds 1% of 2000"
+
+
+def test_bloom_probe_plan_has_no_shuffle_of_probe_side(spark):
+    """The selling point: the probed corpus never shuffles. The only
+    exchange in the probe plan belongs to the filter build (reference
+    side); the probe side is scan -> project -> broadcast-cross."""
+    ref = spark.createDataFrame([(f"key{i}",) for i in range(50)], ["k"])
+    probe = spark.createDataFrame([(f"p{i}",) for i in range(100)], ["k"])
+    plan = (
+        bloom_probe(probe, bloom_build(ref, "k"), "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # build side: one exchange for the word-index aggregate, one single-
+    # partition collect for map_from_entries; nothing keyed by probe rows
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert (
+                "pos" in line or "w#" in line or "_groupingexpression" in line
+            ), f"probe-side shuffle: {line}"
+
+
+def test_bloom_smaller_m_raises_fp_not_fn(spark):
+    """Shrinking the filter degrades precision, never recall."""
+    ref = spark.createDataFrame([(f"key{i}",) for i in range(200)], ["k"])
+    bloom = bloom_build(ref, "k", m_bits=256, k=2)
+    probed = bloom_probe(ref, bloom, "k", m_bits=256, k=2)
+    assert probed.where(~F.col("bloom_hit")).count() == 0
+    others = spark.createDataFrame([(f"other{i}",) for i in range(200)], ["k"])
+    fp = bloom_probe(others, bloom, "k", m_bits=256, k=2).where(
+        F.col("bloom_hit")
+    ).count()
+    assert fp > 0  # a 256-bit filter over 200 keys is saturated
+
+
+# ------------------------------------------------------------------ kmv
+
+def _grams(spark, rows):
+    return spark.createDataFrame(rows, ["source", "text"])
+
+
+def test_kmv_identical_groups_full_overlap(spark):
+    shared = [(g, f"gram{i}") for g in ("a", "b") for i in range(100)]
+    out = source_overlap_kmv(_grams(spark, shared), "source", "text", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert r.k_used == 64 and r.n_shared == 64 and r.jaccard_est == 1.0
+
+
+def test_kmv_disjoint_groups_zero_overlap(spark):
+    rows = [("a", f"left{i}") for i in range(100)] + [
+        ("b", f"right{i}") for i in range(100)
+    ]
+    r = source_overlap_kmv(_grams(spark, rows), "source", "text", k=64).collect()[0]
+    assert r.n_shared == 0 and r.jaccard_est == 0.0
+
+
+def test_kmv_estimate_tracks_true_jaccard(spark):
+    """50% shared grams -> estimate within sketch error of 1/3 Jaccard
+    (|A∩B|=100, |A∪B|=300)."""
+    rows = (
+        [("a", f"shared{i}") for i in range(100)]
+        + [("b", f"shared{i}") for i in range(100)]
+        + [("a", f"lonlyA{i}") for i in range(100)]
+        + [("b", f"lonlyB{i}") for i in range(100)]
+    )
+    r = source_overlap_kmv(_grams(spark, rows), "source", "text", k=64).collect()[0]
+    assert abs(r.jaccard_est - 1 / 3) < 0.2, r
+
+
+def test_kmv_partitioning_invariant(spark):
+    """Content-derived hashes + total md5 order: the sketch (and hence the
+    estimate) must not depend on input partitioning."""
+    rows = [(f"src{i % 4}", f"gram{i % 130}") for i in range(1000)]
+    df = _grams(spark, rows)
+    a = sorted(
+        (r.group_a, r.group_b, r.k_used, r.n_shared, r.jaccard_est)
+        for r in source_overlap_kmv(df, "source", "text", k=32).collect()
+    )
+    b = sorted(
+        (r.group_a, r.group_b, r.k_used, r.n_shared, r.jaccard_est)
+        for r in source_overlap_kmv(
+            df.repartition(13), "source", "text", k=32
+        ).collect()
+    )
+    assert a == b
+
+
+def test_kmv_small_union_uses_k_used_denominator(spark):
+    """Union smaller than k: the estimate is exact with denominator
+    k_used = |union|, never k."""
+    rows = [("a", "x"), ("a", "y"), ("b", "y"), ("b", "z")]
+    r = source_overlap_kmv(_grams(spark, rows), "source", "text", k=64).collect()[0]
+    assert r.k_used == 3 and r.n_shared == 1
+    assert r.jaccard_est == round(1 / 3, 6)
+
+
+# --------------------------------------------------------------- bigram
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    """Two tiny docs, lam=0.5 — expected value computed in pure Python."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.n_scored, r.avg_log2p)
+        for r in bigram_interpolated_logprob(docs, lam=0.5).collect()
+    }
+    # corpus tokens: a,b,a,b,a,a -> c(a)=4, c(b)=2, N=6
+    # bigrams: (a,b)x2, (b,a)x1, (a,a)x1
+    c1 = {"a": 4, "b": 2}
+    c2 = {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
+    N = 6
+
+    def p(prev, w):
+        return 0.5 * c2[(prev, w)] / c1[prev] + 0.5 * c1[w] / N
+
+    exp1 = (
+        math.log2(p("a", "b")) + math.log2(p("b", "a")) + math.log2(p("a", "b"))
+    ) / 3
+    exp2 = math.log2(p("a", "a")) / 1
+    assert out[1][0] == 3 and abs(out[1][1] - exp1) < 1e-6
+    assert out[2][0] == 1 and abs(out[2][1] - exp2) < 1e-6
+
+
+def test_bigram_logprob_drops_single_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two tokens")], ["doc_id", "text"]
+    )
+    out = bigram_interpolated_logprob(docs).collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_bigram_scores_repetition_above_shuffled_text(spark):
+    """A doc whose bigrams the corpus has seen scores higher than one with
+    the same tokens in an order the corpus has never seen."""
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    docs = spark.createDataFrame(
+        base + [(100, "dog the over fox lazy jumps quick brown the")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.avg_log2p for r in bigram_interpolated_logprob(docs).collect()}
+    assert out[0] > out[100]

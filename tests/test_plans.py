@@ -103,6 +103,17 @@ NO_CARTESIAN_EXEMPT = {
     # same 1-row unigram-denominator broadcast inside the curation
     # composition's fluency stage
     "z_pipeline_curate",
+    # 1-row total-token-count broadcast (the interpolated bigram model's
+    # unigram-term denominator) — same scalar-subquery shape
+    "text_bigram_logprob",
+    # 1-row Bloom-filter broadcast (map<word,bits>, O(m_bits) regardless of
+    # corpus size) crossed into the probed corpus — the zero-shuffle
+    # membership screen's constant build side (operators/dedup.bloom_probe)
+    "dedup_bloom_prefilter",
+    # the source-pair expansion crosses the distinct GROUP LIST with
+    # itself (sources^2 rows, data-independent); everything data-sized is
+    # equi-joined (operators/profile.source_overlap_kmv)
+    "profile_source_overlap",
 }
 
 
