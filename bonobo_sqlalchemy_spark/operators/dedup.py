@@ -974,3 +974,55 @@ def bloom_probe(
     for c in checks[1:]:
         hit = hit & c
     return probed.withColumn(flag_col, hit).drop("bloom", *pos_cols)
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union `bloom_build` filters built with the SAME ``m_bits``/``k``:
+    OR the sparse word maps. Bloom filters are exactly mergeable —
+    probe(merge(A, B)) ≡ probe(build(A ∪ B)) bit-for-bit — which is what
+    makes the membership screen incremental at 100 TB: each new crawl
+    snapshot builds its own filter from only its own keys, and the
+    accumulated "everything previously ingested" filter is a constant-size
+    merge, never a re-scan of history. One explode + one hash aggregate of
+    O(m_bits/64) rows per input."""
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionByName(b)
+    words = u.select(F.explode("bloom").alias("w", "bits")).groupBy("w").agg(
+        F.bit_or("bits").alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+    )
+
+
+def group_disjoint_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Leakage-free train/val assignment: split by near-duplicate CLUSTER,
+    not by document — ``(id, component, split)`` where every member of a
+    connected component inherits the split of the component's min-id label.
+
+    A per-document hash split (`functions.text.train_val_split`) puts ~10%
+    of each near-dup cluster's members in val — the classic evaluation
+    leak, where val examples have train twins (Lee et al. 2022 measure
+    exactly this in C4/RealNews). Deriving the split from the component
+    label makes straddling impossible by construction, while keeping the
+    same md5-bucket determinism (stable across engines, reruns and
+    repartitions).
+
+    Scale: `connected_components` (iterative min-label propagation,
+    lineage-checkpointed) plus one string-cast md5 per row — no new
+    shuffle beyond the components computation itself.
+    """
+    comp = connected_components(df, pairs, id_col=id_col)
+    return comp.select(
+        id_col,
+        "component",
+        T.train_val_split(F.col("component").cast("string"), train_pct).alias(
+            "split"
+        ),
+    )

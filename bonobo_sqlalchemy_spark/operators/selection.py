@@ -358,3 +358,53 @@ def auto_threshold(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of BOUNDED
+    candidate lists from heterogeneous retrievers — the standard hybrid
+    lexical+vector search combiner:
+
+        rrf(d) = Σ_lists 1 / (k0 + rank_list(d)),   absent list → 0.
+
+    ``rankings`` maps a retriever name to its candidate list
+    ``(id_col, rank_col)`` with 1-based ranks; each input MUST already be
+    top-N-bounded by its retriever (that is the contract that keeps fusion
+    scale-free: this function only ever touches Σ N rows regardless of
+    corpus size, so every join below broadcasts). Output:
+    ``(id_col, rrf_score, <name>_rank …)`` — the fused top-``k``, score
+    rounded 1e-6 (two fixed-order IEEE divisions + adds: bit-identical
+    cross-engine), ties broken on id.
+    """
+    sides = [
+        r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("bigint").alias(f"{name}_rank"),
+        )
+        for name, r in rankings.items()
+    ]
+    joined = sides[0]
+    for s in sides[1:]:
+        joined = joined.join(s, id_col, "full_outer")
+    contrib = None
+    for name in rankings:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"{name}_rank")),
+            F.lit(0.0),
+        )
+        contrib = term if contrib is None else contrib + term
+    return (
+        joined.select(
+            id_col,
+            F.round(contrib, 6).alias("rrf_score"),
+            *[f"{name}_rank" for name in rankings],
+        )
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(k)
+    )

@@ -206,3 +206,132 @@ def profile_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_kmv(
         grams, group_col="source", text_col="gram", k=64
     ).orderBy("group_a", "group_b")
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS t
+      FROM documents
+    ), tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok2
+           WHERE t IN ('spark', 'sort', 'window') GROUP BY doc_id, t),
+    dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    bm AS (
+      SELECT tf.doc_id, round(SUM(
+          ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))
+          * tf * (1.2 + 1)
+          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))
+        ), 6) AS bm25
+      FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) GROUP BY tf.doc_id
+    ),
+    bmr AS (SELECT doc_id, r_lex FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+              FROM bm) WHERE r_lex <= 50),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    u AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+          FROM embeddings e, q WHERE e.vec_id <> 0),
+    p AS (SELECT vec_id,
+                 SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                 SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+                 SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+          FROM u GROUP BY 1),
+    vr AS (SELECT doc_id, r_vec FROM (
+             SELECT vec_id AS doc_id,
+                    ROW_NUMBER() OVER (
+                      ORDER BY round(dot / sqrt(nx * ny), 6) DESC, vec_id
+                    ) AS r_vec
+             FROM p) WHERE r_vec <= 50),
+    f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                 round(COALESCE(1.0 / (60 + b.r_lex), 0)
+                       + COALESCE(1.0 / (60 + v.r_vec), 0), 6) AS rrf_score,
+                 CAST(b.r_lex AS BIGINT) AS bm25_rank,
+                 CAST(v.r_vec AS BIGINT) AS cos_rank
+          FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id)
+    SELECT doc_id, rrf_score, bm25_rank, cos_rank
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "similarity"),
+    bench=True,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal rank: BM25
+    top-50 for the bag-of-terms query {spark, sort, window} and exact
+    cosine top-50 around the vec_id=0 query vector, combined by
+    ``Σ 1/(60+rank)`` (`operators/selection.py::rrf_fuse`) into the final
+    top-20 — the standard two-tower corpus-search shape (targeted corpus
+    mining, contamination triage, eval-set retrieval).
+
+    Scale: each leg is independently bounded BEFORE fusion — BM25's token
+    stream is filtered to the broadcast term list ahead of any shuffle and
+    its top-50 is a TakeOrdered; the vector leg here is the brute-force
+    exact baseline (one corpus pass behind a 1-row broadcast query vector)
+    and swaps for `ivf_topk`/`lsh_topk` at 100 TB under the same
+    ``(id, rank)`` candidate contract. Fusion then touches only the ≤100
+    candidate rows, so every fusion join broadcasts. The 1-row corpus-stats
+    and query-vector broadcasts are the documented scalar-subquery shapes
+    (tests/test_plans.py NO_CARTESIAN_EXEMPT)."""
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity as S
+    from ..operators.scale import single_partition_key
+    from ..operators.selection import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "sort", "window"], k=50).withColumn(
+        "rank",
+        F.row_number().over(
+            # bounded input by construction: bm25_topk LIMITs to 50 rows
+            W.partitionBy(single_partition_key()).orderBy(
+                F.col("bm25").desc(), "doc_id"
+            )
+        ),
+    )
+    vec = S.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        {"bm25": lex.select("doc_id", "rank"), "cos": vec}, k0=60, k=20
+    )
+
+
+def _leakproof_oracle() -> str:
+    from .datapipe2 import COMPONENT_CTES
+
+    return f"""
+    {COMPONENT_CTES}
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))
+                     AS INT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM comp
+    """
+
+
+@query(
+    "text_split_leakproof",
+    oracle=_leakproof_oracle(),
+    tags=("text", "split", "dedup"),
+)
+def text_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 90/10 train/val split: assignment is by NEAR-DUP
+    CLUSTER (trigram-Jaccard >= 0.5 connected components), so a val
+    document can never have a train twin — the eval-contamination failure
+    Lee et al. 2022 measure in C4/RealNews, engineered out by construction
+    (contrast `text_train_val_split`, the per-document hash split, which
+    strands ~10%% of every cluster across the boundary).
+
+    Oracle: the dedup_components recursive-closure CTEs plus the shared
+    md5-bucket split rule on the component label. Scale: the components
+    computation itself (iterative min-label propagation, checkpointed per
+    round) plus one md5 per row — no additional shuffle."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
+    return D.group_disjoint_split(docs, pairs)

@@ -180,3 +180,31 @@ def test_bigram_scores_repetition_above_shuffled_text(spark):
     )
     out = {r.doc_id: r.avg_log2p for r in bigram_interpolated_logprob(docs).collect()}
     assert out[0] > out[100]
+
+
+# ---------------------------------------------------------------- merge
+
+def test_bloom_merge_equals_build_of_union(spark):
+    """Mergeability, the incremental-ingest property: OR-ing two filters
+    is bit-identical to building one filter over the union key set."""
+    from bonobo_sqlalchemy_spark.operators.dedup import bloom_merge
+
+    a = spark.createDataFrame([(f"key{i}",) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(f"key{i}",) for i in range(150, 350)], ["k"])
+    merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
+    direct = bloom_build(a.unionByName(b).distinct(), "k")
+
+    def words(df):
+        return sorted(df.select(F.explode("bloom")).collect())
+
+    assert words(merged) == words(direct)
+
+
+def test_bloom_merge_zero_false_negatives_across_snapshots(spark):
+    from bonobo_sqlalchemy_spark.operators.dedup import bloom_merge
+
+    a = spark.createDataFrame([(f"snapA{i}",) for i in range(300)], ["k"])
+    b = spark.createDataFrame([(f"snapB{i}",) for i in range(300)], ["k"])
+    merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
+    probed = bloom_probe(a.unionByName(b), merged, "k")
+    assert probed.where(~F.col("bloom_hit")).count() == 0

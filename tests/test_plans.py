@@ -114,6 +114,10 @@ NO_CARTESIAN_EXEMPT = {
     # itself (sources^2 rows, data-independent); everything data-sized is
     # equi-joined (operators/profile.source_overlap_kmv)
     "profile_source_overlap",
+    # hybrid retrieval: BM25's 1-row (n_docs, avgdl) scalar broadcast plus
+    # the exact-cosine baseline leg's 1-row query-vector broadcast — both
+    # documented constant build sides; fusion joins are candidate-sized
+    "search_hybrid_rrf",
 }
 
 
