@@ -4,7 +4,8 @@ containment) -> boilerplate strip -> exact substring-span screen ->
 Gopher rule bundle -> quality filter (heuristics + unigram-LM fluency)
 -> DSIR target-matching selection (broadcast-boundary deciles, no
 per-language window) -> temperature source re-mix -> text metrics ->
-partitioned corpus write -> verified training-shard export.
+leakage-free cluster-level train/val split -> partitioned corpus write
+-> verified training-shard export.
 
 Every stage is one of the engine's operators; nothing collects to the
 driver until the final summary. At 100 TB the same program runs with the
@@ -200,10 +201,19 @@ def main() -> None:
         "sample_score"
     )
 
-    # 5. deterministic 90/10 train/val tag (hash-stable across engines and
-    #    reruns), stable global shuffle order, then partitioned corpus write
+    # 5. leakage-free 90/10 train/val tag: dedup (stage 2) removed
+    #    near-dups ABOVE 0.5 Jaccard, so looser twins survive — split by
+    #    near-dup CLUSTER on a relaxed 0.3 graph so none of them straddles
+    #    the boundary (a val doc must never have a train twin), then a
+    #    stable global shuffle order and the partitioned corpus write
     #    (lang dirs -> pruned reads)
-    curated = curated.withColumn("split", T.train_val_split("doc_id"))
+    loose_pairs = D.ngram_jaccard_pairs(
+        curated, block_col="lang", n=3, threshold=0.3, max_shingle_df=1000
+    )
+    split_tag = D.group_disjoint_split(curated, loose_pairs).select(
+        "doc_id", "split"
+    )
+    curated = curated.join(split_tag, "doc_id")
     curated = deterministic_shuffle(curated, "doc_id")
     write_partitioned(curated, out, ["lang"])
 

@@ -40,6 +40,17 @@ NESTED_LOOP_OK = {
     "z_pipeline_curate": "1-row broadcast scalar join (total token count, "
     "the fluency stage's unigram denominator) — constant broadcast, no "
     "quadratic term",
+    "dedup_bloom_prefilter": "1-row broadcast Bloom filter "
+    "(map<word,bits>, O(m_bits) regardless of corpus size) crossed into "
+    "the probed corpus — the probe is map-side-only; the probed side "
+    "never shuffles",
+    "text_bigram_logprob": "1-row broadcast scalar join (total token "
+    "count, the interpolated bigram model's unigram denominator) — "
+    "constant broadcast, no quadratic term",
+    "search_hybrid_rrf": "two documented constant build sides: BM25's "
+    "1-row (n_docs, avgdl) stats broadcast and the exact-cosine leg's "
+    "1-row query vector — fusion joins themselves are candidate-sized "
+    "equi-joins",
 }
 
 
