@@ -406,3 +406,74 @@ def z_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "z_stream_bloom_screen",
+    oracle="""
+    WITH j AS (SELECT unnest(['0','1','2','3']) AS jj),
+    refs AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+             FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bpos AS (SELECT DISTINCT
+               CAST(('0x' || substr(md5(j.jj || '|' || refs.k), 1, 8)) AS BIGINT)
+                 % 65536 AS pos
+             FROM refs, j),
+    probe AS (SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS k
+              FROM events),
+    pp AS (SELECT event_id, event_type,
+                  bool_and(
+                    CAST(('0x' || substr(md5(j.jj || '|' || probe.k), 1, 8))
+                         AS BIGINT) % 65536 IN (SELECT pos FROM bpos)
+                  ) AS hit
+           FROM probe, j GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+    FROM pp GROUP BY 1
+    """,
+    tags=("streaming", "membership"),
+)
+def z_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming membership screen: every event's user key is probed
+    map-side against a 2^16-bit Bloom filter of the 'BUILDING'-segment
+    customer set (`operators/dedup.py::bloom_build/bloom_probe`), counting
+    known-vs-total per event type — the ingest-time "have we seen this
+    key before" gate (dedup at the door, decontamination of a live feed)
+    without keeping any per-key state.
+
+    The filter is a STATIC 1-row build side re-read per micro-batch
+    (stream-static broadcast; the stream itself never shuffles for the
+    probe — only the tiny per-type aggregate keeps state). At 100 TB/day
+    the same program holds: the filter stays O(m_bits) however large
+    history grows, and `bloom_merge` folds each new snapshot's filter in
+    without re-scanning history. Value-exact: bit positions are md5
+    arithmetic, so DuckDB reproduces every probe (false positives
+    included) from the raw tables."""
+    from ..operators import dedup as D
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    ref = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = D.bloom_build(ref, "k")
+    keyed = ev.select("event_type", F.col("user_id").cast("string").alias("k"))
+    probed = D.bloom_probe(keyed, bloom, "k")
+    agg = probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_known"),
+    )
+    name = "z_stream_bloom_screen_tbl"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
