@@ -367,3 +367,65 @@ def bigram_interpolated_logprob(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
         F.round(F.sum(F.log2(p)) / F.count(F.lit(1)), 6).alias("avg_log2p"),
     ).withColumnRenamed("id", id_col)
+
+
+#: Output schema of the compression-ratio redundancy screen.
+COMPRESSION_RATIO_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_compressed bigint, compression_ratio double"
+)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic redundancy
+    heuristic (highly compressible text is templated/repetitive
+    boilerplate; near-incompressible "text" is often binary junk or
+    encrypted spam). Crawl-curation pipelines band-pass on exactly this
+    signal; it complements `gopher_rules`' duplicate-bigram gate by
+    catching long-range repetition no fixed n-gram window sees.
+
+    ``(id, n_bytes, n_compressed, compression_ratio)`` where ratio =
+    ``n_bytes / n_compressed`` rounded 1e-6 (NULL text → 0-byte document,
+    ratio 0.0 — screened, not dropped). zlib at a FIXED level is
+    deterministic for a given library version, so results are stable
+    across reruns and partitionings (asserted in tests) but NOT
+    SQL-portable — no oracle engine ships zlib, hence the rows-only
+    census entry with a pytest value check against the same library.
+
+    Scale: this is the documented Python slow path done right — one
+    Arrow-batched `mapInPandas` pass inheriting the scan's partitioning;
+    no shuffle, no per-row UDF, payload text never leaves its partition.
+    """
+    from typing import Iterator
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                nb = len(raw)
+                nc = len(zlib.compress(raw, level)) if nb else 0
+                rows.append(
+                    (int(i), nb, nc, round(nb / nc, 6) if nc else 0.0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "n_compressed",
+                    "compression_ratio",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=COMPRESSION_RATIO_SCHEMA
+    )

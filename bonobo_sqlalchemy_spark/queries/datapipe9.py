@@ -335,3 +335,19 @@ def text_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.5)
     return D.group_disjoint_split(docs, pairs)
+
+
+@query("text_compression_ratio", oracle=None, tags=("text", "quality"))
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio redundancy screen per document
+    (`operators/quality.py::compression_ratio`): band-passing on this
+    ratio drops templated/repetitive boilerplate (high ratio) and binary
+    junk (ratio ~1) in one signal — long-range repetition the fixed-window
+    duplicate-bigram gate cannot see. Rows-only by structural necessity
+    (no oracle engine ships zlib); value-level checks are the pytest
+    equality-vs-python-zlib, null/empty, and partitioning-invariance
+    tests in tests/test_membership.py."""
+    from ..operators.quality import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy("doc_id")

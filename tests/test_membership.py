@@ -208,3 +208,42 @@ def test_bloom_merge_zero_false_negatives_across_snapshots(spark):
     merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
     probed = bloom_probe(a.unionByName(b), merged, "k")
     assert probed.where(~F.col("bloom_hit")).count() == 0
+
+
+# -------------------------------------------------------- compression
+
+def test_compression_ratio_matches_python_zlib(spark):
+    """Exact equality against the same zlib the operator uses — verifies
+    the Arrow plumbing (batching, null handling, rounding), not zlib."""
+    import zlib
+
+    from bonobo_sqlalchemy_spark.operators.quality import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),                      # highly compressible
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, None),                               # NULL text
+        (4, ""),                                 # empty text
+        (5, "abc123XYZ!@# unique entropy 9q8w7e6r5t4y"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for i, t in rows:
+        raw = (t or "").encode("utf-8")
+        nb, nc = len(raw), (len(zlib.compress(raw, 6)) if raw else 0)
+        assert got[i].n_bytes == nb and got[i].n_compressed == nc
+        assert got[i].compression_ratio == (round(nb / nc, 6) if nc else 0.0)
+    # the redundancy ordering the screen exists for
+    assert got[1].compression_ratio > got[2].compression_ratio
+
+
+def test_compression_ratio_partitioning_invariant(spark):
+    from bonobo_sqlalchemy_spark.operators.quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "repeat " * (i % 7)) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, compression_ratio(docs).collect()))
+    b = sorted(map(tuple, compression_ratio(docs.repartition(13)).collect()))
+    assert a == b
