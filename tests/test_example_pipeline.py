@@ -48,3 +48,21 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path):
     manifest = json.loads((shards / "_MANIFEST.json").read_text())
     n_manifest = sum(s["n_rows"] for s in manifest["shards"].values())
     assert n_manifest == spark.read.parquet(str(shards)).count()
+
+
+def test_corpus_search_example_runs(spark, capsys):
+    """Smoke test for the hybrid-search example: runs end-to-end at
+    sf0.001 and prints a fused result table."""
+    examples = str(Path(__file__).resolve().parent.parent / "examples")
+    if examples not in sys.path:
+        sys.path.insert(0, examples)
+    mod = importlib.import_module("corpus_search")
+
+    argv_save = sys.argv
+    sys.argv = ["corpus_search.py", "/root/testdata/sf0.001"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv_save
+    out = capsys.readouterr().out
+    assert "rrf_score" in out and "bm25_rank" in out
