@@ -821,8 +821,10 @@ def semantic_dedup_pairs(
     normal-sized clusters are untouched. The primary scale knob remains
     ``n_clusters`` — the cap is the structural backstop that keeps one bad
     cluster from stalling the whole job. Sub-assignment is content-derived
-    (xxhash64 of id + deterministic sizes), so output is
-    partitioning-invariant like every other pair generator here.
+    (first 8 hex digits of ``md5(id)`` mod the per-cluster sub count —
+    the repo's engine-portable md5 convention, so a DuckDB oracle
+    reproduces every sub-bucket bit-for-bit) with deterministic sizes, so
+    output is partitioning-invariant like every other pair generator here.
 
     Differences vs :func:`embedding_near_dup_pairs` (LSH blocking): LSH
     targets high-cosine NEAR-DUPS with per-table recall guarantees;
@@ -847,11 +849,16 @@ def semantic_dedup_pairs(
             F.ceil(F.col("__n") / F.lit(float(max_cluster_size))).cast("bigint"),
             F.lit(1).cast("bigint"),
         )
-        # sizes is n_clusters rows — broadcast; sub is 0 for normal clusters
+        # sizes is n_clusters rows — broadcast; sub is 0 for normal clusters.
+        # md5-derived bucket (not xxhash64): first 8 hex digits are a
+        # uniform non-negative 32-bit value both engines compute identically.
+        id_h = F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
         assigned = assigned.join(F.broadcast(sizes), "cluster").select(
             "id",
             "cluster",
-            F.pmod(F.xxhash64(F.col("id")), n_sub).cast("int").alias("sub"),
+            F.pmod(id_h, n_sub).cast("int").alias("sub"),
         )
     else:
         assigned = assigned.withColumn("sub", F.lit(0))

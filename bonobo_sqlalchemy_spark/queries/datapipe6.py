@@ -74,7 +74,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_kmeans_prefix(n_clusters: int = 16) -> str:
+def _semantic_kmeans_prefix(
+    n_clusters: int = 16, max_cluster_size: int | None = None
+) -> str:
     """Shared DuckDB CTE prefix reproducing `semantic_dedup_pairs` with
     ``train_iters=1`` exactly: the spherical k-means init is the
     deterministic first-K corpus vectors L2-normalized, ONE Lloyd round is
@@ -82,11 +84,33 @@ def _semantic_kmeans_prefix(n_clusters: int = 16) -> str:
     ``ROW_NUMBER ... ORDER BY dot DESC, cell``; per-(cell, dim) mean then
     re-normalize, empty cells keeping their init centroid), and the final
     assignment + intra-cluster candidate join mirror the Spark plan
-    step-for-step. Cross-engine FP note: Spark's ``F.aggregate`` fold and
-    DuckDB's ``SUM`` over ``unnest`` agree bitwise on these 64-dim lists
-    (measured over the full sf0.01 table), and every comparison downstream
-    of an aggregate (argmax margins, the 6dp-rounded cosine threshold) has
-    margins many orders above any residual summation-order difference."""
+    step-for-step. With ``max_cluster_size`` the hot-cluster guard's
+    md5 sub-bucket assignment (``operators/dedup.py::semantic_dedup_pairs``)
+    is reproduced too: per-cluster sizes, ``n_sub = max(ceil(n/cap), 1)``,
+    and ``sub = int(md5(id)[:8], 16) % n_sub`` agree bit-for-bit, so the
+    capped candidate join is oracle-exact. Cross-engine FP note: Spark's
+    ``F.aggregate`` fold and DuckDB's ``SUM`` over ``unnest`` agree bitwise
+    on these 64-dim lists (measured over the full sf0.01 table), and every
+    comparison downstream of an aggregate (argmax margins, the 6dp-rounded
+    cosine threshold) has margins many orders above any residual
+    summation-order difference."""
+    if max_cluster_size is None:
+        cand = """
+    cand AS (SELECT x.id AS id1, y.id AS id2, x.cluster
+             FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.id < y.id)"""
+    else:
+        cand = f"""
+    csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY 1),
+    asub AS (SELECT a2.id, a2.cluster,
+                    CAST(CAST(('0x' || substr(md5(CAST(a2.id AS VARCHAR)), 1, 8))
+                              AS BIGINT)
+                         % GREATEST(CAST(ceil(CAST(csz.n AS DOUBLE)
+                                              / {float(max_cluster_size)}) AS BIGINT),
+                                    CAST(1 AS BIGINT)) AS INT) AS sub
+             FROM a2 JOIN csz USING (cluster)),
+    cand AS (SELECT x.id AS id1, y.id AS id2, x.cluster
+             FROM asub x JOIN asub y
+             ON x.cluster = y.cluster AND x.sub = y.sub AND x.id < y.id)"""
     return f"""
     e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
     init0 AS (
@@ -118,8 +142,7 @@ def _semantic_kmeans_prefix(n_clusters: int = 16) -> str:
              SELECT id, cell,
                     ROW_NUMBER() OVER (PARTITION BY id ORDER BY dot DESC, cell) AS rn
              FROM d2) WHERE rn = 1),
-    cand AS (SELECT x.id AS id1, y.id AS id2, x.cluster
-             FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.id < y.id),
+    {cand},
     jj AS (SELECT id1, id2, cluster, e1.v AS va, e2.v AS vb
            FROM cand JOIN e e1 ON id1 = e1.id JOIN e e2 ON id2 = e2.id),
     u2 AS (SELECT id1, id2, cluster, unnest(va) AS x, unnest(vb) AS y FROM jj),
@@ -164,19 +187,34 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `z_dedup_semantic_capped` plus a `dedup_semantic_capped` alias; a single
 # registration keeps it inside the driver's first-50 correctness window
 # without double-counting one operator as two registry rows.
-@query("dedup_semantic_capped", oracle=None, tags=("dedup", "sketch"))
+@query(
+    "dedup_semantic_capped",
+    oracle="WITH " + _semantic_kmeans_prefix(max_cluster_size=24) + """
+    SELECT id1, id2, round(dot / sqrt(na * nb), 6) AS cosine, cluster
+    FROM p2 WHERE round(dot / sqrt(na * nb), 6) >= 0.35
+    """,
+    tags=("dedup", "sketch"),
+)
 def z_dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the hot-cluster guard engaged (round 7): clusters
     larger than max_cluster_size sub-split by a content hash, bounding
     per-key join fan-out at ~the cap no matter how degenerate the
     clustering gets (measured 18.0M -> 300k candidate pairs on a planted
-    mega-cluster — SCALING.md skew table). Rows-only; the structural
-    bound and the untouched-small-cluster property are asserted in
-    tests/test_scale.py. Production guidance: run THIS variant; the
-    uncapped z_dedup_semantic is the reference behavior."""
+    mega-cluster — SCALING.md skew table). The structural bound and the
+    untouched-small-cluster property are asserted in tests/test_scale.py.
+
+    VALUE-EXACT (round 9, was the last no_oracle driver row): the
+    sub-bucket hash moved from xxhash64 to the repo's md5 convention
+    (first 8 hex digits of md5(id) mod n_sub), so the DuckDB oracle
+    composes the existing SemDeDup closure
+    (`_semantic_kmeans_prefix(max_cluster_size=24)`) with a bit-exact
+    sub-bucket assignment — clustering, sizes, sub-split, candidate join
+    and verified cosines all reproduced end-to-end. Production guidance:
+    run THIS variant; the uncapped z_dedup_semantic is the reference
+    behavior."""
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(
-        e, threshold=0.35, n_clusters=16, train_iters=1, max_cluster_size=64
+        e, threshold=0.35, n_clusters=16, train_iters=1, max_cluster_size=24
     ).orderBy("id1", "id2")
 
 
