@@ -221,12 +221,18 @@ def update_training_shards(
     depend on global quantiles, so their refresh is a full re-export by
     design.
 
-    Delta-size contract: ``delete_ids`` is a driver-side list and the
-    affected-shard sets come from ``.collect()`` over the delta's
-    DISTINCT shard ids — the DELTA (not the corpus) must fit on the
-    driver, the natural shape for a :func:`corpus_diff`-derived refresh.
-    A corpus-sized delta should be a fresh :func:`write_training_shards`
-    instead.
+    Delta-size contract: ``delete_ids`` is either a driver-side list OR a
+    single-column DataFrame of ids. Only the delta's DISTINCT shard ids
+    ever reach the driver (bounded by ``n_shards`` — never data-sized);
+    with the DataFrame form the ids themselves stay distributed
+    end-to-end, so the delete set may be arbitrarily large. The list form
+    additionally requires the DELTA to fit on the driver (the natural
+    shape for a :func:`corpus_diff`-derived refresh) and broadcasts it
+    into the anti-join; the DataFrame form leaves the join strategy to
+    AQE, since a set-based delete can exceed broadcast size. A
+    corpus-sized delta should be a fresh :func:`write_training_shards`
+    instead — the shard REWRITE cost is proportional to affected shards
+    either way.
 
     Conflict precedence: an id present in BOTH ``upserts`` and
     ``delete_ids`` is treated as an upsert — the anti-join removes the
@@ -247,17 +253,30 @@ def update_training_shards(
 
     delta_ids = None
     affected = set()
+    broadcast_delta = True
     if upserts is not None:
         up = upserts.withColumn(
             "shard", T.split_bucket(F.col(order_col), n_shards)
         )
+        # bounded-collect: distinct shard ids, <= n_shards rows
         affected |= {r.shard for r in up.select("shard").distinct().collect()}
         delta_ids = up.select(F.col(order_col).alias("__did"))
     if delete_ids is not None:
-        dele = spark.createDataFrame([(i,) for i in delete_ids], ["__did"])
+        if isinstance(delete_ids, DataFrame):
+            # set-based deletes stay distributed; don't force a broadcast
+            # the caller's delete set may be too large for
+            dele = delete_ids.select(
+                F.col(delete_ids.columns[0]).alias("__did")
+            )
+            broadcast_delta = False
+        else:
+            dele = spark.createDataFrame(
+                [(i,) for i in delete_ids], ["__did"]
+            )
         del_shards = dele.select(
             T.split_bucket(F.col("__did"), n_shards).alias("shard")
         )
+        # bounded-collect: distinct shard ids, <= n_shards rows
         affected |= {r.shard for r in del_shards.distinct().collect()}
         delta_ids = (
             dele if delta_ids is None else delta_ids.unionByName(dele)
@@ -270,8 +289,9 @@ def update_training_shards(
         .load(path)
         .where(F.col("shard").isin([int(s) for s in affected]))
     )
+    anti_build = F.broadcast(delta_ids) if broadcast_delta else delta_ids
     kept = old.join(
-        F.broadcast(delta_ids), old[order_col] == delta_ids["__did"], "left_anti"
+        anti_build, old[order_col] == delta_ids["__did"], "left_anti"
     )
     merged = kept
     if upserts is not None:

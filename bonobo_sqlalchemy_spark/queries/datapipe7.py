@@ -483,16 +483,17 @@ def z_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
             .withColumn("n_chars", F.col("n_chars") + 3)
         )
-        deletes = [
-            r.doc_id
-            for r in docs.where(F.col("doc_id") % 17 == 0).select("doc_id").collect()
-        ]
+        # delete set stays a DataFrame end-to-end (round 9): the operator's
+        # DataFrame overload anti-joins it distributively — nothing
+        # corpus-proportional ever materializes on the driver
+        deletes = docs.where(F.col("doc_id") % 17 == 0).select("doc_id")
         update_training_shards(spark, path, upserts=edits, delete_ids=deletes)
         data = spark.read.parquet(path)
         out = shard_manifest(
             data, order_col="doc_id", token_col="n_chars", n_shards=8,
             shard_col="shard",
         ).select("shard", "n_rows", "n_tokens")
+        # bounded-collect: n_shards (=8) aggregate rows, freed with the tmpdir
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -223,6 +223,30 @@ def test_incremental_update_equals_fresh_export(spark, sf_small, tmp_path):
             assert t1 == t0, f"untouched shard {name} was rewritten"
 
 
+def test_incremental_update_dataframe_deletes(spark, sf_small, tmp_path):
+    """The set-based delete overload (round 9): passing deletes as a
+    single-column DataFrame must produce the same manifest and layout as
+    the driver-list form — with the ids never materializing driver-side,
+    which is what lets a registered query derive a large delete set
+    distributively."""
+    docs = load_table(spark, sf_small, "documents").limit(120)
+    p_list = str(tmp_path / "dlist")
+    p_df = str(tmp_path / "ddf")
+    for p in (p_list, p_df):
+        E.write_training_shards(
+            docs, p, order_col="doc_id", token_col="n_chars", n_shards=8
+        )
+    del_df = docs.where(F.col("doc_id") % 9 == 2).select("doc_id")
+    del_list = [r.doc_id for r in del_df.collect()]
+    m_list = E.update_training_shards(spark, p_list, delete_ids=del_list)
+    m_df = E.update_training_shards(spark, p_df, delete_ids=del_df)
+    assert m_df["shards"] == m_list["shards"]
+    assert rows_ok(E.verify_training_shards(spark, p_df).collect())
+    back = spark.read.parquet(p_df)
+    assert back.where(F.col("doc_id") % 9 == 2).count() == 0
+    assert back.count() == 120 - len(del_list)
+
+
 def test_incremental_update_upsert_wins_over_delete(spark, sf_small, tmp_path):
     """An id present in BOTH upserts and delete_ids: the documented
     precedence is upsert-wins (anti-join removes the old row, the union

@@ -247,6 +247,35 @@ def test_mixture_sample_single_shuffle_no_join(spark):
     assert "Window" in plan
 
 
+def test_query_collects_are_annotated_bounded():
+    """Driver-materialization gate (the z_export_incremental lesson as a
+    standing check, like the cartesian and lowcard-window sweeps): every
+    ``.collect()`` / ``.toPandas()`` inside a registered-query module must
+    carry a ``# bounded-collect: <why it is not data-sized>`` annotation
+    on the same or one of the two preceding lines. A data-sized driver
+    materialization inside a query is a driver OOM at 100x scale even
+    when sf0.01 results stay correct — new sites must state their bound
+    to pass, which forces the size question at review time."""
+    import pathlib
+
+    qdir = pathlib.Path(__file__).resolve().parents[1] / (
+        "bonobo_sqlalchemy_spark/queries"
+    )
+    offenders = []
+    for p in sorted(qdir.glob("*.py")):
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".collect()" in ln or ".toPandas()" in ln:
+                window = "\n".join(lines[max(0, i - 2) : i + 1])
+                if "bounded-collect:" not in window:
+                    offenders.append(f"{p.name}:{i + 1}")
+    assert not offenders, (
+        "unannotated driver materialization in registered-query modules: "
+        f"{offenders} — state the size bound with '# bounded-collect: ...' "
+        "or keep the data distributed"
+    )
+
+
 def test_containment_shares_jaccard_plan_shape(spark):
     """Containment must inherit the Jaccard path's plan properties: the
     shingle inverted-index join stays an equi-join (ShuffledHashJoin on the
