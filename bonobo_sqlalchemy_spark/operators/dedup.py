@@ -714,12 +714,18 @@ def duplicate_span_stats(
 
     The md5 gram fingerprint keeps the operator value-exact against a
     DuckDB oracle, same hash-determinism policy as MinHash/SimHash.
+
+    Null/empty contract: NULL or whitespace-only text reads as the empty
+    token array — ``n_tokens = 0``, zero spans, ``dup_ratio = 0.0`` — a
+    fully-defined row (a NULL ``n_tokens`` would break downstream
+    thresholds like the flagship pipeline's ``dup_ratio < 0.5`` gate).
     """
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    arr = F.when(
+        F.length(t) == F.lit(0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, " +"))
     w = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.split(F.trim(F.col(text_col)), " +").alias("w"),
-        )
+        df.select(F.col(id_col).alias("id"), arr.alias("w"))
         .withColumn("n", F.size("w"))
         .repartition("id")
     )

@@ -225,46 +225,69 @@ def gopher_rules(
     - ``ok_dup_bigram``: repeated-bigram fraction (1 - distinct/total)
       <= max_dup_bigram_ratio — the cheap repetition screen.
 
-    Scale shape: ONE explode of the token stream, ONE per-document window
-    (lead for bigram pairing — partitions bounded by document length),
-    ONE per-document aggregate that the window's id-clustering already
-    satisfies (no second exchange). Every metric is integer counts or a
-    single IEEE division compared to a threshold, so the bundle is
-    value-exact against the DuckDB oracle — boundary docs land on the
-    same side in both engines because both compare the identical double.
-    """
-    from pyspark.sql import Window as W
+    Scale shape (round 9, was posexplode + repartition + lead window):
+    every metric is DOCUMENT-LOCAL, so the whole bundle is per-row array
+    expressions — ``size`` / ``aggregate`` / ``filter`` /
+    ``array_distinct`` over the split token array — evaluated inside
+    whole-stage codegen in a single scan with ZERO exchanges (plan-gated
+    in tests/test_plans.py::test_gopher_rules_zero_shuffle). The previous
+    shape shuffled every token of the corpus to compute per-document
+    facts; this one never leaves the scan's partitioning. Every metric is
+    integer counts or a single IEEE division compared to a threshold, so
+    the bundle stays value-exact against the DuckDB oracle — boundary
+    docs land on the same side in both engines because both compare the
+    identical double.
 
+    Null/empty contract (round 9 — previously such docs silently vanished
+    from the output): NULL or whitespace-only text yields a fully-defined
+    row with ``n_words = 0``, ``n_stopwords = 0``, NULL
+    ``mean_word_len``/``alpha_ratio`` (0/0 has no honest value),
+    ``dup_bigram_ratio = 0.0``, ``ok_mean_word_len``/``ok_alpha`` false
+    (an undefined ratio never passes a floor), and ``keep = false`` —
+    every document in, exactly one verdict row out.
+    """
     stop = ("the", "be", "to", "of", "and", "that", "have", "with")
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.trim(F.col(text_col)), " +")).alias("pos", "tk"),
-        )
-        .repartition("id")
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    # '' splits to [''] (one empty token) — map to the empty array so
+    # null/empty docs read n_words = 0, the strip_shared_chunks pattern
+    w = F.when(F.length(t) == F.lit(0), F.array().cast("array<string>")).otherwise(
+        F.split(t, " +")
     )
-    wl = W.partitionBy("id").orderBy("pos")
-    paired = toks.withColumn("nxt", F.lead("tk").over(wl)).withColumn(
-        "bg", F.when(F.col("nxt").isNotNull(), F.concat_ws(" ", "tk", "nxt"))
+    base = df.select(F.col(id_col).alias("id"), w.alias("__w"))
+    n = F.size("__w").cast("bigint")
+    sumlen = F.aggregate(
+        "__w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
     )
-    agg = paired.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum(F.length("tk")).cast("bigint").alias("__sumlen"),
-        F.sum(F.when(F.col("tk").isin(*stop), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_stopwords"),
-        F.sum(F.when(F.col("tk").rlike("[A-Za-z]"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("__alpha"),
-        F.count("bg").cast("bigint").alias("__nb"),
-        F.countDistinct("bg").cast("bigint").alias("__db"),
+    n_stop = F.size(F.filter("__w", lambda x: x.isin(*stop))).cast("bigint")
+    n_alpha = F.size(F.filter("__w", lambda x: x.rlike("[A-Za-z]"))).cast(
+        "bigint"
     )
-    mean_wl = F.col("__sumlen") / F.col("n_words")
-    alpha_ratio = F.col("__alpha") / F.col("n_words")
+    # bigrams: pair token i with token i+1 over the first n-1 positions —
+    # transform's 0-based index + 1-based element_at, no shuffle, no window
+    heads = F.slice("__w", F.lit(1), F.greatest(n - 1, F.lit(0)).cast("int"))
+    bigrams = F.transform(
+        heads,
+        lambda x, i: F.concat_ws(" ", x, F.element_at("__w", (i + 2).cast("int"))),
+    )
+    nb = F.greatest(n - 1, F.lit(0).cast("bigint"))
+    db = F.size(F.array_distinct(bigrams)).cast("bigint")
+    m = base.select(
+        "id",
+        n.alias("n_words"),
+        sumlen.alias("__sumlen"),
+        n_stop.alias("n_stopwords"),
+        n_alpha.alias("__alpha"),
+        nb.alias("__nb"),
+        db.alias("__db"),
+    )
+    mean_wl = F.when(F.col("n_words") > 0, F.col("__sumlen") / F.col("n_words"))
+    alpha_ratio = F.when(
+        F.col("n_words") > 0, F.col("__alpha") / F.col("n_words")
+    )
     dup_bg = F.when(
         F.col("__nb") > 0, F.lit(1.0) - F.col("__db") / F.col("__nb")
     ).otherwise(F.lit(0.0))
-    out = agg.select(
+    out = m.select(
         F.col("id").alias(id_col),
         "n_words",
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -272,9 +295,12 @@ def gopher_rules(
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(dup_bg, 6).alias("dup_bigram_ratio"),
         (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
-        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        F.coalesce(
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+            F.lit(False),
+        ),
         F.col("n_stopwords") >= min_stopwords,
-        alpha_ratio >= min_alpha_ratio,
+        F.coalesce(alpha_ratio >= min_alpha_ratio, F.lit(False)),
         dup_bg <= max_dup_bigram_ratio,
     ).toDF(
         id_col,

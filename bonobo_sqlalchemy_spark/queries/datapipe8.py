@@ -203,25 +203,29 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_gopher_rules",
     oracle="""
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+    WITH w AS (SELECT doc_id,
+                      CASE WHEN trim(coalesce(text, '')) = ''
+                           THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), ' +') END AS ws
                FROM documents),
-    tok AS (SELECT doc_id, ws[t.i] AS tk, ws[t.i + 1] AS nxt
-            FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t),
     agg AS (SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_words,
-                   CAST(SUM(len(tk)) AS BIGINT) AS sumlen,
-                   CAST(SUM(CASE WHEN tk IN ('the','be','to','of','and',
-                                             'that','have','with')
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
-                   CAST(SUM(CASE WHEN regexp_matches(tk, '[A-Za-z]')
-                            THEN 1 ELSE 0 END) AS BIGINT) AS alpha,
-                   CAST(COUNT(nxt) AS BIGINT) AS nb,
-                   CAST(COUNT(DISTINCT CASE WHEN nxt IS NOT NULL
-                              THEN tk || ' ' || nxt END) AS BIGINT) AS db
-            FROM tok GROUP BY 1),
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+                        AS BIGINT) AS sumlen,
+                   CAST(len(list_filter(ws,
+                        x -> x IN ('the','be','to','of','and',
+                                   'that','have','with'))) AS BIGINT)
+                        AS n_stopwords,
+                   CAST(len(list_filter(ws,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                        AS alpha,
+                   CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS nb,
+                   CAST(len(list_distinct(list_transform(ws[1:len(ws) - 1],
+                        (x, i) -> x || ' ' || ws[i + 1]))) AS BIGINT) AS db
+            FROM w),
     m AS (SELECT doc_id, n_words, n_stopwords,
-                 sumlen / n_words AS mwl,
-                 alpha / n_words AS ar,
+                 CASE WHEN n_words > 0 THEN sumlen / n_words END AS mwl,
+                 CASE WHEN n_words > 0 THEN alpha / n_words END AS ar,
                  CASE WHEN nb > 0 THEN 1.0 - db / nb ELSE 0.0 END AS dbr
           FROM agg)
     SELECT doc_id, n_words,
@@ -230,13 +234,14 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ar, 6) AS alpha_ratio,
            round(dbr, 6) AS dup_bigram_ratio,
            n_words >= 20 AND n_words <= 90 AS ok_n_words,
-           mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+           coalesce(mwl >= 3.0 AND mwl <= 10.0, false) AS ok_mean_word_len,
            n_stopwords >= 2 AS ok_stopwords,
-           ar >= 0.8 AS ok_alpha,
+           coalesce(ar >= 0.8, false) AS ok_alpha,
            dbr <= 0.05 AS ok_dup_bigram,
            (n_words >= 20 AND n_words <= 90)
-             AND (mwl >= 3.0 AND mwl <= 10.0)
-             AND n_stopwords >= 2 AND ar >= 0.8 AND dbr <= 0.05 AS keep
+             AND coalesce(mwl >= 3.0 AND mwl <= 10.0, false)
+             AND n_stopwords >= 2 AND coalesce(ar >= 0.8, false)
+             AND dbr <= 0.05 AS keep
     FROM m
     """,
     tags=("text", "quality"),

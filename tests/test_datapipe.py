@@ -799,6 +799,24 @@ def test_duplicate_spans_short_docs_never_pair(spark):
     assert all(r["n_tokens"] == 3 for r in out)
 
 
+def test_duplicate_spans_null_and_empty_docs(spark):
+    """Round-9 null/empty contract: NULL / empty / whitespace-only text
+    must yield a fully-defined row (n_tokens=0, zero spans, ratio 0.0) —
+    previously NULL text left n_tokens NULL next to coalesced-zero span
+    counts, breaking downstream dup_ratio thresholds for such docs."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "a b c")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in D.duplicate_span_stats(df, gram=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for i in (1, 2, 3):
+        r = out[i]
+        assert r["n_tokens"] == 0 and r["n_dup_spans"] == 0
+        assert r["dup_tokens"] == 0 and r["dup_ratio"] == 0.0
+    assert out[4]["n_tokens"] == 3
+
+
 def test_duplicate_spans_partitioning_invariant(spark, docs):
     a = D.duplicate_span_stats(docs, gram=8)
     b = D.duplicate_span_stats(docs.repartition(13), gram=8)

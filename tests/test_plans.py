@@ -247,6 +247,18 @@ def test_mixture_sample_single_shuffle_no_join(spark):
     assert "Window" in plan
 
 
+def test_gopher_rules_zero_shuffle(spark):
+    """gopher_rules computes document-local metrics, so its plan must be a
+    single codegen scan: no Window, and no hash-partitioned Exchange (the
+    only allowed exchange is the registered query's final presentation
+    sort). The round-8 shape paid a full token-stream shuffle
+    (posexplode + repartition + lead window) for per-row facts."""
+    plan = plan_of(spark, "text_gopher_rules")
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    assert "posexplode" not in plan.lower()
+
+
 def test_query_collects_are_annotated_bounded():
     """Driver-materialization gate (the z_export_incremental lesson as a
     standing check, like the cartesian and lowcard-window sweeps): every

@@ -107,6 +107,31 @@ def test_gopher_rules_verdict_logic(spark):
     assert out[4]["dup_bigram_ratio"] > 0.2
 
 
+def test_gopher_rules_null_and_empty_docs(spark):
+    """The round-9 null/empty contract: NULL or whitespace-only text gets a
+    fully-defined verdict row (previously such docs vanished from the
+    output entirely, and '' read n_words=1 via the one-empty-token split):
+    n_words=0, n_stopwords=0, NULL ratios, ratio gates false, keep=false."""
+    from bonobo_sqlalchemy_spark.operators.quality import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "the cat and dog have fun")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=2).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every document in, one row out
+    for i in (1, 2, 3):
+        r = out[i]
+        assert r["n_words"] == 0 and r["n_stopwords"] == 0
+        assert r["mean_word_len"] is None and r["alpha_ratio"] is None
+        assert r["dup_bigram_ratio"] == 0.0
+        assert r["ok_n_words"] is False
+        assert r["ok_mean_word_len"] is False and r["ok_alpha"] is False
+        assert r["ok_dup_bigram"] is True  # 0.0 repetition passes the ceiling
+        assert r["keep"] is False
+    assert out[4]["n_words"] == 6 and out[4]["keep"] is True
+
+
 def test_gopher_rules_partitioning_invariant(spark):
     from bonobo_sqlalchemy_spark.operators.quality import gopher_rules
     from bonobo_sqlalchemy_spark.sources.files import load_table
