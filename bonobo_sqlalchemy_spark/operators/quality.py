@@ -38,6 +38,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..functions import text as T
 
@@ -395,7 +396,9 @@ def bigram_interpolated_logprob(
     ).withColumnRenamed("id", id_col)
 
 
-#: Output schema of the compression-ratio redundancy screen.
+#: Output schema of the compression-ratio screen at the fixture default
+#: (``id_col="doc_id"`` bigint); the real schema is built per-call from
+#: the caller's actual id column so arbitrary id names/dtypes pass through.
 COMPRESSION_RATIO_SCHEMA = (
     "doc_id bigint, n_bytes bigint, n_compressed bigint, compression_ratio double"
 )
@@ -414,9 +417,12 @@ def compression_ratio(
     signal; it complements `gopher_rules`' duplicate-bigram gate by
     catching long-range repetition no fixed n-gram window sees.
 
-    ``(id, n_bytes, n_compressed, compression_ratio)`` where ratio =
+    ``(id_col, n_bytes, n_compressed, compression_ratio)`` where ratio =
     ``n_bytes / n_compressed`` rounded 1e-6 (NULL text → 0-byte document,
-    ratio 0.0 — screened, not dropped). zlib at a FIXED level is
+    ratio 0.0 — screened, not dropped). The id column passes through
+    UNTOUCHED under its own name and dtype (round 9 — previously the
+    schema hardcoded ``doc_id bigint``, silently renaming the caller's
+    column and int()-coercing string ids). zlib at a FIXED level is
     deterministic for a given library version, so results are stable
     across reruns and partitionings (asserted in tests) but NOT
     SQL-portable — no oracle engine ships zlib, hence the rows-only
@@ -428,30 +434,35 @@ def compression_ratio(
     """
     from typing import Iterator
 
+    id_field = df.select(id_col).schema.fields[0]
+    out_schema = (
+        StructType([id_field])
+        .add("n_bytes", "long")
+        .add("n_compressed", "long")
+        .add("compression_ratio", "double")
+    )
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import zlib
 
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
+            n_bytes, n_comp, ratios = [], [], []
+            for t in pdf[text_col]:
                 raw = (t or "").encode("utf-8")
                 nb = len(raw)
                 nc = len(zlib.compress(raw, level)) if nb else 0
-                rows.append(
-                    (int(i), nb, nc, round(nb / nc, 6) if nc else 0.0)
-                )
+                n_bytes.append(nb)
+                n_comp.append(nc)
+                ratios.append(round(nb / nc, 6) if nc else 0.0)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "n_bytes",
-                    "n_compressed",
-                    "compression_ratio",
-                ],
+                {
+                    id_col: pdf[id_col],  # passthrough: name AND dtype kept
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "compression_ratio": ratios,
+                }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
-        run, schema=COMPRESSION_RATIO_SCHEMA
-    )
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

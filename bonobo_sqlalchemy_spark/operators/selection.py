@@ -221,6 +221,14 @@ def grouped_decile(
         b AS (SELECT g, quantile_cont(s, [0.1, ..., 0.9]) AS qs ... GROUP BY g)
         SELECT 1 + len(list_filter(b.qs, q -> t.s < q)) AS decile
         FROM t JOIN b USING (g)
+
+    Null contract (round 9): a NULL group is a real group — the join back
+    is null-safe, so rows with e.g. an undetected language keep their row
+    and bucket against their own NULL-group boundaries (the ntile window
+    this replaces kept NULL partitions too; a plain inner join silently
+    dropped them). A NULL score lands in the WORST bucket (``n_buckets``),
+    never bucket 1 — an unscored document must not outrank every scored
+    one. Both behaviors pinned in tests/test_selection.py.
     """
     return grouped_deciles(df, [(score_col, out_col)], group_col, n_buckets)
 
@@ -237,7 +245,7 @@ def grouped_deciles(
     broadcast join back — a pipeline deciling k signals pays one boundary
     pass, not k (z_pipeline_curate ranks fluency and DSIR together)."""
     probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    b = df.groupBy(group_col).agg(
+    b = df.groupBy(F.col(group_col).alias("__decile_g")).agg(
         *[
             F.percentile(s, probs).alias(f"__qs_{out}")
             for s, out in scores
@@ -248,11 +256,19 @@ def grouped_deciles(
         # score column must be captured by closure, not a default arg
         return lambda q: F.col(score_col) < q
 
-    out_df = df.join(F.broadcast(b), group_col)
+    # null-safe join: a NULL group aggregates to its own boundary row and
+    # must rejoin it — a plain inner join would drop those rows entirely
+    out_df = df.join(
+        F.broadcast(b), F.col(group_col).eqNullSafe(F.col("__decile_g"))
+    ).drop("__decile_g")
     for s, out in scores:
         out_df = out_df.withColumn(
             out,
-            (F.lit(1) + F.size(F.filter(f"__qs_{out}", above(s)))).cast("int"),
+            # NULL score: no boundary comparison is meaningful — assign
+            # the WORST bucket, not bucket 1 (unscored never outranks)
+            F.when(F.col(s).isNull(), F.lit(n_buckets))
+            .otherwise(F.lit(1) + F.size(F.filter(f"__qs_{out}", above(s))))
+            .cast("int"),
         )
     return out_df.drop(*[f"__qs_{out}" for _, out in scores])
 

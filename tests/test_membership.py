@@ -247,3 +247,22 @@ def test_compression_ratio_partitioning_invariant(spark):
     a = sorted(map(tuple, compression_ratio(docs).collect()))
     b = sorted(map(tuple, compression_ratio(docs.repartition(13)).collect()))
     assert a == b
+
+
+def test_compression_ratio_honors_id_column(spark):
+    """Round-9 contract: the caller's id column passes through under its
+    own name AND dtype — previously the output hardcoded 'doc_id bigint',
+    renaming the column and int()-crashing on string ids."""
+    from bonobo_sqlalchemy_spark.operators.quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [("u-1", "alpha beta alpha beta"), ("u-2", None)],
+        "url string, text string",
+    )
+    out = compression_ratio(docs, id_col="url")
+    assert out.columns[0] == "url"
+    assert dict(out.dtypes)["url"] == "string"
+    got = {r.url: r for r in out.collect()}
+    assert set(got) == {"u-1", "u-2"}
+    assert got["u-2"].n_bytes == 0 and got["u-2"].compression_ratio == 0.0
+    assert got["u-1"].n_compressed > 0

@@ -150,6 +150,32 @@ def test_grouped_decile_semantics_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_grouped_decile_null_group_and_null_score(spark):
+    """Round-9 null contract: rows with a NULL group survive (null-safe
+    join back to their own NULL-group boundary row — the ntile window
+    this operator replaced kept NULL partitions, so dropping them was a
+    silent behavior change for corpora with undetected lang), and a NULL
+    score lands in the WORST bucket, never bucket 1."""
+    from bonobo_sqlalchemy_spark.operators.selection import grouped_decile
+
+    rows = [(i, "en", float(i)) for i in range(20)]
+    rows += [(100 + i, None, float(i)) for i in range(20)]  # NULL group
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, s double")
+    df = df.unionByName(
+        spark.createDataFrame(
+            [(999, "en", None)], "doc_id bigint, lang string, s double"
+        )
+    )
+    out = grouped_decile(df, "s", "lang", out_col="d")
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 41  # nothing dropped
+    # NULL-group rows bucket against their own boundaries
+    assert got[119].d == 1 and got[100].d == 10
+    assert all(1 <= got[100 + i].d <= 10 for i in range(20))
+    # NULL score -> worst bucket
+    assert got[999].d == 10
+
+
 def test_mixture_sample_rank_pushdown(spark):
     """The literal max-quota conjunct must produce a Partial
     WindowGroupLimit (map-side per-group truncation) — without it one
