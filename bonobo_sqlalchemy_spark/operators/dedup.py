@@ -912,13 +912,52 @@ def _bloom_positions(value: F.Column, m_bits: int, k: int) -> F.Column:
     )
 
 
+def bloom_params(n_keys: int, fp_rate: float = 1e-3) -> tuple[int, int]:
+    """Textbook Bloom sizing: the smallest ``(m_bits, k)`` hitting
+    ``fp_rate`` for ``n_keys`` distinct keys —
+    ``m = ceil(-n * ln(p) / ln(2)^2)`` and ``k = round(m/n * ln 2)``.
+
+    The m-vs-n contract, stated plainly: the FP rate is a function of
+    BITS PER KEY (~9.6 bits/key → 1%, ~14.4 → 0.1%, ~19.2 → 0.01%), so a
+    fixed ``m_bits`` silently saturates as the reference set grows — at
+    ``n = m`` the filter answers true for nearly everything (degradation
+    is always precision, never recall; pinned in tests). Size from the
+    reference cardinality, not a constant. Memory reality check at the
+    large end: a billion keys at 0.1% need ~14.4 Gbit ≈ 1.8 GB riding a
+    broadcast — at that point shard the reference into several filters
+    (`bloom_merge` keeps them composable) or accept a higher fp_rate;
+    the probe cost is unchanged either way."""
+    import math
+
+    n = max(int(n_keys), 1)
+    m = max(64, math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
 def bloom_build(
-    ref: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 4
+    ref: DataFrame,
+    key_col: str,
+    m_bits: int | None = None,
+    k: int | None = None,
+    fp_rate: float = 1e-3,
 ) -> DataFrame:
     """Build a Bloom filter over a reference key set as a ONE-ROW DataFrame
-    ``(bloom: map<bigint, bigint>)`` — set 64-bit words keyed by word index
-    (sparse: absent word == all-zero). The build is one explode + one
-    hash aggregate of the reference side; nothing touches the driver.
+    ``(bloom: map<bigint, bigint>, m_bits: bigint, k: int)`` — set 64-bit
+    words keyed by word index (sparse: absent word == all-zero), plus the
+    sizing parameters so the filter is SELF-DESCRIBING: `bloom_probe` and
+    `bloom_merge` read/validate them instead of trusting callers to
+    repeat the right constants. The build is one explode + one hash
+    aggregate of the reference side; nothing data-sized touches the
+    driver.
+
+    Sizing (round 9): when ``m_bits`` is None it is derived from the
+    reference's DISTINCT key count via :func:`bloom_params` at
+    ``fp_rate`` (default 0.1% — ~14.4 bits/key); ``k`` defaults to the
+    matching optimum. Pass both explicitly to pin a cross-engine oracle
+    or to share parameters across separately-built mergeable snapshots
+    (auto-sizing two snapshots of different cardinality would yield
+    incompatible filters — `bloom_merge` raises on that).
 
     This is the scale path for membership screens against a reference set
     (benchmark decontamination, "seen in a previous snapshot" dedup): the
@@ -926,6 +965,15 @@ def bloom_build(
     turns the probe into map-side-only work — the corpus being screened
     never shuffles at all, unlike an anti-join which shuffles both sides.
     """
+    if m_bits is None:
+        # bounded-collect: one scalar — the distinct reference cardinality
+        n_keys = ref.select(key_col).distinct().count()
+        auto_m, auto_k = bloom_params(n_keys, fp_rate)
+        m_bits = auto_m
+        if k is None:
+            k = auto_k
+    elif k is None:
+        k = 4
     pos = ref.select(
         F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
     )
@@ -936,7 +984,9 @@ def bloom_build(
         )
     )
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom"),
+        F.lit(int(m_bits)).cast("bigint").alias("m_bits"),
+        F.lit(int(k)).cast("int").alias("k"),
     )
 
 
@@ -944,8 +994,8 @@ def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     key_col: str,
-    m_bits: int = 1 << 16,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
     flag_col: str = "bloom_hit",
 ) -> DataFrame:
     """Probe a `bloom_build` filter: adds ``flag_col`` (true = probably in
@@ -954,12 +1004,25 @@ def bloom_probe(
     tests/test_plans.py NO_CARTESIAN_EXEMPT); the probe itself is pure
     map-side expression work — zero shuffle of the probed corpus.
 
-    Standard Bloom semantics: false positives at roughly
-    ``(1 - e^(-k*n/m))^k`` (~0.2% at the 2^16/k=4 default with n=2000
-    keys), zero false negatives. Production screens confirm hits exactly
+    ``m_bits``/``k`` default to the filter's OWN recorded parameters
+    (self-describing build — reading them costs one 1-row job on the
+    static filter side; pass both explicitly on hot paths to skip it or
+    when pinning a cross-engine oracle). A mismatch between explicit
+    params and the filter's recorded ones would silently break the
+    zero-false-negative guarantee, which is exactly why the recorded
+    values are the default.
+
+    Standard Bloom semantics: false positives at ``(1 - e^(-k*n/m))^k``
+    — sized by `bloom_params` at build time (see its m-vs-n contract) —
+    and zero false negatives. Production screens confirm hits exactly
     (the hit subset is tiny, so the confirm join is cheap) — see the
     `dedup_bloom_prefilter` query for the composed shape."""
-    probed = df.crossJoin(F.broadcast(bloom))
+    if m_bits is None or k is None:
+        # bounded-collect: the filter's single metadata row
+        meta = bloom.select("m_bits", "k").first()
+        m_bits = int(meta["m_bits"]) if m_bits is None else m_bits
+        k = int(meta["k"]) if k is None else k
+    probed = df.crossJoin(F.broadcast(bloom.select("bloom")))
     pos_cols = []
     for j in range(k):
         pc = f"__bpos{j}"
@@ -997,15 +1060,33 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     snapshot builds its own filter from only its own keys, and the
     accumulated "everything previously ingested" filter is a constant-size
     merge, never a re-scan of history. One explode + one hash aggregate of
-    O(m_bits/64) rows per input."""
-    u = blooms[0]
+    O(m_bits/64) rows per input.
+
+    Raises ``ValueError`` when the inputs' recorded ``(m_bits, k)``
+    disagree: ORing differently-sized filters produces garbage that still
+    LOOKS like a filter (hits and misses both plausible), so the mismatch
+    must fail loudly at merge time — the practical footgun of the
+    incremental pattern is auto-sizing each snapshot independently; pin
+    explicit params across snapshots instead (see `bloom_build`).
+    The check reads each input's 1-row metadata (bounded, filter-sized)."""
+    u = blooms[0].select("bloom", "m_bits", "k")
     for b in blooms[1:]:
-        u = u.unionByName(b)
+        u = u.unionByName(b.select("bloom", "m_bits", "k"))
+    # bounded-collect: one (m_bits, k) row per input filter
+    params = {(r["m_bits"], r["k"]) for r in u.select("m_bits", "k").collect()}
+    if len(params) > 1:
+        raise ValueError(
+            f"bloom_merge: incompatible filters {sorted(params)} — rebuild "
+            "with shared explicit (m_bits, k)"
+        )
+    ((m_bits, k),) = params
     words = u.select(F.explode("bloom").alias("w", "bits")).groupBy("w").agg(
         F.bit_or("bits").alias("bits")
     )
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom"),
+        F.lit(int(m_bits)).cast("bigint").alias("m_bits"),
+        F.lit(int(k)).cast("int").alias("k"),
     )
 
 

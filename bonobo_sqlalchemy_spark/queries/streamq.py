@@ -458,9 +458,11 @@ def z_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").cast("string").alias("k"))
         .distinct()
     )
-    bloom = D.bloom_build(ref, "k")
+    # explicit (m_bits, k): the DuckDB oracle reproduces the probe with
+    # these constants baked into its SQL, so auto-sizing must not move them
+    bloom = D.bloom_build(ref, "k", m_bits=1 << 16, k=4)
     keyed = ev.select("event_type", F.col("user_id").cast("string").alias("k"))
-    probed = D.bloom_probe(keyed, bloom, "k")
+    probed = D.bloom_probe(keyed, bloom, "k", m_bits=1 << 16, k=4)
     agg = probed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))

@@ -30,13 +30,54 @@ def test_bloom_zero_false_negatives(spark):
 
 
 def test_bloom_false_positive_rate_bounded(spark):
-    """Non-members mostly miss: with n=500, m=2^16, k=4 the expected FP
-    rate is ~1e-5; assert a generous 1% ceiling on 2000 probes."""
+    """Non-members mostly miss: auto-sizing targets 0.1% FP (~14.4
+    bits/key), so expect ~2 hits on 2000 non-member probes; assert a
+    generous 1% ceiling."""
     ref = spark.createDataFrame([(f"key{i}",) for i in range(500)], ["k"])
     bloom = bloom_build(ref, "k")
     others = spark.createDataFrame([(f"other{i}",) for i in range(2000)], ["k"])
     fp = bloom_probe(others, bloom, "k").where(F.col("bloom_hit")).count()
     assert fp <= 20, f"false-positive count {fp} exceeds 1% of 2000"
+
+
+def test_bloom_params_sizing_rule():
+    """The m-vs-n contract: ~9.6 bits/key at 1%, ~14.4 at 0.1%, k near
+    (m/n)·ln2 — and sizing grows linearly with n, which is the whole
+    point (a fixed m saturates as the reference grows)."""
+    from bonobo_sqlalchemy_spark.operators.dedup import bloom_params
+
+    m1, k1 = bloom_params(1000, 0.01)
+    assert 9_000 <= m1 <= 10_000 and k1 == 7
+    m2, k2 = bloom_params(1000, 0.001)
+    assert 14_000 <= m2 <= 15_000 and k2 == 10
+    m3, _ = bloom_params(1_000_000, 0.001)
+    assert abs(m3 / m2 - 1000) < 2  # linear in n
+    assert bloom_params(0, 0.001)[0] >= 64  # degenerate input still valid
+
+
+def test_bloom_auto_size_tracks_reference_and_merge_rejects_mismatch(spark):
+    """Auto-built filters record their derived (m_bits, k); two snapshots
+    auto-sized from different cardinalities are structurally incompatible
+    and bloom_merge must refuse to OR them (garbage that still looks like
+    a filter), while explicit shared params keep snapshots mergeable."""
+    import pytest
+
+    from bonobo_sqlalchemy_spark.operators.dedup import bloom_merge
+
+    small = spark.createDataFrame([(f"s{i}",) for i in range(100)], ["k"])
+    big = spark.createDataFrame([(f"b{i}",) for i in range(2000)], ["k"])
+    fs, fb = bloom_build(small, "k"), bloom_build(big, "k")
+    ms = fs.select("m_bits", "k").first()
+    mb = fb.select("m_bits", "k").first()
+    assert mb["m_bits"] > ms["m_bits"] * 10  # sizing tracked cardinality
+    with pytest.raises(ValueError, match="incompatible"):
+        bloom_merge(fs, fb)
+    # explicit shared params: mergeable, and probe reads params itself
+    fs2 = bloom_build(small, "k", m_bits=1 << 14, k=5)
+    fb2 = bloom_build(big, "k", m_bits=1 << 14, k=5)
+    merged = bloom_merge(fs2, fb2)
+    probed = bloom_probe(small.unionByName(big), merged, "k")
+    assert probed.where(~F.col("bloom_hit")).count() == 0  # zero FN survives
 
 
 def test_bloom_probe_plan_has_no_shuffle_of_probe_side(spark):
@@ -191,8 +232,11 @@ def test_bloom_merge_equals_build_of_union(spark):
 
     a = spark.createDataFrame([(f"key{i}",) for i in range(200)], ["k"])
     b = spark.createDataFrame([(f"key{i}",) for i in range(150, 350)], ["k"])
-    merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
-    direct = bloom_build(a.unionByName(b).distinct(), "k")
+    # shared explicit params — the documented contract for snapshots that
+    # will be merged (auto-sizing tracks each input's own cardinality)
+    mk = dict(m_bits=1 << 13, k=6)
+    merged = bloom_merge(bloom_build(a, "k", **mk), bloom_build(b, "k", **mk))
+    direct = bloom_build(a.unionByName(b).distinct(), "k", **mk)
 
     def words(df):
         return sorted(df.select(F.explode("bloom")).collect())
