@@ -63,6 +63,15 @@ def main() -> None:
     # STARTING new rounds when exceeded — interleaving means every query
     # still has the same number of measurements, so stats stay comparable.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # Box-load indicator (round 9): in-bench numbers have repeatedly been
+    # re-litigated against cross-round drift that SCALING.md's solo runs
+    # later showed was machine load. Record the load average around the
+    # run plus a per-query noise ratio so the artifact carries its own
+    # trust signal instead of leaving it to forensic re-runs.
+    try:
+        load1_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1_start = None
     bench_t0 = time.perf_counter()
     rounds_done = 0
     for _ in range(n_rounds):
@@ -100,7 +109,26 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
+    try:
+        load1_end = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1_end = None
+    # median over queries of (warm spread / warm median): ~0 on a quiet
+    # box; >0.3 means single-query deltas this run are mostly noise
+    ratios = [
+        spreads[n] / medians[n]
+        for n in names
+        if isinstance(medians.get(n), (int, float)) and medians[n] > 0
+        and isinstance(spreads.get(n), (int, float))
+    ]
+    noise = round(statistics.median(ratios), 3) if ratios else None
+    load_fields = {
+        "load1_start": load1_start,
+        "load1_end": load1_end,
+        "noise_spread_over_median": noise,
+    }
     detail = {
+        **load_fields,
         "metric": "headline_queries_total_wall",
         "value": round(sum(ok), 3),
         "unit": "sec",
@@ -143,6 +171,7 @@ def main() -> None:
         "agg": "min_warm" if rounds_done > 1 else "cold",
         "sf": sf_val,
         "errors": len(errors),
+        **load_fields,
         "detail": "BENCH_DETAIL.md",
     }
     line = json.dumps(out, separators=(",", ":"))

@@ -42,11 +42,27 @@ def main() -> None:
         ).stdout.strip()
     except Exception:
         commit = "?"
+    # exact stamp of the VERIFIED code (the commit hash can only name the
+    # parent of the commit this artifact lands in): content hash of every
+    # engine source file as it existed when the sweep ran
+    import hashlib
+
+    h = hashlib.sha256()
+    root = Path(__file__).parent
+    for p in sorted((root / "bonobo_sqlalchemy_spark").rglob("*.py")) + [
+        root / "__spark_entry__.py"
+    ]:
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    src_hash = h.hexdigest()[:12]
 
     lines = [
         "# PARITY_LOCAL — full-registry oracle parity",
         "",
         f"Generated {datetime.date.today().isoformat()} at commit `{commit}` "
+        f"(engine source sha256 `{src_hash}` over "
+        "`bonobo_sqlalchemy_spark/**/*.py` + `__spark_entry__.py` — exact "
+        "for the tree verified, independent of the commit that records it) "
         f"against `{sf_dir}` ({wall:.0f}s wall).",
         "",
         "The driver's CORRECTNESS gate windows to the first 50 sorted registry "

@@ -64,3 +64,32 @@ def test_parity_artifact_lists_every_registry_query():
         f"PARITY_LOCAL.md is stale — {len(missing)} registry queries have no "
         f"recorded verdict (run `python parity_report.py`): {missing}"
     )
+
+
+def test_displaced_queries_covered_by_parity():
+    """The driver-window aliases displace specific relational queries out
+    of the hard external gate (queries/__init__.py documents the cost);
+    this check is the compensating control the round-9 advisor asked for:
+    every displaced query must hold a VALUE-level `pass` verdict (never
+    rows-only, never FAIL) in PARITY_LOCAL.md. If an alias is added
+    without regenerating the artifact, or a displaced query regresses,
+    this fails — the displacement is never silent."""
+    import re
+    from pathlib import Path
+
+    from bonobo_sqlalchemy_spark.queries import DISPLACED_QUERIES
+
+    assert DISPLACED_QUERIES, "alias set changed? expected displaced queries"
+    text = (
+        Path(__file__).resolve().parent.parent / "PARITY_LOCAL.md"
+    ).read_text()
+    bad = []
+    for name in DISPLACED_QUERIES:
+        m = re.search(rf"\| `{re.escape(name)}` \| ([^|]+) \|", text)
+        verdict = m.group(1).strip() if m else "ABSENT"
+        if verdict != "pass":  # exact: full value-level oracle verdict
+            bad.append(f"{name}: {verdict}")
+    assert not bad, (
+        "queries displaced from the driver window lack a value-exact "
+        f"PARITY_LOCAL verdict: {bad}"
+    )
