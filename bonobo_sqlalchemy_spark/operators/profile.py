@@ -181,3 +181,111 @@ def source_overlap_kmv(
             F.sum(F.when(F.col("in_both"), 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("jaccard_est"),
     )
+
+
+def distribution_psi(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots' group
+    distributions — the standard drift monitor a recurring ingest runs
+    before retraining: ``(group, share_a, share_b, psi_term)`` with
+
+        psi_term = (p - q) * ln(p' / q'),   p' = max(p, eps)
+
+    summed over groups to the headline PSI (rule of thumb: < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate). ``weight_col`` weights
+    shares by e.g. token counts instead of document counts; groups present
+    in only one snapshot get the ``eps`` floor on the missing side (the
+    standard smoothing — a vanished or brand-new source contributes a
+    large, finite term instead of ±inf).
+
+    Scale: two map-side-combined aggregates (group-cardinality rows), one
+    tiny full-outer join, per-row IEEE arithmetic. Shares are exact
+    bigint/bigint divisions; psi_term rounds to 6dp, far above the
+    sub-ulp ``ln`` divergence between engines (same margin policy as the
+    LM logprob scorers). Output is group-cardinality — never data-sized.
+    """
+    wexpr = F.col(weight_col) if weight_col else F.lit(1)
+
+    def shares(df: DataFrame, out: str) -> DataFrame:
+        from .scale import single_partition_key
+        from pyspark.sql import Window as W
+
+        g = df.groupBy(F.col(group_col).alias("group")).agg(
+            F.sum(wexpr).cast("bigint").alias("__w")
+        )
+        wz = W.partitionBy(single_partition_key())
+        return g.withColumn(out, F.col("__w") / F.sum("__w").over(wz)).select(
+            "group", out
+        )
+
+    pa = shares(a, "__p")
+    qb = shares(b, "__q")
+    p = F.coalesce("__p", F.lit(0.0))
+    q = F.coalesce("__q", F.lit(0.0))
+    p_ = F.greatest(p, F.lit(float(eps)))
+    q_ = F.greatest(q, F.lit(float(eps)))
+    return (
+        pa.join(qb, "group", "full_outer")
+        .select(
+            "group",
+            F.round(p, 6).alias("share_a"),
+            F.round(q, 6).alias("share_b"),
+            F.round((p - q) * F.log(p_ / q_), 6).alias("psi_term"),
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Who duplicates whom: fold any pair-generator's output (MinHash-LSH,
+    SimHash, SemDeDup, ...) into a source-level duplication matrix —
+    ``(source_a, source_b, n_pairs, pct)`` with the pair's two sources
+    ordered lexically (``source_a <= source_b``, so mirror-imaged crawls
+    land on one row) and ``pct`` the share of all duplicate pairs.
+
+    The profiling step that turns a dedup run into a DECISION: a heavy
+    diagonal (intra-source) points at boilerplate within one crawl; a hot
+    off-diagonal cell identifies a mirror/re-crawl pair whose ingestion
+    should be deduplicated at the source list, not per-document — at
+    100 TB, dropping a mirrored source upstream is free compared to
+    pair-generating against it every snapshot.
+
+    Scale: two id-equi-joins to attach sources to pair endpoints (the
+    pair table is the blocked generator's bounded output, never all-pairs)
+    and one aggregate to a sources^2-bounded matrix; the pct normalizer is
+    a single-partition window over that bounded matrix.
+    """
+    from .scale import single_partition_key
+    from pyspark.sql import Window as W
+
+    src = docs.select(F.col(id_col).alias("__pid"), F.col(source_col).alias("__s"))
+    cols = pairs.columns
+    j = (
+        pairs.join(src.withColumnRenamed("__s", "__s1"), pairs[cols[0]] == src["__pid"])
+        .drop("__pid")
+        .join(
+            src.withColumnRenamed("__s", "__s2").withColumnRenamed("__pid", "__pid2"),
+            F.col(cols[1]) == F.col("__pid2"),
+        )
+        .drop("__pid2")
+    )
+    m = j.groupBy(
+        F.least("__s1", "__s2").alias("source_a"),
+        F.greatest("__s1", "__s2").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    wz = W.partitionBy(single_partition_key())
+    return m.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(wz), 6).alias("pct"),
+    )

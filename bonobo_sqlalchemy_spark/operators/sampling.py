@@ -216,3 +216,69 @@ def temperature_mixture_sample(
         )
         .drop("__rk", "__quota")
     )
+
+
+def mixture_token_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Token-budget mixture PLANNER: given target mixture ``weights`` (the
+    published recipe shape — e.g. LLaMA's 67% CommonCrawl / 15% C4 / ...),
+    a ``total_budget`` in tokens, and an epoch cap, compute what each
+    source actually contributes:
+
+    ``(source, weight, available_tokens, target_tokens, allocated_tokens,
+    epochs, deficit_tokens)`` where ``target = floor(budget * weight)``,
+    ``allocated = min(target, floor(available * max_epochs))``, ``epochs =
+    allocated / available`` and ``deficit = target - allocated``.
+
+    This is the planning step every mixture-trained run does BEFORE
+    sampling: targets come from the recipe, but a small source cannot fill
+    its share without repeating — the epoch cap (Muennighoff et al. 2023
+    find ~4 epochs is where repeated data stops helping) turns the naive
+    share into an achievable allocation and surfaces the shortfall
+    explicitly. Feed the ``allocated_tokens`` column to `mixture_sample` /
+    `temperature_mixture_sample` quotas, and re-spread ``deficit_tokens``
+    over surplus sources by re-invoking with adjusted weights (one
+    re-invocation per refill round, caller-controlled — the one-shot plan
+    is deliberately not a hidden fixpoint loop).
+
+    Sources absent from ``weights`` plan at weight 0.0 (kept in the output
+    so the exclusion is visible, never silent); weights need not sum to 1
+    (the budget is apportioned per-weight as given).
+
+    Scale: one map-side-combined token-sum aggregate (source-cardinality
+    rows), the weight table rides in as a broadcast of len(weights) rows,
+    and all arithmetic is integer or single IEEE double ops — value-exact
+    cross-engine (floor on exactly-representable products).
+    """
+    spark = df.sparkSession
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("available_tokens")
+    )
+    wtbl = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        "source string, weight double",
+    )
+    j = avail.join(F.broadcast(wtbl), "source", "left").withColumn(
+        "weight", F.coalesce("weight", F.lit(0.0))
+    )
+    target = F.floor(F.lit(int(total_budget)) * F.col("weight")).cast("bigint")
+    cap = F.floor(
+        F.col("available_tokens") * F.lit(float(max_epochs))
+    ).cast("bigint")
+    return j.select(
+        "source",
+        "weight",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.least(target, cap).alias("allocated_tokens"),
+        F.round(
+            F.least(target, cap) / F.col("available_tokens"), 6
+        ).alias("epochs"),
+        (target - F.least(target, cap)).alias("deficit_tokens"),
+    )

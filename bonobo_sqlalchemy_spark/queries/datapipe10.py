@@ -1,0 +1,212 @@
+"""Round-9 training-data pipeline extensions: token-budget mixture
+planning, snapshot drift (PSI), the cross-source duplication matrix, and
+segment-level quality outliers.
+
+Four operations a recurring 100 TB curation run performs BETWEEN the
+per-document operators earlier rounds shipped:
+
+- mixture planning — turning a published mixture recipe + token budget +
+  epoch cap into achievable per-source allocations (the step before any
+  `mixture_sample` call; Muennighoff et al. 2023 motivate the epoch cap);
+- drift monitoring — PSI between snapshots' source distributions, the
+  gate a scheduled re-train checks before trusting a new crawl;
+- duplication forensics — folding pair-generator output into a
+  source x source matrix, because at scale the cheapest dedup is dropping
+  a mirrored SOURCE upstream, not pair-joining against it every snapshot;
+- segment outliers — a per-chunk fluency floor that catches documents
+  whose aggregate score hides an embedded garbage block (the whole-doc
+  scorers average it away).
+
+All four are value-exact against DuckDB oracles (integer counts, exact
+share divisions, 6dp-rounded IEEE terms per queries/base.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from .base import query
+
+#: The registered mixture recipe: a deliberately top-heavy plan (40% on
+#: one source at 2-epoch cap) so target/cap/deficit branches ALL engage
+#: on the fixture; sources absent here plan at weight 0 (visible, not
+#: dropped).
+_PLAN_WEIGHTS = {
+    "src0": 0.4,
+    "src1": 0.25,
+    "src2": 0.15,
+    "src3": 0.1,
+    "src4": 0.05,
+    "src5": 0.05,
+}
+_PLAN_BUDGET = 50_000
+_PLAN_EPOCH_CAP = 2.0
+
+_PLAN_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_PLAN_WEIGHTS.items()))
+
+
+@query(
+    "profile_mixture_plan",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    wt(source, weight) AS (VALUES {_PLAN_VALUES}),
+    j AS (
+      SELECT avail.source, COALESCE(wt.weight, 0.0) AS weight,
+             available_tokens,
+             CAST(floor({_PLAN_BUDGET} * COALESCE(wt.weight, 0.0)) AS BIGINT)
+               AS target_tokens,
+             CAST(floor(available_tokens * {_PLAN_EPOCH_CAP}) AS BIGINT)
+               AS cap_tokens
+      FROM avail LEFT JOIN wt USING (source)
+    )
+    SELECT source, weight, available_tokens, target_tokens,
+           least(target_tokens, cap_tokens) AS allocated_tokens,
+           round(least(target_tokens, cap_tokens) / available_tokens, 6)
+             AS epochs,
+           target_tokens - least(target_tokens, cap_tokens) AS deficit_tokens
+    FROM j
+    """,
+    tags=("sampling", "profile"),
+)
+def profile_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planner (operators/sampling.py::
+    mixture_token_plan): a LLaMA-style recipe over six sources, a 50k
+    budget, and a 2-epoch repeat cap — per source the achievable
+    allocation, realized epochs, and the explicit deficit where the cap
+    binds. VALUE-EXACT: floor/least on exactly-representable doubles and
+    one bigint division per row."""
+    from ..operators.sampling import mixture_token_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_token_plan(
+        docs,
+        _PLAN_WEIGHTS,
+        _PLAN_BUDGET,
+        max_epochs=_PLAN_EPOCH_CAP,
+    ).orderBy("source")
+
+
+@query(
+    "profile_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             n_chars + CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    pa AS (SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS w
+           FROM documents GROUP BY 1),
+    qa AS (SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS w
+           FROM b GROUP BY 1),
+    ps AS (SELECT grp, w / SUM(w) OVER () AS p FROM pa),
+    qs AS (SELECT grp, w / SUM(w) OVER () AS q FROM qa)
+    SELECT COALESCE(ps.grp, qs.grp) AS "group",
+           round(COALESCE(p, 0.0), 6) AS share_a,
+           round(COALESCE(q, 0.0), 6) AS share_b,
+           round((COALESCE(p, 0.0) - COALESCE(q, 0.0))
+                 * ln(greatest(COALESCE(p, 0.0), 1e-6)
+                      / greatest(COALESCE(q, 0.0), 1e-6)), 6) AS psi_term
+    FROM ps FULL OUTER JOIN qs USING (grp)
+    """,
+    tags=("profile",),
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift via the Population Stability Index
+    (operators/profile.py::distribution_psi), token-weighted per source:
+    snapshot B is the corpus-diff convention's next crawl (every 17th doc
+    removed, every 10th edited +3 chars), so every source shifts slightly
+    and the per-group psi terms are small-but-nonzero — the < 0.1 "stable"
+    verdict a scheduled retrain would read. VALUE-EXACT: shares are exact
+    bigint divisions; the ln term rounds at 6dp, far above sub-ulp
+    cross-engine ln drift."""
+    from ..operators.profile import distribution_psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    updated = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("doc_id") % 10 == 0, F.lit(3)).otherwise(F.lit(0)),
+    )
+    return distribution_psi(
+        docs, updated, group_col="source", weight_col="n_chars"
+    ).orderBy("group")
+
+
+def _dup_matrix_oracle() -> str:
+    from .datapipe import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    src AS (SELECT doc_id AS id, source FROM documents),
+    m AS (SELECT least(s1.source, s2.source) AS source_a,
+                 greatest(s1.source, s2.source) AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pairs
+          JOIN src s1 ON pairs.id1 = s1.id
+          JOIN src s2 ON pairs.id2 = s2.id
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, n_pairs,
+           round(n_pairs / SUM(n_pairs) OVER (), 6) AS pct
+    FROM m
+    """
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=_dup_matrix_oracle(),
+    tags=("dedup", "profile"),
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (operators/profile.py::
+    cross_source_dup_matrix) over the MinHash-LSH pair generator: which
+    (source, source) cells the corpus's near-duplicate mass concentrates
+    in — the forensic step that decides whether dedup should drop a
+    mirrored SOURCE upstream instead of pair-joining it every snapshot.
+    VALUE-EXACT on top of the fully hash-deterministic MinHash oracle."""
+    from ..operators import dedup as D
+    from ..operators.profile import cross_source_dup_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8, threshold=0.5)
+    return cross_source_dup_matrix(docs, pairs).orderBy("source_a", "source_b")
+
+
+@query(
+    "z_text_segment_outliers",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+               FROM documents),
+    t AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, ws[t.i] AS tok
+          FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t),
+    c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    n AS (SELECT SUM(c) AS total FROM c),
+    ch AS (SELECT doc_id, pos // 16 AS chunk_id,
+                  SUM(LOG2(c / total)) / COUNT(*) AS clp
+           FROM t JOIN c USING (tok), n
+           GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           round(AVG(clp), 6) AS doc_lp,
+           round(MIN(clp), 6) AS worst_lp,
+           round(AVG(clp) - MIN(clp), 6) AS gap
+    FROM ch GROUP BY 1
+    """,
+    tags=("text", "quality"),
+)
+def z_text_segment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level fluency floor (operators/quality.py::
+    segment_quality_outliers): score every 16-token chunk under the
+    corpus unigram LM and report each document's mean chunk score, WORST
+    chunk score, and the gap — the screen that catches an embedded
+    garbage block inside an otherwise-fluent document, which whole-doc
+    scorers (`z_text_unigram_logprob`, `text_bigram_logprob`) average
+    away. VALUE-EXACT under the 6dp rounding policy."""
+    from ..operators.quality import segment_quality_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_quality_outliers(docs, chunk=16).orderBy("doc_id")
