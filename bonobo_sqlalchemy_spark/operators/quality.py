@@ -466,3 +466,61 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def segment_quality_outliers(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 16,
+) -> DataFrame:
+    """Segment-level fluency floor: score every ``chunk``-token window of
+    a document under the corpus unigram LM and report, per document, the
+    mean chunk score, the WORST chunk score, and the gap between them.
+
+    Whole-document scorers (`bigram_interpolated_logprob`, the unigram LM
+    in `queries/datapipe5.py::z_text_unigram_logprob`) average an embedded
+    garbage block away: a 2 000-token page with 60 tokens of base64 noise
+    still scores near-fluent overall. Chunking first and taking the MIN
+    restores the signal — a large ``doc_lp - worst_lp`` gap flags exactly
+    the "mostly fine, one bad segment" documents that substring-level
+    curation (strip the block, keep the page) wants to see. The reference
+    engine has no LM scoring at all (its transform surface is arbitrary
+    Python rows, `/root/reference/bonobo_sqlalchemy/writers.py:33`); this
+    is part of the mandated training-data extension surface.
+
+    Output: ``(id_col, n_chunks bigint, doc_lp, worst_lp, gap)`` with the
+    three doubles rounded at 1e-6 per the determinism policy (float-sum
+    reorder noise is ~1e-12). ``gap`` is computed from the UNROUNDED
+    aggregates, then rounded once — not as a difference of rounded values.
+
+    Scale shape: identical to the whole-doc unigram scorer plus one extra
+    keyed aggregation — (1) corpus vocab count (token-key shuffle, hot
+    tokens bounded by AQE skew splitting), (2) token→count join on the
+    same key, (3) per-(doc, chunk) hash-agg, (4) per-doc hash-agg over the
+    tiny chunk table. The 1-row corpus total rides a broadcast. No Python
+    in the per-token path — split/posexplode/log2 are all codegen.
+    """
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), " +")).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    chunk_scores = (
+        toks.withColumn("chunk_id", F.floor(F.col("pos") / F.lit(chunk)))
+        .join(counts, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            (
+                F.sum(F.log2(F.col("c") / F.col("total"))) / F.count(F.lit(1))
+            ).alias("clp")
+        )
+    )
+    return chunk_scores.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(F.avg("clp"), 6).alias("doc_lp"),
+        F.round(F.min("clp"), 6).alias("worst_lp"),
+        F.round(F.avg("clp") - F.min("clp"), 6).alias("gap"),
+    )

@@ -3,7 +3,8 @@ composition: profile -> exact dedup -> near-dup removal (Jaccard +
 containment) -> boilerplate strip -> exact substring-span screen ->
 Gopher rule bundle -> quality filter (heuristics + unigram-LM fluency)
 -> DSIR target-matching selection (broadcast-boundary deciles, no
-per-language window) -> temperature source re-mix -> text metrics ->
+per-language window) -> plan-driven source re-mix (token-budget
+mixture planner -> exact per-source quotas) -> text metrics ->
 leakage-free cluster-level train/val split -> partitioned corpus write
 -> verified training-shard export.
 
@@ -176,16 +177,46 @@ def main() -> None:
     curated = curated.join(dsir_keep, "doc_id", "left_semi")
     n3b = curated.count()
 
-    # 3c. temperature re-mix across sources (count^0.5 shares): flatten the
-    #     source distribution so small curated sources are not drowned by
-    #     the crawl — quotas from one group-count agg + a broadcast join,
-    #     rank pick keeps the WindowGroupLimit pushdown.
+    # 3c. plan-driven source re-mix: derive a temperature-flattened recipe
+    #     (count^0.5 shares, so small curated sources are not drowned by
+    #     the crawl), turn recipe + a 90% token budget + a 1-epoch cap
+    #     into ACHIEVABLE per-source allocations with `mixture_token_plan`
+    #     (the planner surfaces each source's deficit explicitly instead
+    #     of silently under-filling), then realize the plan with exact
+    #     per-source doc quotas via `mixture_sample` (rank pick keeps the
+    #     WindowGroupLimit pushdown). Both collects here are
+    #     source-cardinality by contract — bounded at any corpus scale.
     from bonobo_sqlalchemy_spark.operators.sampling import (
-        temperature_mixture_sample,
+        mixture_sample,
+        mixture_token_plan,
     )
 
-    curated = temperature_mixture_sample(
-        curated, "source", total_n=max(20, int(n3b * 0.9)), id_col="doc_id"
+    src_stats = {
+        r["source"]: (r["docs"], r["toks"])
+        for r in curated.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks"))
+        .collect()  # bounded-collect: one row per source
+    }
+    z = sum(d**0.5 for d, _ in src_stats.values())
+    recipe = {s: (d**0.5) / z for s, (d, _) in src_stats.items()}
+    budget = int(0.9 * sum(t for _, t in src_stats.values()))
+    plan = mixture_token_plan(
+        curated, recipe, budget, token_col="n_tokens", max_epochs=1.0
+    )
+    plan.orderBy("source").show(truncate=False)
+    quotas = {
+        r["source"]: max(
+            1,
+            int(
+                r["allocated_tokens"]
+                * src_stats[r["source"]][0]
+                // max(1, src_stats[r["source"]][1])
+            ),
+        )
+        for r in plan.collect()  # bounded-collect: the plan IS source-cardinality
+    }
+    curated = mixture_sample(
+        curated, "source", quotas, "doc_id"
     ).localCheckpoint()  # selection settled; downstream actions reuse it
     n3c = curated.count()
 
