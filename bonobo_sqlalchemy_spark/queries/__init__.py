@@ -58,7 +58,12 @@ DRIVER_WINDOW = 50
 #: the q_ rows they push out of the hard external gate stay enumerated and
 #: parity-policed (round-10 verdict action item 2).
 WINDOW_ENTRANT_QUERIES = frozenset(
-    {"dedup_source_matrix", "profile_drift_psi", "profile_mixture_plan"}
+    {
+        "dedup_bloom_merge",
+        "dedup_source_matrix",
+        "profile_drift_psi",
+        "profile_mixture_plan",
+    }
 )
 
 #: Queries that WOULD be in the driver's window had neither the alias rows

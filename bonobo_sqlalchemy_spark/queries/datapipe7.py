@@ -670,19 +670,120 @@ def z_emb_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(proj, queries, k=5).orderBy("query_id", "rank")
 
 
-@query("z_stream_rate_anomaly", oracle=None, tags=("streaming", "monitor"))
+@query(
+    "z_stream_rate_anomaly",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, event_id % 6 AS sl
+      FROM events
+    ),
+    t AS (
+      SELECT key, sl,
+             CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY sl)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY key, sl
+    ),
+    m AS (
+      SELECT a.key, a.i, a.c,
+             SUM(b.c * CASE WHEN b.i = 1 THEN power(0.7, a.i - 1)
+                            ELSE 0.3 * power(0.7, a.i - b.i) END) AS mean_i
+      FROM t a JOIN t b ON a.key = b.key AND b.i <= a.i
+      GROUP BY a.key, a.i, a.c
+    ),
+    d AS (
+      SELECT key, i, c, mean_i,
+             c - COALESCE(
+                   LAG(mean_i) OVER (PARTITION BY key ORDER BY i),
+                   FIRST_VALUE(c) OVER (PARTITION BY key ORDER BY i)
+                 ) AS delta_i
+      FROM m
+    ),
+    v AS (
+      SELECT a.key, a.i, a.c, a.mean_i,
+             SUM(0.3 * power(0.7, a.i - b.i + 1)
+                 * b.delta_i * b.delta_i) AS var_i
+      FROM d a JOIN d b ON a.key = b.key AND b.i <= a.i
+      GROUP BY a.key, a.i, a.c, a.mean_i
+    ),
+    f AS (
+      SELECT key, i, c, mean_i, var_i,
+             LAG(mean_i) OVER (PARTITION BY key ORDER BY i) AS pm,
+             LAG(var_i)  OVER (PARTITION BY key ORDER BY i) AS pv
+      FROM v
+    )
+    SELECT key, i AS batch_seq, c AS n_events,
+           round(mean_i, 6) AS ewma_mean,
+           round(sqrt(var_i), 6) AS ewma_std,
+           (i - 1 >= 3 AND abs(c - pm) > 3.0 * sqrt(pv)) AS is_anomaly
+    FROM f
+    """,
+    tags=("streaming", "monitor"),
+)
 def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming EWMA control chart: per-event-type micro-batch
     counts checked against an exponentially-weighted mean/variance with
     O(1) state per key — the rate-monitoring op that runs beside the
-    sketches on an ingest stream. Rows-only (EWMA state is iterative);
-    the planted-spike detection semantics are asserted in
-    tests/test_streaming.py over a multi-batch replay."""
-    from ..streaming.anomaly import rate_anomaly_stream
-    from ..streaming.windows import read_events_stream
+    sketches on an ingest stream. The replay is a genuine SIX-batch run:
+    events slice deterministically by ``event_id % 6`` into mtime-ordered
+    files consumed one per trigger, so the chart's warm-up, fold, and
+    post-warm-up verdict paths all execute across micro-batch boundaries.
 
-    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    out = rate_anomaly_stream(ev, key_col="event_type")
+    VALUE-EXACT as of round 11 (previously rows-only): the EWMA
+    recurrence at fixed alpha unrolls to a closed form — ``m_i =
+    (1-a)^(i-1) c_1 + sum_j a (1-a)^(i-j) c_j`` and ``v_i = sum_j a
+    (1-a)^(i-j+1) delta_j^2`` with pre-fold deltas from a LAG — which the
+    oracle evaluates as exponent-weight joins over the per-(key, batch)
+    integer counts. The two evaluation orders (iterative fold vs
+    closed-form sum) drift only at ~1e-12 relative, absorbed by the 6dp
+    rounding policy; the warm-up gate and the strict-inequality verdict
+    compare integer counts against the same closed-form state. Planted-
+    spike detection is additionally asserted in tests/test_streaming.py.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.anomaly import rate_anomaly_stream
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}:slices6"
+    watch = os.path.join(
+        tempfile.gettempdir(),
+        "bss_anom_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+    )
+    done = os.path.join(watch, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(watch, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_type").cast("string").alias("event_type"),
+            (F.col("event_id") % 6).alias("sl"),
+        )
+        for i in range(6):
+            tmp = os.path.join(watch, f"_tmp{i}")
+            (
+                ev.where(F.col("sl") == i)
+                .select("event_type")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(watch, f"b{i:02d}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            # strictly increasing mod-times pin the micro-batch order
+            t_ns = st.st_mtime_ns + i * 10**9
+            os.utime(dst, ns=(t_ns, t_ns))
+            shutil.rmtree(tmp)
+        open(done, "w").close()
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    out = rate_anomaly_stream(stream, key_col="event_type")
     name = "z_stream_anomaly_tbl"
     q = (
         out.writeStream.format("memory")

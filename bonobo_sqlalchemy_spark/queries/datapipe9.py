@@ -99,6 +99,77 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_bloom_merge",
+    oracle=f"""
+    WITH j AS (SELECT unnest(['0','1','2','3']) AS jj),
+    refs AS (SELECT DISTINCT md5(text) AS h FROM documents
+             WHERE source IN ('src1', 'src2')),
+    bpos AS (SELECT DISTINCT {_BLOOM_POS_SQL.format(key='refs.h')} AS pos
+             FROM refs, j),
+    probe AS (SELECT doc_id, md5(text) AS h FROM documents),
+    pp AS (SELECT probe.doc_id,
+                  bool_and({_BLOOM_POS_SQL.format(key='probe.h')}
+                           IN (SELECT pos FROM bpos)) AS bloom_hit
+           FROM probe, j GROUP BY 1)
+    SELECT p.doc_id, pp.bloom_hit,
+           p.h IN (SELECT h FROM refs) AS exact_hit
+    FROM probe p JOIN pp USING (doc_id)
+    """,
+    tags=("dedup", "membership"),
+    bench=True,
+)
+def dedup_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest membership screen via Bloom MERGE: the `src1`
+    and `src2` snapshots each build their OWN 2^16-bit k=4 filter from
+    only their own fingerprints; `bloom_merge` ORs the word maps into the
+    accumulated "everything previously ingested" filter, and the whole
+    corpus probes against the merged filter map-side — ``(doc_id,
+    bloom_hit, exact_hit)``.
+
+    This is the cost profile incremental ingest runs at 100 TB: each new
+    crawl builds a filter from its OWN keys only (never re-scanning
+    history), and the accumulated filter is a constant-size word-map OR.
+    The oracle exploits exact mergeability — probe(merge(A, B)) ≡
+    probe(build(A ∪ B)) bit-for-bit — so the merged filter's every probe
+    bit, false positives included, reproduces from the unioned reference
+    in SQL. VALUE-EXACT. The shared explicit (m_bits, k) across snapshots
+    is the `bloom_merge` sizing contract; the mismatch path raises and is
+    tested in tests/test_membership.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    snaps = [
+        bloom_build(
+            keyed.where(F.col("source") == s).select("h").distinct(),
+            "h",
+            m_bits=_BLOOM_M,
+            k=_BLOOM_K,
+        )
+        for s in ("src1", "src2")
+    ]
+    from ..operators.dedup import bloom_merge
+
+    merged = bloom_merge(*snaps)
+    probed = bloom_probe(
+        keyed.select("doc_id", "h"), merged, "h", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    exact = (
+        keyed.where(F.col("source").isin("src1", "src2"))
+        .select("h")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    return (
+        probed.join(exact, "h", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_bigram_logprob",
     oracle="""
     WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws

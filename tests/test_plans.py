@@ -110,6 +110,12 @@ NO_CARTESIAN_EXEMPT = {
     # corpus size) crossed into the probed corpus — the zero-shuffle
     # membership screen's constant build side (operators/dedup.bloom_probe)
     "dedup_bloom_prefilter",
+    # same 1-row filter broadcast, merged from two snapshot filters — the
+    # incremental-ingest variant of the membership screen
+    "dedup_bloom_merge",
+    # 1-row total-token-count broadcast (the chunk-LM probability
+    # denominator) — same scalar-subquery shape as z_text_unigram_logprob
+    "z_text_segment_outliers",
     # the source-pair expansion crosses the distinct GROUP LIST with
     # itself (sources^2 rows, data-independent); everything data-sized is
     # equi-joined (operators/profile.source_overlap_kmv)
