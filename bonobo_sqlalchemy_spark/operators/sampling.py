@@ -282,3 +282,73 @@ def mixture_token_plan(
         ).alias("epochs"),
         (target - F.least(target, cap)).alias("deficit_tokens"),
     )
+
+
+def mixture_deficit_respread(
+    plan: DataFrame,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """One refill round over a :func:`mixture_token_plan` output: re-spread
+    the plan's total deficit (token mass that capped sources could not
+    absorb) across the sources that still have epoch headroom,
+    weight-proportionally.
+
+    ``(source, weight, available_tokens, base_tokens, extra_tokens,
+    allocated_tokens, epochs)`` where ``base`` is the first-round
+    allocation, ``extra = min(floor(D * w / W), headroom)`` with ``D`` the
+    plan's total deficit, ``W`` the 6dp-rounded weight mass of eligible
+    sources (headroom > 0 and weight > 0 — zero-weight sources are
+    excluded by recipe, so they never absorb spillover), and ``headroom =
+    floor(available * max_epochs) - base`` under the SAME epoch cap as the
+    plan round. Deliberately ONE explicit round, matching
+    `mixture_token_plan`'s documented contract ("one re-invocation per
+    refill round, caller-controlled"): callers chain further rounds by
+    feeding the output back through the same shape; a hidden fixpoint loop
+    would make the allocation unauditable. Residual mass that even the
+    refill cannot place is ``D - sum(extra)``, derivable from the output.
+
+    Value-exact cross-engine: ``D`` is an integer, ``W`` is rounded at 6dp
+    before use (collapsing aggregation-order ulps), and ``floor(D*w/W)``
+    is the identical IEEE expression in Spark and SQL.
+
+    Scale shape: the input is source-cardinality by construction, so every
+    step is bounded — one 1-row (D, W) aggregate attached via the scalar
+    broadcast idiom (`operators/scale.scalar_attach`), then pure
+    row-local arithmetic.
+    """
+    from .scale import scalar_attach
+
+    cap = F.floor(
+        F.col("available_tokens") * F.lit(float(max_epochs))
+    ).cast("bigint")
+    base = plan.select(
+        "source",
+        "weight",
+        "available_tokens",
+        F.col("allocated_tokens").alias("base_tokens"),
+        "deficit_tokens",
+        (cap - F.col("allocated_tokens")).cast("bigint").alias("__headroom"),
+    )
+    eligible = (F.col("__headroom") > 0) & (F.col("weight") > 0)
+    tot = base.agg(
+        F.sum("deficit_tokens").cast("bigint").alias("__D"),
+        F.round(
+            F.sum(F.when(eligible, F.col("weight")).otherwise(F.lit(0.0))), 6
+        ).alias("__W"),
+    )
+    j = scalar_attach(base, tot)
+    extra_target = F.when(
+        eligible & (F.col("__W") > 0),
+        F.floor(F.col("__D") * F.col("weight") / F.col("__W")).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    extra = F.least(extra_target, F.col("__headroom"))
+    alloc = F.col("base_tokens") + extra
+    return j.select(
+        "source",
+        "weight",
+        "available_tokens",
+        "base_tokens",
+        extra.alias("extra_tokens"),
+        alloc.alias("allocated_tokens"),
+        F.round(alloc / F.col("available_tokens"), 6).alias("epochs"),
+    )

@@ -63,6 +63,7 @@ WINDOW_ENTRANT_QUERIES = frozenset(
         "dedup_source_matrix",
         "profile_drift_psi",
         "profile_mixture_plan",
+        "profile_mixture_respread",
     }
 )
 

@@ -1,13 +1,15 @@
-"""Round-9 training-data pipeline extensions: token-budget mixture
-planning, snapshot drift (PSI), the cross-source duplication matrix, and
-segment-level quality outliers.
+"""Round-9/11 training-data pipeline extensions: token-budget mixture
+planning (+ deficit respread), snapshot drift (PSI), the cross-source
+duplication matrix, and segment-level quality outliers.
 
-Four operations a recurring 100 TB curation run performs BETWEEN the
+Operations a recurring 100 TB curation run performs BETWEEN the
 per-document operators earlier rounds shipped:
 
 - mixture planning — turning a published mixture recipe + token budget +
   epoch cap into achievable per-source allocations (the step before any
-  `mixture_sample` call; Muennighoff et al. 2023 motivate the epoch cap);
+  `mixture_sample` call; Muennighoff et al. 2023 motivate the epoch cap),
+  plus the explicit one-round deficit respread over sources with
+  remaining epoch headroom;
 - drift monitoring — PSI between snapshots' source distributions, the
   gate a scheduled re-train checks before trusting a new crawl;
 - duplication forensics — folding pair-generator output into a
@@ -17,7 +19,7 @@ per-document operators earlier rounds shipped:
   whose aggregate score hides an embedded garbage block (the whole-doc
   scorers average it away).
 
-All four are value-exact against DuckDB oracles (integer counts, exact
+All are value-exact against DuckDB oracles (integer counts, exact
 share divisions, 6dp-rounded IEEE terms per queries/base.py policy).
 """
 
@@ -210,3 +212,71 @@ def z_text_segment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_quality_outliers(docs, chunk=16).orderBy("doc_id")
+
+
+@query(
+    "profile_mixture_respread",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    wt(source, weight) AS (VALUES {_PLAN_VALUES}),
+    j AS (
+      SELECT avail.source, COALESCE(wt.weight, 0.0) AS weight,
+             available_tokens,
+             CAST(floor({_PLAN_BUDGET} * COALESCE(wt.weight, 0.0)) AS BIGINT)
+               AS target_tokens,
+             CAST(floor(available_tokens * {_PLAN_EPOCH_CAP}) AS BIGINT)
+               AS cap_tokens
+      FROM avail LEFT JOIN wt USING (source)
+    ),
+    p AS (
+      SELECT source, weight, available_tokens, cap_tokens,
+             least(target_tokens, cap_tokens) AS base_tokens,
+             target_tokens - least(target_tokens, cap_tokens)
+               AS deficit_tokens
+      FROM j
+    ),
+    tot AS (
+      SELECT CAST(SUM(deficit_tokens) AS BIGINT) AS d,
+             round(SUM(CASE WHEN cap_tokens - base_tokens > 0
+                             AND weight > 0
+                            THEN weight ELSE 0 END), 6) AS w_elig
+      FROM p
+    ),
+    r AS (
+      SELECT p.source, p.weight, p.available_tokens, p.base_tokens,
+             CASE WHEN cap_tokens - base_tokens > 0 AND weight > 0
+                   AND w_elig > 0
+                  THEN least(CAST(floor(d * weight / w_elig) AS BIGINT),
+                             cap_tokens - base_tokens)
+                  ELSE CAST(0 AS BIGINT) END AS extra_tokens
+      FROM p, tot
+    )
+    SELECT source, weight, available_tokens, base_tokens, extra_tokens,
+           base_tokens + extra_tokens AS allocated_tokens,
+           round((base_tokens + extra_tokens) / available_tokens, 6)
+             AS epochs
+    FROM r
+    """,
+    tags=("sampling", "profile"),
+)
+def profile_mixture_respread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deficit refill round over the registered mixture plan
+    (operators/sampling.py::mixture_deficit_respread): the token mass the
+    2-epoch cap left unplaced re-spreads weight-proportionally across the
+    sources that still have epoch headroom, bounded by that headroom —
+    the explicit one-round form of the refill loop `mixture_token_plan`'s
+    contract leaves to the caller. VALUE-EXACT: integer deficit mass, 6dp
+    pre-rounded eligible-weight divisor, and floor/least on identical
+    IEEE expressions in both engines."""
+    from ..operators.sampling import mixture_deficit_respread, mixture_token_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_token_plan(
+        docs, _PLAN_WEIGHTS, _PLAN_BUDGET, max_epochs=_PLAN_EPOCH_CAP
+    )
+    return mixture_deficit_respread(plan, max_epochs=_PLAN_EPOCH_CAP).orderBy(
+        "source"
+    )

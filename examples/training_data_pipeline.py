@@ -187,6 +187,7 @@ def main() -> None:
     #     WindowGroupLimit pushdown). Both collects here are
     #     source-cardinality by contract — bounded at any corpus scale.
     from bonobo_sqlalchemy_spark.operators.sampling import (
+        mixture_deficit_respread,
         mixture_sample,
         mixture_token_plan,
     )
@@ -203,6 +204,11 @@ def main() -> None:
     plan = mixture_token_plan(
         curated, recipe, budget, token_col="n_tokens", max_epochs=1.0
     )
+    #     ... then one explicit deficit-respread round: mass the epoch cap
+    #     left unplaced re-spreads weight-proportionally across sources
+    #     with remaining headroom (the refill loop the planner's contract
+    #     leaves to the caller, done once)
+    plan = mixture_deficit_respread(plan, max_epochs=1.0)
     plan.orderBy("source").show(truncate=False)
     quotas = {
         r["source"]: max(

@@ -44,6 +44,9 @@ NESTED_LOOP_OK = {
     "(map<word,bits>, O(m_bits) regardless of corpus size) crossed into "
     "the probed corpus — the probe is map-side-only; the probed side "
     "never shuffles",
+    "dedup_bloom_merge": "same 1-row broadcast Bloom filter shape, built "
+    "by merging two snapshot filters (word-map OR) — the merged filter is "
+    "still O(m_bits); the probed corpus never shuffles",
     "text_bigram_logprob": "1-row broadcast scalar join (total token "
     "count, the interpolated bigram model's unigram denominator) — "
     "constant broadcast, no quadratic term",

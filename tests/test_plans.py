@@ -113,6 +113,10 @@ NO_CARTESIAN_EXEMPT = {
     # same 1-row filter broadcast, merged from two snapshot filters — the
     # incremental-ingest variant of the membership screen
     "dedup_bloom_merge",
+    # 1-row (deficit mass, eligible weight) aggregate broadcast into the
+    # source-cardinality plan table (operators/scale.scalar_attach) —
+    # constant build side, bounded probe side
+    "profile_mixture_respread",
     # 1-row total-token-count broadcast (the chunk-LM probability
     # denominator) — same scalar-subquery shape as z_text_unigram_logprob
     "z_text_segment_outliers",

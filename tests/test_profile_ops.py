@@ -156,3 +156,69 @@ def test_segment_outliers_partition_invariant(spark, sf_small):
         map(tuple, segment_quality_outliers(docs.repartition(13), chunk=16).collect())
     )
     assert a == b
+
+
+def test_respread_proportional_split_with_ample_headroom(spark, docs3):
+    # budget 1000, weights 50/10/40, cap 1.0:
+    #   a: target 500, cap 1000 -> base 500, headroom 500
+    #   b: target 100, cap 300  -> base 100, headroom 200
+    #   c: target 400, cap 200  -> base 200, deficit 200
+    # D=200, eligible {a, b}, W=0.6:
+    #   extra_a = floor(200*0.5/0.6) = 166, extra_b = floor(200*0.1/0.6) = 33
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        mixture_deficit_respread,
+    )
+
+    plan = mixture_token_plan(
+        docs3, {"a": 0.5, "b": 0.1, "c": 0.4}, 1000, max_epochs=1.0
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in mixture_deficit_respread(plan, max_epochs=1.0).collect()
+    }
+    assert out["a"]["extra_tokens"] == 166 and out["a"]["allocated_tokens"] == 666
+    assert out["b"]["extra_tokens"] == 33 and out["b"]["allocated_tokens"] == 133
+    assert out["c"]["extra_tokens"] == 0  # no headroom: it caused the deficit
+
+
+def test_respread_bounded_by_headroom(spark, docs3):
+    # budget 2000, weights 20/50/30, cap 1.0:
+    #   a: target 400, cap 1000 -> base 400, headroom 600
+    #   b: target 1000, cap 300 -> base 300, deficit 700
+    #   c: target 600, cap 200  -> base 200, deficit 400
+    # D=1100, eligible {a} only, W=0.2: extra_a = min(1100, 600) = 600
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        mixture_deficit_respread,
+    )
+
+    plan = mixture_token_plan(
+        docs3, {"a": 0.2, "b": 0.5, "c": 0.3}, 2000, max_epochs=1.0
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in mixture_deficit_respread(plan, max_epochs=1.0).collect()
+    }
+    assert out["a"]["extra_tokens"] == 600  # headroom binds, not the target
+    assert out["a"]["allocated_tokens"] == 1000 and out["a"]["epochs"] == 1.0
+    assert out["b"]["extra_tokens"] == 0 and out["c"]["extra_tokens"] == 0
+    # residual mass even the refill cannot place: 1100 - 600 = 500
+    assert sum(r["extra_tokens"] for r in out.values()) == 600
+
+
+def test_respread_zero_eligible_is_noop(spark, docs3):
+    # budget 2000, weights 50/30/20, cap 1.0: every source is capped
+    # (headroom 0 across the board), so the refill places nothing
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        mixture_deficit_respread,
+    )
+
+    plan = mixture_token_plan(
+        docs3, {"a": 0.5, "b": 0.3, "c": 0.2}, 2000, max_epochs=1.0
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in mixture_deficit_respread(plan, max_epochs=1.0).collect()
+    }
+    for s in ("a", "b", "c"):
+        assert out[s]["extra_tokens"] == 0
+        assert out[s]["allocated_tokens"] == out[s]["base_tokens"]
