@@ -123,10 +123,24 @@ def main() -> None:
     except Exception:
         commit = "?"
 
+    # source-hash stamp (parity_report.py's exact loop) so staleness is
+    # checkable against the tree, not just the recording commit
+    import hashlib
+
+    h = hashlib.sha256()
+    root = Path(__file__).parent
+    for p in sorted((root / "bonobo_sqlalchemy_spark").rglob("*.py")) + [
+        root / "__spark_entry__.py"
+    ]:
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    src_hash = h.hexdigest()[:12]
+
     lines = [
         "# PLANS — physical-plan audit of the bench query set",
         "",
         f"Generated {datetime.date.today().isoformat()} at commit `{commit}` "
+        f"(engine source sha256 `{src_hash}`) "
         f"against `{sf_dir}` (plans are scale-invariant apart from AQE's "
         "runtime join/partition choices; the structural audit below is what "
         "holds at 100 TB).",

@@ -31,6 +31,15 @@ def main() -> None:
     spark = get_spark(app_name="scaling_report")
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
 
+    # same trust signals bench.py carries: box load at start/end so a
+    # reader can adjudicate run-to-run drift as noise vs regression
+    import os as _os
+
+    try:
+        load1_start = round(_os.getloadavg()[0], 1)
+    except OSError:
+        load1_start = None
+
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     for sf_dir in SFS:
         sf = sf_dir.rsplit("sf", 1)[-1]
@@ -56,11 +65,33 @@ def main() -> None:
     except Exception:
         commit = "?"
 
+    # source-hash stamp (parity_report.py's exact loop) so staleness is
+    # checkable against the tree, not just the recording commit
+    import hashlib
+
+    h = hashlib.sha256()
+    root = Path(__file__).parent
+    for p in sorted((root / "bonobo_sqlalchemy_spark").rglob("*.py")) + [
+        root / "__spark_entry__.py"
+    ]:
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    src_hash = h.hexdigest()[:12]
+
+    try:
+        load1_end = round(_os.getloadavg()[0], 1)
+    except OSError:
+        load1_end = None
+
     lines = [
         "# SCALING — query time vs data size (sf0.001 → sf0.1, 100×)",
         "",
-        f"Generated {datetime.date.today().isoformat()} at commit `{commit}`; "
-        "steady-state (min-of-2) seconds per scale factor on local[32].",
+        f"Generated {datetime.date.today().isoformat()} at commit `{commit}` "
+        f"(engine source sha256 `{src_hash}`); steady-state (min-of-2) "
+        f"seconds per scale factor on local[32]. Box load1 at start "
+        f"{load1_start}, at end {load1_end} (bench.py's trust-signal "
+        "convention: high/shifting load means deltas vs a prior round are "
+        "noise, not code).",
         "",
         "`alpha` = log-slope over the top decade (sf0.01 → sf0.1): the "
         "empirical scaling exponent. ~1.0 = linear in data (survives a "
