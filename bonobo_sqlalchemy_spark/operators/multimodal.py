@@ -8,12 +8,15 @@ explicit output schema — the Spark-side contract (schema, partitioning,
 batch shape) is real and tested.
 
 Decode status: uncompressed 24-bit BMP decodes/encodes LIBRARY-FREE
-(:func:`_decode_bmp24` / :func:`encode_bmp24`), so the full decode ->
-resize (:func:`resize_nearest`) -> featurize (:func:`extract_image_features`)
-path runs for real in this container. Compressed formats (PNG/JPEG/...)
-still need PIL/cv2 — import-probed, absent in this build — and fall back
-to the documented ``NotImplementedError``; :func:`fake_features` remains
-the deterministic byte-level stand-in for oracle-checked plumbing tests.
+(:func:`_decode_bmp24` / :func:`encode_bmp24`), and — round 11 — so does
+PNG (:func:`_decode_png` / :func:`encode_png`: stdlib ``zlib`` inflate +
+full filter-0..4 unfiltering incl. Paeth, 8-bit gray/RGB/RGBA), so the
+decode -> resize (:func:`resize_nearest`) -> featurize
+(:func:`extract_image_features`) path runs for real in this container on
+a genuinely COMPRESSED format. DCT formats (JPEG/WebP/...) still need
+PIL/cv2 — import-probed, absent in this build — and fall back to the
+documented ``NotImplementedError``; :func:`fake_features` remains the
+deterministic byte-level stand-in for oracle-checked plumbing tests.
 """
 
 from __future__ import annotations
@@ -63,12 +66,15 @@ def decode_image(payload: bytes) -> "object":
         return img
     except ImportError:
         pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
     raise NotImplementedError(
         "image decode requires a media library (PIL/cv2) not present in "
-        "this build (uncompressed BMP decodes library-free above); both "
-        "import paths activate automatically on a full cluster image"
+        "this build (uncompressed BMP and 8-bit PNG decode library-free "
+        "above); both import paths activate automatically on a full "
+        "cluster image"
     )
 
 
@@ -107,6 +113,143 @@ def _decode_bmp24(payload: bytes) -> "object":
     if not top_down:
         img = img[::-1]  # stored bottom-up
     return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_png(payload: bytes) -> "object":
+    """Library-free decode of a non-interlaced 8-bit PNG (gray / RGB /
+    RGBA) into an (h, w, 3) uint8 RGB ndarray — stdlib ``zlib`` inflates
+    the IDAT stream, then every scanline filter the spec defines (None /
+    Sub / Up / Average / Paeth, RFC 2083 §6) is reversed here. Gray
+    replicates to 3 channels; RGBA drops alpha (featurization reads color
+    planes). This is a REAL compressed-format decode running in-container
+    with no media library; PIL/cv2 (probed first in :func:`decode_image`)
+    remain the production path for interlaced/16-bit/paletted PNGs and
+    DCT formats.
+
+    The per-scanline unfilter is sequential in x for Sub/Average/Paeth
+    (each pixel depends on its left neighbor) — a Python loop per row,
+    fine for the thumbnail-scale payloads this container exercises;
+    cluster images ship PIL whose C loop takes over automatically.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    idat = bytearray()
+    dims = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"library-free PNG branch handles 8-bit gray/RGB/RGBA "
+                    f"only (got depth={depth}, color_type={color})"
+                )
+            if interlace != 0:
+                raise NotImplementedError(
+                    "library-free PNG branch handles non-interlaced only"
+                )
+            dims = (h, w, {0: 1, 2: 3, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if dims is None:
+        raise ValueError("PNG payload has no IHDR chunk")
+    h, w, channels = dims
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG scanline data truncated: need {h * (1 + stride)} bytes, "
+            f"have {len(raw)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        cur = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
+        at += 1 + stride
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (cur[x] + (a + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                c = int(prev[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img.copy()
+
+
+def encode_png(img) -> bytes:
+    """Library-free inverse of :func:`_decode_png`: an (h, w, 3) uint8 RGB
+    array to a non-interlaced 8-bit truecolor PNG (filter 0 scanlines,
+    stdlib ``zlib`` deflate, CRC-32 per chunk).
+
+    Paired with the PNG decode branch it makes the COMPRESSED half of the
+    decode -> resize -> featurize path synthesizable and executable in
+    this container, the same way `encode_bmp24` covers the uncompressed
+    half."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"encode_png expects (h, w, 3) RGB, got {arr.shape}")
+    raw = b"".join(b"\x00" + bytes(row.reshape(-1)) for row in arr)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def fake_features(payload: bytes, n_chars: int) -> tuple[str, str, float, float]:

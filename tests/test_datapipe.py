@@ -171,7 +171,8 @@ def test_multimodal_schema_and_determinism(spark, docs):
 
 def test_multimodal_decode_probes_then_stubs():
     # decode_image import-tries PIL then cv2; in this build neither exists
-    # (probed round 4), so it must raise the documented NotImplementedError.
+    # (probed round 4), so formats outside the library-free branches
+    # (BMP, 8-bit PNG) must raise the documented NotImplementedError.
     # On an image with either library, the same call decodes for real.
     try:
         import PIL  # type: ignore  # noqa: F401
@@ -187,7 +188,21 @@ def test_multimodal_decode_probes_then_stubs():
     if has_media:
         pytest.skip("media library present: decode_image is live, not a stub")
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI/APP0
+    # a PNG the library-free branch explicitly does NOT cover (16-bit)
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_image(deep)
 
 
 def test_exact_dedup_group_sizes_sum_to_corpus(docs):
@@ -456,6 +471,124 @@ def test_bmp_encode_decode_roundtrip():
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         back = M.decode_image(M.encode_bmp24(img))
         assert (np.asarray(back) == img).all()
+
+
+def test_png_encode_decode_roundtrip():
+    """A genuinely COMPRESSED format decodes library-free in-container:
+    zlib IDAT inflate + scanline unfiltering, exact pixel round-trip."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (5, 3), (16, 16), (24, 7)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = M.encode_png(img)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert len(payload) != 8 + 25 + 12 + h * (1 + w * 3)  # actually deflated
+        back = M.decode_image(payload)
+        assert (np.asarray(back) == img).all()
+
+
+def _png_with_filters(img, filters):
+    """Hand-build a PNG whose scanlines use the GIVEN filter types (our
+    encoder always writes filter 0, so decode of filters 1-4 needs
+    payloads filtered here, per RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.int32)
+    h, w, c = arr.shape
+    flat = arr.reshape(h, w * c)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        line = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = int(cur[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_every_scanline_filter():
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    # each filter alone, then all five cycling through the scanlines
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = M.decode_image(_png_with_filters(img, filters))
+        assert (np.asarray(got) == img).all(), f"filters={filters}"
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, size=(6, 4, 1), dtype=np.uint8)
+    got = np.asarray(M.decode_image(_png_with_filters(gray, [0, 2])))
+    assert got.shape == (6, 4, 3)
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+    rgba = rng.integers(0, 256, size=(5, 5, 4), dtype=np.uint8)
+    got = np.asarray(M.decode_image(_png_with_filters(rgba, [1, 4])))
+    assert got.shape == (5, 5, 3)
+    assert (got == rgba[:, :, :3]).all()
+
+
+def test_image_pipeline_mixed_bmp_png_end_to_end(spark):
+    """decode -> resize -> featurize over a MIXED batch of BMP and PNG
+    payloads of the same pixel content: identical features, format-blind."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    payloads = []
+    for i in range(6):
+        img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+        payloads.append((2 * i, bytearray(M.encode_bmp24(img))))
+        payloads.append((2 * i + 1, bytearray(M.encode_png(img))))
+    df = spark.createDataFrame(
+        payloads, "doc_id bigint, payload binary"
+    ).repartition(3)
+    got = {r.doc_id: r for r in M.extract_image_features(df).collect()}
+    assert len(got) == 12
+    for i in range(6):
+        bmp, png = got[2 * i], got[2 * i + 1]
+        assert (bmp.height, bmp.width) == (png.height, png.width) == (9, 11)
+        assert bmp.mean_r == png.mean_r
+        assert bmp.mean_g == png.mean_g
+        assert bmp.mean_b == png.mean_b
 
 
 def test_profile_handles_quoted_column_names(spark):
