@@ -159,6 +159,32 @@ def ivf_cell_assignments(
     return corpus_cells, query_cells
 
 
+def ann_index_save(
+    spark: "SparkSession",
+    path: str,
+    codebook: list[list[float]],
+) -> None:
+    """Persist a coarse codebook as parquet ``(cell bigint, w
+    array<double>)`` — the train-once half of the production ANN operating
+    mode: at 100 TB the quantizer is trained ONCE (on a sample), written
+    next to the corpus, and every subsequent ingest assignment or query
+    probe loads it instead of re-deriving it — index build must never be
+    an implicit side effect of each query call. The parquet is
+    codebook-sized (n_cells × dim doubles), trivially broadcastable."""
+    rows = [(i, [float(x) for x in w]) for i, w in enumerate(codebook)]
+    df = spark.createDataFrame(rows, "cell bigint, w array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ann_index_load(spark: "SparkSession", path: str) -> list[list[float]]:
+    """Load a codebook persisted by :func:`ann_index_save`, cell order
+    restored. The collect is codebook-sized by contract (n_cells rows —
+    the same bounded driver-side footprint `ivf_train_or_init` already
+    has), never corpus-sized."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [[float(x) for x in r["w"]] for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,6 +194,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     train_iters: int = 0,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantization + probed exact re-rank.
 
@@ -181,8 +208,13 @@ def ivf_topk(
     ``n_probe`` nearest cells and re-ranks exactly inside them. The corpus
     never cross-joins the queries — candidate count is ~n_probe/n_cells of
     the corpus per query.
+
+    Pass ``codebook`` (e.g. from :func:`ann_index_load`) to probe a
+    PERSISTED index instead of deriving one — the train-once/probe-often
+    operating mode; ``n_cells``/``train_iters`` are ignored then.
     """
-    codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, train_iters)
+    if codebook is None:
+        codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, train_iters)
     corpus_cells, query_cells = ivf_cell_assignments(
         corpus, queries, codebook, vec_col, id_col, n_probe
     )

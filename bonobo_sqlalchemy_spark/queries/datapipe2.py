@@ -237,9 +237,10 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_topk",
-    oracle="""
+#: Shared by `sim_ivf_topk` and `sim_ivf_saved_index`: saving + loading
+#: the codebook must change NOTHING about the probe's results, so both
+#: queries verify against this identical SQL.
+_IVF_ORACLE = """
     WITH cb AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS w
       FROM embeddings ORDER BY vec_id LIMIT 16
@@ -282,7 +283,12 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM p2)
     SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
     FROM r WHERE rn <= 5
-    """,
+    """
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=_IVF_ORACLE,
     tags=("similarity", "sketch"),
     bench=True,
 )
@@ -301,6 +307,50 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.where(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4)
+
+
+@query(
+    "sim_ivf_saved_index",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "sketch"),
+)
+def sim_ivf_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against a PERSISTED index — the production ANN operating
+    mode at 100 TB: the coarse quantizer is trained once, written as a
+    codebook-sized parquet next to the corpus
+    (operators/similarity.py::ann_index_save), and every ingest
+    assignment or query batch LOADS it (`ann_index_load` ->
+    ``ivf_topk(codebook=...)``) instead of re-deriving it — index build
+    is never an implicit side effect of a query. Save -> load -> probe
+    must reproduce `sim_ivf_topk` exactly, so this query shares its
+    VALUE-EXACT oracle verbatim."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        ann_index_load,
+        ann_index_save,
+        ivf_topk,
+        ivf_train_or_init,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}:ivf16"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "bss_ivfidx_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ann_index_save(
+            spark, path, ivf_train_or_init(e, "embedding", "vec_id", 16, 0)
+        )
+    codebook = ann_index_load(spark, path)
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 8), k=5, n_probe=4, codebook=codebook
+    )
 
 
 @query(

@@ -148,6 +148,25 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embs):
     assert len(exact & approx) >= len(exact) * 0.3
 
 
+def test_ann_index_save_load_probe_identical(spark, embs, tmp_path):
+    """Train-once/probe-often: a saved+reloaded codebook round-trips
+    exactly and the probe against it reproduces the in-line IVF result
+    row for row (including sims and ranks)."""
+    queries = embs.where(F.col("vec_id") < 8)
+    cb = S.ivf_train_or_init(embs, "embedding", "vec_id", 16, 0)
+    path = str(tmp_path / "ivf_idx")
+    S.ann_index_save(spark, path, cb)
+    loaded = S.ann_index_load(spark, path)
+    assert loaded == cb  # exact float round-trip through parquet
+    inline = sorted(
+        map(tuple, S.ivf_topk(embs, queries, k=5, n_cells=16, n_probe=4).collect())
+    )
+    saved = sorted(
+        map(tuple, S.ivf_topk(embs, queries, k=5, n_probe=4, codebook=loaded).collect())
+    )
+    assert inline == saved
+
+
 def test_survivors_drops_higher_ids(spark, docs):
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     kept = D.survivors(docs, pairs)
