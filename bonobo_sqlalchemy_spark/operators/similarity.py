@@ -185,6 +185,46 @@ def ann_index_load(spark: "SparkSession", path: str) -> list[list[float]]:
     return [[float(x) for x in r["w"]] for r in rows]
 
 
+def pq_index_save(
+    spark: "SparkSession",
+    path: str,
+    codebook: list[list[float]],
+    books: list[list[list[float]]],
+) -> None:
+    """Persist a full IVF-PQ index: the coarse codebook
+    (:func:`ann_index_save` layout under ``{path}/coarse``) plus the PQ
+    subspace codebooks as parquet ``(subspace, code, w array<double>)``
+    under ``{path}/pq`` — together ``n_cells*dim + m*ksub*dsub`` floats,
+    the entire driver-side training product of :func:`ivfpq_topk`. At
+    scale this is what makes PQ-coded corpora durable: codes written next
+    to the data are only decodable against the EXACT codebooks that
+    produced them, so the codebooks must persist with the corpus, not
+    live inside one job's driver."""
+    ann_index_save(spark, f"{path}/coarse", codebook)
+    rows = [
+        (s, c, [float(x) for x in w])
+        for s, book in enumerate(books)
+        for c, w in enumerate(book)
+    ]
+    df = spark.createDataFrame(rows, "subspace int, code int, w array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq")
+
+
+def pq_index_load(
+    spark: "SparkSession", path: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Load an index persisted by :func:`pq_index_save` — returns
+    ``(codebook, books)`` with subspace/code order restored. Both
+    collects are codebook-sized by contract."""
+    codebook = ann_index_load(spark, f"{path}/coarse")
+    rows = spark.read.parquet(f"{path}/pq").orderBy("subspace", "code").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append([float(x) for x in r["w"]])
+    return codebook, books
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -539,6 +579,8 @@ def ivfpq_topk(
     pq_iters: int = 1,
     refine: int = 4,
     dim: int = 64,
+    codebook: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse cell routing + PQ-ADC scan of ONLY the probed cells.
 
@@ -566,10 +608,16 @@ def ivfpq_topk(
 
     Queries and their probe sets are collected for LUT construction —
     query-set-sized, the same bound as `cosine_topk`'s broadcast.
+
+    Pass ``codebook`` + ``books`` (from :func:`pq_index_load`) to probe a
+    PERSISTED index instead of training — the train-once/probe-often
+    operating mode; the ``n_cells``/``*_iters`` training knobs are
+    ignored then.
     """
     import numpy as np
 
-    codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, coarse_iters)
+    if codebook is None:
+        codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, coarse_iters)
     corpus_cells, query_cells = ivf_cell_assignments(
         corpus, queries, codebook, vec_col, id_col, n_probe
     )
@@ -577,7 +625,8 @@ def ivfpq_topk(
     for r in query_cells.collect():  # Q*n_probe rows — query-sized
         probes.setdefault(r.cell, []).append(r.query_id)
 
-    books = pq_codebooks(corpus, vec_col, id_col, m, ksub, pq_iters, dim)
+    if books is None:
+        books = pq_codebooks(corpus, vec_col, id_col, m, ksub, pq_iters, dim)
     B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
     dsub = B.shape[2]
     qrows = queries.select(id_col, vec_col).collect()

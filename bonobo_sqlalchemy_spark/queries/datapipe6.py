@@ -74,6 +74,60 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivfpq_saved_index",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "sketch"),
+)
+def sim_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe against a PERSISTED index (operators/similarity.py::
+    pq_index_save / pq_index_load): the coarse codebook AND the PQ
+    subspace codebooks train once, persist as codebook-sized parquet next
+    to the corpus, and the probe reloads them — at 100 TB this is load-
+    bearing, because PQ codes written alongside the data are decodable
+    only against the EXACT codebooks that produced them; the codebooks
+    must outlive any single job's driver. Save -> load -> probe must
+    reproduce `sim_ivfpq_topk` bit-for-bit, so this query shares its
+    VALUE-EXACT oracle verbatim."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_train_or_init,
+        pq_codebooks,
+        pq_index_load,
+        pq_index_save,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}:ivfpq16x8x16"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "bss_pqidx_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(path, "pq", "_SUCCESS")):
+        pq_index_save(
+            spark,
+            path,
+            ivf_train_or_init(e, "embedding", "vec_id", 16, 1),
+            pq_codebooks(e, "embedding", "vec_id", m=8, ksub=16, iters=1),
+        )
+    codebook, books = pq_index_load(spark, path)
+    return ivfpq_topk(
+        e,
+        e.where(F.col("vec_id") < 8),
+        k=5,
+        n_probe=6,
+        m=8,
+        ksub=16,
+        codebook=codebook,
+        books=books,
+    )
+
+
 def _semantic_kmeans_prefix(
     n_clusters: int = 16, max_cluster_size: int | None = None
 ) -> str:

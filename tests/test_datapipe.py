@@ -973,3 +973,35 @@ def test_duplicate_spans_partitioning_invariant(spark, docs):
     a = D.duplicate_span_stats(docs, gram=8)
     b = D.duplicate_span_stats(docs.repartition(13), gram=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_index_save_load_probe_identical(spark, embs, tmp_path):
+    """Full IVF-PQ index persistence: coarse + subspace codebooks
+    round-trip exactly and the saved-index probe reproduces the inline
+    ivfpq_topk result row for row."""
+    queries = embs.where(F.col("vec_id") < 8)
+    cb = S.ivf_train_or_init(embs, "embedding", "vec_id", 16, 1)
+    books = S.pq_codebooks(embs, "embedding", "vec_id", m=8, ksub=16, iters=1)
+    path = str(tmp_path / "pq_idx")
+    S.pq_index_save(spark, path, cb, books)
+    cb2, books2 = S.pq_index_load(spark, path)
+    assert cb2 == cb and books2 == books
+    inline = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk(
+                embs, queries, k=5, n_cells=16, n_probe=6, m=8, ksub=16,
+                coarse_iters=1, pq_iters=1,
+            ).collect(),
+        )
+    )
+    saved = sorted(
+        map(
+            tuple,
+            S.ivfpq_topk(
+                embs, queries, k=5, n_probe=6, m=8, ksub=16,
+                codebook=cb2, books=books2,
+            ).collect(),
+        )
+    )
+    assert inline == saved
