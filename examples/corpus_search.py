@@ -55,8 +55,29 @@ def main() -> None:
 
     # semantic leg: neighbors of a seed document's embedding (vec_id 0);
     # exact cosine here, IVF/LSH at scale — same candidate contract
-    vec = S.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50).select(
+    seed = emb.where(F.col("vec_id") == 0)
+    vec = S.cosine_topk(emb, seed, k=50).select(
         F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+    # the 100 TB swap, demonstrated live: train the IVF coarse quantizer
+    # ONCE, persist it next to the corpus (codebook-sized parquet), reload
+    # and probe — the index is never rebuilt inside a query. Same
+    # (id, rank) candidate contract as the exact leg; report the overlap
+    # so the approximation cost is visible before anyone flips the leg.
+    import tempfile
+
+    idx_path = tempfile.mkdtemp() + "/ivf_index"
+    S.ann_index_save(
+        spark, idx_path, S.ivf_train_or_init(emb, "embedding", "vec_id", 16, 0)
+    )
+    ivf = S.ivf_topk(
+        emb, seed, k=50, n_probe=4, codebook=S.ann_index_load(spark, idx_path)
+    ).select(F.col("neighbor_id").alias("doc_id"))
+    overlap = vec.join(ivf, "doc_id", "left_semi").count()
+    print(
+        f"saved-index IVF leg (4/16 cells probed) recovers {overlap}/50 "
+        f"of the exact semantic candidates -> {idx_path}"
     )
 
     fused = rrf_fuse(
