@@ -280,3 +280,113 @@ def profile_mixture_respread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_deficit_respread(plan, max_epochs=_PLAN_EPOCH_CAP).orderBy(
         "source"
     )
+
+
+def _realized_oracle() -> str:
+    from .datapipe4 import _md5_key_sql
+
+    return f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS available_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    wt(source, weight) AS (VALUES {_PLAN_VALUES}),
+    j AS (
+      SELECT avail.source, COALESCE(wt.weight, 0.0) AS weight,
+             available_tokens, n_docs,
+             CAST(floor({_PLAN_BUDGET} * COALESCE(wt.weight, 0.0)) AS BIGINT)
+               AS target_tokens,
+             CAST(floor(available_tokens * {_PLAN_EPOCH_CAP}) AS BIGINT)
+               AS cap_tokens
+      FROM avail LEFT JOIN wt USING (source)
+    ),
+    p AS (
+      SELECT source, weight, available_tokens, n_docs, cap_tokens,
+             least(target_tokens, cap_tokens) AS base_tokens,
+             target_tokens - least(target_tokens, cap_tokens)
+               AS deficit_tokens
+      FROM j
+    ),
+    tot AS (
+      SELECT CAST(SUM(deficit_tokens) AS BIGINT) AS d,
+             round(SUM(CASE WHEN cap_tokens - base_tokens > 0
+                             AND weight > 0
+                            THEN weight ELSE 0 END), 6) AS w_elig
+      FROM p
+    ),
+    fin AS (
+      SELECT p.source, p.n_docs, p.available_tokens,
+             p.base_tokens
+             + CASE WHEN cap_tokens - base_tokens > 0 AND weight > 0
+                     AND w_elig > 0
+                    THEN least(CAST(floor(d * weight / w_elig) AS BIGINT),
+                               cap_tokens - base_tokens)
+                    ELSE CAST(0 AS BIGINT) END AS allocated_tokens
+      FROM p, tot
+    ),
+    q AS (
+      SELECT source,
+             least(n_docs, allocated_tokens * n_docs
+                           // greatest(available_tokens, 1)) AS quota
+      FROM fin
+    ),
+    rk AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_md5_key_sql(11, "doc_id")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM rk JOIN q USING (source) WHERE rk <= quota
+    """
+
+
+@query(
+    "z_sample_mixture_planned",
+    oracle=_realized_oracle(),
+    tags=("sampling", "profile", "pipeline"),
+)
+def z_sample_mixture_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE mixture-construction chain as one verified composition:
+    recipe + budget + epoch cap -> `mixture_token_plan` -> one
+    `mixture_deficit_respread` refill round -> per-source doc quotas
+    (allocated tokens / the source's average doc length, integer
+    arithmetic) -> `mixture_sample`'s hash-deterministic rank pick. This
+    is exactly what examples/training_data_pipeline.py stage 3c executes;
+    here every step of the arithmetic AND the final sampled doc set are
+    VALUE-EXACT against one SQL unrolling, so the planner's outputs are
+    proven to drive the sampler the way the docs claim. The plan/stat
+    collects are source-cardinality by contract (bounded-collect)."""
+    from ..operators.sampling import (
+        mixture_deficit_respread,
+        mixture_sample,
+        mixture_token_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_token_plan(
+        docs, _PLAN_WEIGHTS, _PLAN_BUDGET, max_epochs=_PLAN_EPOCH_CAP
+    )
+    final = mixture_deficit_respread(plan, max_epochs=_PLAN_EPOCH_CAP)
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rows = (
+        final.join(stats, "source")
+        .select("source", "allocated_tokens", "available_tokens", "n_docs")
+        # bounded-collect: one row per source (the plan IS that size)
+        .collect()
+    )
+    targets = {
+        r["source"]: int(
+            min(
+                r["n_docs"],
+                r["allocated_tokens"] * r["n_docs"]
+                // max(1, r["available_tokens"]),
+            )
+        )
+        for r in rows
+    }
+    return mixture_sample(docs, "source", targets, "doc_id", seed=11).select(
+        "doc_id", "source"
+    )
