@@ -294,22 +294,37 @@ def mixture_deficit_respread(
     weight-proportionally.
 
     ``(source, weight, available_tokens, base_tokens, extra_tokens,
-    allocated_tokens, epochs)`` where ``base`` is the first-round
-    allocation, ``extra = min(floor(D * w / W), headroom)`` with ``D`` the
-    plan's total deficit, ``W`` the 6dp-rounded weight mass of eligible
-    sources (headroom > 0 and weight > 0 — zero-weight sources are
-    excluded by recipe, so they never absorb spillover), and ``headroom =
-    floor(available * max_epochs) - base`` under the SAME epoch cap as the
-    plan round. Deliberately ONE explicit round, matching
+    allocated_tokens, epochs, deficit_tokens)`` where ``base`` is the
+    first-round allocation, ``extra = min(floor(D * w / W), headroom)``
+    with ``D`` the plan's total deficit, ``W`` the 6dp-rounded weight mass
+    of eligible sources (headroom > 0 and weight > 0 — zero-weight sources
+    are excluded by recipe, so they never absorb spillover), and
+    ``headroom = floor(available * max_epochs) - base`` under the SAME
+    epoch cap as the plan round. Deliberately ONE explicit round, matching
     `mixture_token_plan`'s documented contract ("one re-invocation per
-    refill round, caller-controlled"): callers chain further rounds by
-    feeding the output back through the same shape; a hidden fixpoint loop
-    would make the allocation unauditable. Residual mass that even the
-    refill cannot place is ``D - sum(extra)``, derivable from the output.
+    refill round, caller-controlled"): a hidden fixpoint loop would make
+    the allocation unauditable.
+
+    The output ``deficit_tokens`` column is a SIGNED residual ledger:
+    ``input_deficit - extra`` per row, so ``sum(deficit_tokens) = D -
+    sum(extra)`` — exactly the mass even this round could not place. A
+    capped source (headroom 0) keeps its positive deficit; a source that
+    absorbed spillover carries the negative of what it absorbed. Only the
+    SUM is meaningful, and because this function reads the input's
+    ``allocated_tokens`` as the new base and ``sum(deficit_tokens)`` as
+    the new ``D``, the output chains: feeding it straight back through
+    ``mixture_deficit_respread`` runs the next refill round with the
+    correct remaining mass and shrunken headroom (see
+    ``tests/test_profile_ops.py::test_respread_chains``).
 
     Value-exact cross-engine: ``D`` is an integer, ``W`` is rounded at 6dp
     before use (collapsing aggregation-order ulps), and ``floor(D*w/W)``
-    is the identical IEEE expression in Spark and SQL.
+    is the identical IEEE expression in Spark and SQL. Note the 6dp
+    rounding of ``W`` can round DOWN, in which case ``sum(floor(D*w/W))``
+    may exceed the true deficit by up to ``~D * 1e-6 / W`` tokens —
+    per-source headroom and the epoch cap still bound every allocation, so
+    the over-spread is a bounded, documented bias toward filling the
+    budget, never a cap violation.
 
     Scale shape: the input is source-cardinality by construction, so every
     step is bounded — one 1-row (D, W) aggregate attached via the scalar
@@ -337,9 +352,16 @@ def mixture_deficit_respread(
         ).alias("__W"),
     )
     j = scalar_attach(base, tot)
+    # greatest(0, ...) guards the chained case where rounding over-spread
+    # leaves sum(deficit_tokens) <= 0: a refill round never claws back.
     extra_target = F.when(
         eligible & (F.col("__W") > 0),
-        F.floor(F.col("__D") * F.col("weight") / F.col("__W")).cast("bigint"),
+        F.greatest(
+            F.floor(F.col("__D") * F.col("weight") / F.col("__W")).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        ),
     ).otherwise(F.lit(0).cast("bigint"))
     extra = F.least(extra_target, F.col("__headroom"))
     alloc = F.col("base_tokens") + extra
@@ -351,4 +373,7 @@ def mixture_deficit_respread(
         extra.alias("extra_tokens"),
         alloc.alias("allocated_tokens"),
         F.round(alloc / F.col("available_tokens"), 6).alias("epochs"),
+        (F.col("deficit_tokens") - extra).cast("bigint").alias(
+            "deficit_tokens"
+        ),
     )

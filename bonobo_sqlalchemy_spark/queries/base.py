@@ -105,3 +105,18 @@ def davg(col: str | Column, alias: str) -> Column:
 def fmt_date(col: str | Column, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd").alias(alias)
+
+
+def run_to_completion(q, timeout: int = 300) -> None:
+    """Drain a bounded streaming query (``trigger(availableNow=True)``) and
+    FAIL LOUDLY on timeout: ``awaitTermination(t)`` returns False when the
+    clock runs out with the query still live, and silently comparing the
+    partially-populated memory sink against the oracle would turn a slow
+    box into a confusing value mismatch (ADVICE r11). Raising instead makes
+    the failure mode unambiguous."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name!r} did not finish within {timeout}s — "
+            "refusing to compare a partially-populated memory table"
+        )

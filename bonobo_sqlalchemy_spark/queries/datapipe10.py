@@ -247,9 +247,12 @@ def z_text_segment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT p.source, p.weight, p.available_tokens, p.base_tokens,
+             p.deficit_tokens AS in_deficit,
              CASE WHEN cap_tokens - base_tokens > 0 AND weight > 0
                    AND w_elig > 0
-                  THEN least(CAST(floor(d * weight / w_elig) AS BIGINT),
+                  THEN least(greatest(
+                               CAST(floor(d * weight / w_elig) AS BIGINT),
+                               CAST(0 AS BIGINT)),
                              cap_tokens - base_tokens)
                   ELSE CAST(0 AS BIGINT) END AS extra_tokens
       FROM p, tot
@@ -257,7 +260,8 @@ def z_text_segment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, weight, available_tokens, base_tokens, extra_tokens,
            base_tokens + extra_tokens AS allocated_tokens,
            round((base_tokens + extra_tokens) / available_tokens, 6)
-             AS epochs
+             AS epochs,
+           CAST(in_deficit - extra_tokens AS BIGINT) AS deficit_tokens
     FROM r
     """,
     tags=("sampling", "profile"),

@@ -313,6 +313,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_saved_index",
     oracle=_IVF_ORACLE,
     tags=("similarity", "sketch"),
+    bench=True,
 )
 def sim_ivf_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe against a PERSISTED index — the production ANN operating
@@ -324,10 +325,9 @@ def sim_ivf_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never an implicit side effect of a query. Save -> load -> probe
     must reproduce `sim_ivf_topk` exactly, so this query shares its
     VALUE-EXACT oracle verbatim."""
-    import hashlib
     import os
-    import tempfile
 
+    from ..cache import artifact_path, ensure_artifact
     from ..operators.similarity import (
         ann_index_load,
         ann_index_save,
@@ -338,15 +338,14 @@ def sim_ivf_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}:ivf16"
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "bss_ivfidx_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
+    # cache key = input identity + engine source hash (a codebook trained
+    # by older code never satisfies newer code); publish is atomic-rename
+    path = ensure_artifact(
+        artifact_path("ivfidx", f"{src}:{st.st_size}:{st.st_mtime_ns}:ivf16"),
+        lambda tmp: ann_index_save(
+            spark, tmp, ivf_train_or_init(e, "embedding", "vec_id", 16, 0)
+        ),
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ann_index_save(
-            spark, path, ivf_train_or_init(e, "embedding", "vec_id", 16, 0)
-        )
     codebook = ann_index_load(spark, path)
     return ivf_topk(
         e, e.where(F.col("vec_id") < 8), k=5, n_probe=4, codebook=codebook

@@ -20,7 +20,7 @@ from ..operators import dedup as D
 from ..operators import sampling as SA
 from ..operators.zorder import interleave_bits, interleave_bits_sql
 from ..sources.files import load_table
-from .base import query
+from .base import query, run_to_completion
 
 
 def _md5_key_sql(seed: int, id_expr: str) -> str:
@@ -412,7 +412,7 @@ def z_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 

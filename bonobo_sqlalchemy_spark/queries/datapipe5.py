@@ -27,7 +27,7 @@ from ..operators import sampling as SA
 from ..operators.profile import profile_columns
 from ..operators.scale import skew_report
 from ..sources.files import load_table
-from .base import query
+from .base import query, run_to_completion
 from .datapipe4 import _md5_key_sql
 
 
@@ -554,7 +554,7 @@ def z_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 

@@ -33,7 +33,7 @@ from ..operators.dedup import semantic_dedup_pairs
 from ..operators.packing import pack_sequences
 from ..operators.similarity import ivfpq_topk
 from ..sources.files import load_table
-from .base import query
+from .base import query, run_to_completion
 
 
 def _ivfpq_oracle() -> str:
@@ -78,6 +78,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivfpq_saved_index",
     oracle=_ivfpq_oracle(),
     tags=("similarity", "sketch"),
+    bench=True,
 )
 def sim_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ probe against a PERSISTED index (operators/similarity.py::
@@ -89,10 +90,9 @@ def sim_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     must outlive any single job's driver. Save -> load -> probe must
     reproduce `sim_ivfpq_topk` bit-for-bit, so this query shares its
     VALUE-EXACT oracle verbatim."""
-    import hashlib
     import os
-    import tempfile
 
+    from ..cache import artifact_path, ensure_artifact
     from ..operators.similarity import (
         ivf_train_or_init,
         pq_codebooks,
@@ -103,18 +103,18 @@ def sim_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}:ivfpq16x8x16"
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "bss_pqidx_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
-    )
-    if not os.path.exists(os.path.join(path, "pq", "_SUCCESS")):
-        pq_index_save(
+    # cache key = input identity + engine source hash; atomic publish
+    path = ensure_artifact(
+        artifact_path(
+            "pqidx", f"{src}:{st.st_size}:{st.st_mtime_ns}:ivfpq16x8x16"
+        ),
+        lambda tmp: pq_index_save(
             spark,
-            path,
+            tmp,
             ivf_train_or_init(e, "embedding", "vec_id", 16, 1),
             pq_codebooks(e, "embedding", "vec_id", m=8, ksub=16, iters=1),
-        )
+        ),
+    )
     codebook, books = pq_index_load(spark, path)
     return ivfpq_topk(
         e,
@@ -376,7 +376,7 @@ def _stream_join_outer(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 
@@ -723,7 +723,7 @@ def z_stream_hh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     candidates = final_sketch(spark.table(name)).select("key").distinct()
     events = load_table(spark, sf_dir, "events")
     total = events.count()  # one scalar count, not a data materialization

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.selection import bm25_topk, dsir_log_weights, threshold_sweep
 from ..sources.files import load_table
-from .base import query
+from .base import query, run_to_completion
 
 _DSIR_CTES = """
     WITH tok AS (
@@ -533,7 +533,7 @@ def z_stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return final_bottomk(spark.table(name), k=32)
 
 
@@ -740,29 +740,23 @@ def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare integer counts against the same closed-form state. Planted-
     spike detection is additionally asserted in tests/test_streaming.py.
     """
-    import hashlib
     import os
     import shutil
-    import tempfile
 
+    from ..cache import artifact_path, ensure_artifact
     from ..streaming.anomaly import rate_anomaly_stream
 
     src = f"{sf_dir}/events.parquet"
     st = os.stat(src)
-    stamp = f"{src}:{st.st_size}:{st.st_mtime_ns}:slices6"
-    watch = os.path.join(
-        tempfile.gettempdir(),
-        "bss_anom_" + hashlib.md5(stamp.encode()).hexdigest()[:12],
-    )
-    done = os.path.join(watch, "_STAGED")
-    if not os.path.exists(done):
-        os.makedirs(watch, exist_ok=True)
+
+    def _stage(stage_dir: str) -> None:
+        os.makedirs(stage_dir, exist_ok=True)
         ev = load_table(spark, sf_dir, "events").select(
             F.col("event_type").cast("string").alias("event_type"),
             (F.col("event_id") % 6).alias("sl"),
         )
         for i in range(6):
-            tmp = os.path.join(watch, f"_tmp{i}")
+            tmp = os.path.join(stage_dir, f"_tmp{i}")
             (
                 ev.where(F.col("sl") == i)
                 .select("event_type")
@@ -771,13 +765,17 @@ def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(tmp)
             )
             part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            dst = os.path.join(watch, f"b{i:02d}.parquet")
+            dst = os.path.join(stage_dir, f"b{i:02d}.parquet")
             shutil.copy(os.path.join(tmp, part), dst)
             # strictly increasing mod-times pin the micro-batch order
             t_ns = st.st_mtime_ns + i * 10**9
             os.utime(dst, ns=(t_ns, t_ns))
             shutil.rmtree(tmp)
-        open(done, "w").close()
+
+    watch = ensure_artifact(
+        artifact_path("anom", f"{src}:{st.st_size}:{st.st_mtime_ns}:slices6"),
+        _stage,
+    )
     stream = (
         spark.readStream.schema("event_type string")
         .option("maxFilesPerTrigger", 1)
@@ -792,7 +790,7 @@ def z_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name).orderBy("key", "batch_seq")
 
 
@@ -837,7 +835,7 @@ def z_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return quantiles_from_bottomk(spark.table(name), k=128)
 
 
@@ -904,7 +902,7 @@ def z_stream_hh_windowed_verified(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     candidates = (
         spark.table(name).select("window_start", "key").distinct()
     )
@@ -990,7 +988,7 @@ def z_stream_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return hll_estimate(spark.table(name), p=10)
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 from ..streaming.windows import read_events_stream, tumbling_counts
-from .base import dsum, query
+from .base import dsum, query, run_to_completion
 
 
 @query(
@@ -43,7 +43,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 
@@ -76,7 +76,7 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return final_rows(spark.table(name))
 
 
@@ -249,7 +249,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 
@@ -299,7 +299,7 @@ def z_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 
@@ -350,7 +350,7 @@ def z_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 
@@ -404,7 +404,7 @@ def z_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)
 
 
@@ -477,5 +477,5 @@ def z_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    run_to_completion(q)
     return spark.table(name)

@@ -205,6 +205,47 @@ def test_respread_bounded_by_headroom(spark, docs3):
     assert sum(r["extra_tokens"] for r in out.values()) == 600
 
 
+def test_respread_chains(spark, docs3):
+    # The output's signed deficit ledger makes a second refill round work
+    # by just feeding the output back through (ADVICE r11):
+    # budget 1000, weights 10/10/80, cap 1.0 over avail a=1000 b=300 c=200:
+    #   round 1: a base 100 (headroom 900), b base 100 (headroom 200),
+    #            c base 200 (deficit 600). D=600, W=0.2 ->
+    #            extra_a = min(300, 900) = 300, extra_b = min(300, 200)=200
+    #            residual = 600 - 500 = 100
+    #   round 2 (chained on the output): D2 = sum(ledger) = 100,
+    #            eligible {a} (headroom 500), W=0.1 -> extra_a = 100.
+    from bonobo_sqlalchemy_spark.operators.sampling import (
+        mixture_deficit_respread,
+    )
+
+    plan = mixture_token_plan(
+        docs3, {"a": 0.1, "b": 0.1, "c": 0.8}, 1000, max_epochs=1.0
+    )
+    r1 = mixture_deficit_respread(plan, max_epochs=1.0)
+    out1 = {r["source"]: r.asDict() for r in r1.collect()}
+    assert out1["a"]["extra_tokens"] == 300
+    assert out1["b"]["extra_tokens"] == 200
+    assert out1["c"]["deficit_tokens"] == 600  # capped source keeps it
+    # ledger sums to the unplaced residual
+    assert sum(r["deficit_tokens"] for r in out1.values()) == 100
+    r2 = mixture_deficit_respread(r1, max_epochs=1.0)
+    out2 = {r["source"]: r.asDict() for r in r2.collect()}
+    assert out2["a"]["extra_tokens"] == 100
+    assert out2["a"]["allocated_tokens"] == 500
+    assert out2["b"]["extra_tokens"] == 0  # headroom exhausted in round 1
+    # fully placed: the chained ledger drains to zero
+    assert sum(r["deficit_tokens"] for r in out2.values()) == 0
+    # and a third round is a no-op (D=0), never a claw-back
+    out3 = {
+        r["source"]: r.asDict()
+        for r in mixture_deficit_respread(r2, max_epochs=1.0).collect()
+    }
+    for s in ("a", "b", "c"):
+        assert out3[s]["extra_tokens"] == 0
+        assert out3[s]["allocated_tokens"] == out2[s]["allocated_tokens"]
+
+
 def test_respread_zero_eligible_is_noop(spark, docs3):
     # budget 2000, weights 50/30/20, cap 1.0: every source is capped
     # (headroom 0 across the board), so the refill places nothing
