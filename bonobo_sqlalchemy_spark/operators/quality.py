@@ -473,6 +473,7 @@ def segment_quality_outliers(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk: int = 16,
+    hot_token_df: int | None = 100_000,
 ) -> DataFrame:
     """Segment-level fluency floor: score every ``chunk``-token window of
     a document under the corpus unigram LM and report, per document, the
@@ -495,11 +496,31 @@ def segment_quality_outliers(
     aggregates, then rounded once — not as a difference of rounded values.
 
     Scale shape: identical to the whole-doc unigram scorer plus one extra
-    keyed aggregation — (1) corpus vocab count (token-key shuffle, hot
-    tokens bounded by AQE skew splitting), (2) token→count join on the
-    same key, (3) per-(doc, chunk) hash-agg, (4) per-doc hash-agg over the
-    tiny chunk table. The 1-row corpus total rides a broadcast. No Python
-    in the per-token path — split/posexplode/log2 are all codegen.
+    keyed aggregation — (1) corpus vocab count (map-side-combined, so the
+    token shuffle carries one partial row per (partition, token), not one
+    per occurrence), (2) token→count lookup join, (3) per-(doc, chunk)
+    hash-agg, (4) per-doc hash-agg over the tiny chunk table. The 1-row
+    corpus total rides a broadcast. No Python in the per-token path —
+    split/posexplode/log2 are all codegen.
+
+    **Skew guard (``hot_token_df``).** The lookup join's key is the raw
+    token, and natural text is zipfian: at 100 TB every occurrence of
+    "the" would hash to ONE shuffle partition of the join. Unlike the
+    dedup self-joins there is no quadratic candidate blowup to cap (each
+    occurrence matches exactly one vocab row, so join output is linear),
+    and dropping hot tokens would change the LM — the right guard is the
+    canonical hot-key bypass: vocab rows with ``c > hot_token_df`` split
+    off and join via BROADCAST (one row per DISTINCT hot token; by
+    pigeonhole at most ``total_occurrences / hot_token_df`` tokens can be
+    that hot, so choosing ``hot_token_df >= corpus_tokens / 10**6`` caps
+    the hot slice at a million rows regardless of corpus; in practice the
+    zipf head is thousands of tokens), while the tail takes the ordinary
+    shuffle join whose per-key row volume is now ≤ ``hot_token_df`` — no
+    single reducer ever receives every "the". The hot/cold union is
+    row-for-row the plain join (proven exactly in ``tests/test_scale.py::
+    test_segment_outliers_hot_token_bypass_exact``); per-chunk float sums
+    may reassociate (~1e-12), absorbed by the 6dp rounding policy.
+    ``None`` disables the split.
     """
     toks = df.select(
         id_col,
@@ -507,10 +528,17 @@ def segment_quality_outliers(
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
+    chunked = toks.withColumn("chunk_id", F.floor(F.col("pos") / F.lit(chunk)))
+    if hot_token_df is None:
+        joined = chunked.join(counts, "tok")
+    else:
+        hot = counts.where(F.col("c") > hot_token_df)
+        cold = counts.where(F.col("c") <= hot_token_df)
+        joined = chunked.join(F.broadcast(hot), "tok").unionByName(
+            chunked.join(cold, "tok")
+        )
     chunk_scores = (
-        toks.withColumn("chunk_id", F.floor(F.col("pos") / F.lit(chunk)))
-        .join(counts, "tok")
-        .join(F.broadcast(total))
+        joined.join(F.broadcast(total))
         .groupBy(id_col, "chunk_id")
         .agg(
             (

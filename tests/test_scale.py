@@ -208,3 +208,72 @@ def test_skew_report_math_and_rowcap(spark):
     assert hot.share == 0.8
     # mean per key = 100/3; hot is 80 / (100/3) = 2.4x the mean
     assert hot.x_mean == 2.4
+
+
+def _hot_token_docs(spark, n_docs=300, reps=40):
+    """A corpus where the token 'the' appears `reps` times in EVERY
+    document (plus a unique tail per doc) — a planted zipf head: 12,000
+    occurrences of one key where every other token has a handful. Without
+    a guard, every one of those rows hashes to a single shuffle partition
+    of the token→count lookup join."""
+    rows = [
+        (i, ("the " * reps) + f"alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_segment_outliers_hot_token_bypass_exact(spark):
+    """The hot-key bypass in segment_quality_outliers is EXACT: splitting
+    the vocab lookup into broadcast(hot) + shuffle(cold) and unioning must
+    reproduce the plain single-join result row-for-row (the rounded 6dp
+    outputs compare equal), because the hot/cold predicate partitions the
+    vocab and every token matches exactly one side."""
+    from bonobo_sqlalchemy_spark.operators.quality import (
+        segment_quality_outliers,
+    )
+
+    docs = _hot_token_docs(spark)
+    plain = segment_quality_outliers(docs, chunk=16, hot_token_df=None)
+    bypass = segment_quality_outliers(docs, chunk=16, hot_token_df=100)
+    key = lambda r: r[0]
+    a = sorted(map(tuple, plain.collect()), key=key)
+    b = sorted(map(tuple, bypass.collect()), key=key)
+    assert a == b
+
+
+def test_segment_outliers_hot_slice_is_pigeonhole_bounded(spark):
+    """Structural bound: the broadcast (hot) side of the bypass holds one
+    row per DISTINCT token with df > threshold — at most
+    total_occurrences / threshold rows by pigeonhole — while the residual
+    shuffle side's hottest key is capped at the threshold. On the planted
+    corpus: 'the' (df 12,000) is the only hot token at threshold 100."""
+    from pyspark.sql import functions as F
+
+    docs = _hot_token_docs(spark)
+    toks = docs.select(
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    hot = counts.where(F.col("c") > 100)
+    cold = counts.where(F.col("c") <= 100)
+    total = toks.count()
+    assert hot.count() == 1  # just 'the'
+    assert hot.count() <= total // 100  # the pigeonhole bound itself
+    # residual shuffle join's per-key volume is threshold-capped
+    assert cold.agg(F.max("c")).first()[0] <= 100
+
+
+def test_segment_outliers_bypass_plan_broadcasts_hot_leg(spark):
+    """Plan-level evidence: with the guard engaged, the executed plan
+    carries a BroadcastHashJoin (the hot leg) — the hot key's rows never
+    enter a shuffle exchange keyed on the token."""
+    from bonobo_sqlalchemy_spark.operators.quality import (
+        segment_quality_outliers,
+    )
+
+    docs = _hot_token_docs(spark)
+    out = segment_quality_outliers(docs, chunk=16, hot_token_df=100)
+    out.collect()  # AQE finalizes the physical plan on execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
