@@ -185,6 +185,192 @@ def ann_index_load(spark: "SparkSession", path: str) -> list[list[float]]:
     return [[float(x) for x in r["w"]] for r in rows]
 
 
+def ivf_assign(
+    df: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, vec_col, cell)``: each vector's single nearest coarse
+    cell under a FIXED codebook — one fused Arrow matmul per batch with
+    ``argmax`` row-local (numpy argmax takes the FIRST max, which is
+    exactly :func:`ivf_cell_assignments`'s ``row_number() over (dot desc,
+    cell asc)`` tie rule on bit-identical dots, so the two assignment
+    paths agree everywhere). Unlike `ivf_cell_assignments` this carries
+    the vector through, producing the self-contained row an assignment
+    TABLE stores — no corpus re-join, no shuffle, no window."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    M = np.array(codebook, dtype=np.float64)  # (k, dim)
+    src = df.select(id_col, vec_col)
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("cell", IntegerType())]
+    )
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                X = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                out["cell"] = (X @ M.T).argmax(axis=1).astype("int32")
+            else:
+                out["cell"] = pd.Series([], dtype="int32")
+            yield out
+
+    return src.mapInPandas(_assign, out_schema)
+
+
+def ivf_index_write(
+    spark: "SparkSession",
+    path: str,
+    corpus: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Full build of the cell-partitioned IVF assignment TABLE: every
+    corpus vector routed through the (fixed, usually
+    :func:`ann_index_load`-ed) codebook and written as parquet partitioned
+    by ``cell``. This is the other half of the persisted-index story: the
+    codebook outlives the driver (`ann_index_save`), and the corpus-side
+    inverted lists outlive it too — a probe then reads ONLY the probed
+    cells' partitions (partition pruning at the source) instead of
+    re-assigning the whole corpus per query batch."""
+    ivf_assign(corpus, codebook, vec_col, id_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_index_upsert(
+    spark: "SparkSession",
+    path: str,
+    delta: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental maintenance of an :func:`ivf_index_write` table: route
+    an ingest batch of new/updated vectors through the LOADED codebook and
+    rewrite ONLY the affected cell partitions — the delta path a daily
+    100 TB ingest needs, where re-assigning the full corpus per batch is
+    the cost being avoided. Result is gold-equivalent to a fresh full
+    build over (base minus delta-ids, plus delta) at the same fixed
+    codebook (asserted in tests/test_ann_index.py, and value-exact via
+    the registered ``z_sim_ivf_incremental`` query, which shares
+    `sim_ivf_topk`'s oracle verbatim).
+
+    Affected cells = the delta's NEW cells ∪ the cells currently holding
+    any updated id (an updated vector may MOVE cells; its old row must
+    go). Locating old cells costs one column-pruned ``(id, cell)`` scan of
+    the table anti-joined down to the delta ids — never a vector read.
+    Driver-side footprint: one distinct-cell collect, ≤ n_cells rows
+    (codebook-bounded, never data-sized). Delta-size contract: the delta
+    id set broadcasts into the joins (an ingest batch, not a corpus — a
+    corpus-sized delta should be a fresh :func:`ivf_index_write`).
+
+    Same dynamic-partition-overwrite protocol as
+    ``operators/export.py::update_training_shards``: merged partitions are
+    localCheckpoint-materialized BEFORE the overwrite (their lineage reads
+    the files being replaced), and a cell whose every row moved away is
+    deleted explicitly (dynamic overwrite only touches partitions it
+    writes rows for)."""
+    base = spark.read.parquet(path)
+    d = ivf_assign(delta, codebook, vec_col, id_col)
+    delta_ids = delta.select(id_col).distinct()
+    old_cells = (
+        base.join(F.broadcast(delta_ids), id_col)
+        .select("cell")
+        .distinct()
+    )
+    new_cells = d.select("cell").distinct()
+    # bounded-collect: distinct affected cells, <= n_cells rows
+    affected = {
+        int(r["cell"]) for r in old_cells.unionByName(new_cells).distinct().collect()
+    }
+    if not affected:
+        return
+    merged = (
+        base.where(F.col("cell").isin([int(c) for c in affected]))
+        .join(F.broadcast(delta_ids), id_col, "left_anti")
+        .unionByName(d)
+    )
+    # materialize BEFORE overwriting: merged's lineage reads the very
+    # files the write replaces
+    merged = merged.localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy("cell").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # bounded-collect: distinct written cells, <= n_cells rows
+    present = {int(r["cell"]) for r in merged.select("cell").distinct().collect()}
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for c in affected - present:
+        gone = jvm.org.apache.hadoop.fs.Path(jpath, f"cell={int(c)}")
+        if fs.exists(gone):
+            fs.delete(gone, True)
+
+
+def ivf_topk_preassigned(
+    assignments: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe against a stored assignment table (the
+    :func:`ivf_index_write` / :func:`ivf_index_upsert` product): queries
+    route through the codebook (query-set-sized matmul), candidates come
+    straight from the probed cells' rows — NO training stage and NO
+    corpus-wide assignment pass in the plan, and when ``assignments`` is
+    the cell-partitioned parquet the broadcast cell join prunes the scan
+    to the probed partitions. Output is identical to :func:`ivf_topk` at
+    the same fixed codebook (same dots, same tie rules, same re-rank)."""
+    cells = V.matrix_dots(
+        queries, vec_col, id_col, codebook, out_id="qid"
+    ).select("qid", F.posexplode("dots").alias("cell", "dot"))
+    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    query_cells = (
+        cells.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("qid").alias("query_id"), "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = (
+        assignments.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "cv")
+        .join(F.broadcast(query_cells), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        V.cosine_rounded_arrow()("qv", "cv").alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pq_index_save(
     spark: "SparkSession",
     path: str,

@@ -394,3 +394,67 @@ def z_sample_mixture_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "source", targets, "doc_id", seed=11).select(
         "doc_id", "source"
     )
+
+
+def _ivf_oracle() -> str:
+    from .datapipe2 import _IVF_ORACLE
+
+    return _IVF_ORACLE
+
+
+@query(
+    "z_sim_ivf_incremental",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "sketch", "incremental"),
+)
+def z_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF index, probed (operators/similarity.py
+    ::ivf_index_write / ivf_index_upsert / ivf_topk_preassigned): the
+    daily-ingest loop a persisted ANN index lives by at 100 TB. Fixture:
+    the corpus starts MISSING every 5th vector and holding STALE (reversed)
+    embeddings for half of those ids, a delta batch upserts the true rows
+    through the LOADED fixed codebook rewriting only affected cell
+    partitions, and the probe then reads candidates straight from the
+    cell-partitioned table — no training stage, no corpus-wide assignment
+    pass. Because the maintained table is gold-equivalent to a fresh build
+    of the full corpus at the same codebook, this query shares
+    `sim_ivf_topk`'s VALUE-EXACT oracle verbatim — the refreshed index is
+    indistinguishable from a from-scratch one, which is the whole point of
+    the delta path."""
+    import os
+
+    from ..cache import artifact_path, ensure_artifact
+    from ..operators.similarity import (
+        ivf_index_upsert,
+        ivf_index_write,
+        ivf_topk_preassigned,
+        ivf_train_or_init,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = ivf_train_or_init(e, "embedding", "vec_id", 16, 0)
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+
+    def _build(tmp: str) -> None:
+        delta = e.where(F.col("vec_id") % 5 == 3)
+        stale = delta.where(F.col("vec_id") % 10 == 3).withColumn(
+            "embedding", F.reverse("embedding")
+        )
+        base = e.where(F.col("vec_id") % 5 != 3).unionByName(stale)
+        ivf_index_write(spark, tmp, base, codebook)
+        ivf_index_upsert(spark, tmp, delta, codebook)
+
+    path = ensure_artifact(
+        artifact_path(
+            "ivfinc", f"{src}:{st.st_size}:{st.st_mtime_ns}:ivf16inc"
+        ),
+        _build,
+    )
+    return ivf_topk_preassigned(
+        spark.read.parquet(path),
+        e.where(F.col("vec_id") < 8),
+        codebook,
+        k=5,
+        n_probe=4,
+    )
