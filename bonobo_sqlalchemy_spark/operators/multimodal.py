@@ -38,15 +38,16 @@ def decode_image(payload: bytes) -> "object":
     """Real decoder entry point: uses PIL or cv2 when the library is present
     in the runtime; uncompressed BMP decodes with no library at all.
 
-    Probed 2026-08-14 (round 4, re-verified round 5): neither ``PIL`` nor
-    ``cv2`` is importable in this build, so compressed formats fall through
-    to ``NotImplementedError`` and the pipeline exercises its plumbing via
-    :func:`fake_features`. Uncompressed 24-bit BMP payloads decode through
-    the pure-Python branch below (file format per the public Windows
-    BITMAPFILEHEADER/BITMAPINFOHEADER layout), so the decode path is
-    genuinely executed — not 100% stubbed — even in this container. On a
-    cluster image that ships either library, the full-format paths activate
-    with no code change.
+    Probed 2026-08-14 (round 4, re-verified rounds 5 and 12): neither
+    ``PIL`` nor ``cv2`` is importable in this build. Library-free branches
+    now cover uncompressed 24-bit BMP (public BITMAPFILEHEADER layout),
+    non-interlaced 8-bit PNG (round 11: zlib inflate + all five scanline
+    filters), and baseline JPEG (round 12: ``operators/jpeg.py`` — real
+    Huffman + dequant + 8×8 IDCT + 4:2:0 upsample per ITU-T T.81), so the
+    common-format decode matrix genuinely executes in-container. Remaining
+    env-gated formats: progressive JPEG, WebP, interlaced/16-bit/paletted
+    PNG. On a cluster image that ships either library, the full-format
+    paths activate with no code change.
     """
     try:
         import io
@@ -70,11 +71,15 @@ def decode_image(payload: bytes) -> "object":
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(payload)
     raise NotImplementedError(
         "image decode requires a media library (PIL/cv2) not present in "
-        "this build (uncompressed BMP and 8-bit PNG decode library-free "
-        "above); both import paths activate automatically on a full "
-        "cluster image"
+        "this build (uncompressed BMP, 8-bit PNG, and baseline JPEG all "
+        "decode library-free above); both import paths activate "
+        "automatically on a full cluster image"
     )
 
 
@@ -595,6 +600,51 @@ def attach_wav_payload(
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def attach_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Testdata adapter: synthesize a REAL baseline-JPEG payload per
+    document — a 16×16 grayscale image of four constant 8×8 quadrants
+    whose levels derive from the document's columns:
+
+    ``a = n_chars % 256``, ``b = (n_chars*7 + 13) % 256``,
+    ``c = doc_id % 256``, ``d = (doc_id*31 + 5) % 256``
+    (top-left, top-right, bottom-left, bottom-right).
+
+    Under :data:`operators.jpeg.QUANT_FLAT8` a constant 8×8 block is
+    DC-only with an exactly-representable quantized DC, so the LOSSY codec
+    round-trips these payloads EXACTLY — which is what lets a DuckDB
+    oracle predict the decoded channel means (``(a+b+c+d)/4``) through a
+    genuine Huffman-coded DCT bitstream. The payload itself exercises
+    nonzero DC diffs (four distinct block levels) and the full marker
+    parse."""
+    from typing import Iterator
+
+    from .jpeg import encode_jpeg_baseline
+
+    out_schema = f"{id_col} bigint, payload binary"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        payloads, ids = [], []
+        for pdf in batches:
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                n = len(t)
+                img = np.empty((16, 16), dtype=np.uint8)
+                img[:8, :8] = n % 256
+                img[:8, 8:] = (n * 7 + 13) % 256
+                img[8:, :8] = int(i) % 256
+                img[8:, 8:] = (int(i) * 31 + 5) % 256
+                ids.append(int(i))
+                payloads.append(encode_jpeg_baseline(img))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+            payloads, ids = [], []
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 

@@ -191,8 +191,9 @@ def test_multimodal_schema_and_determinism(spark, docs):
 def test_multimodal_decode_probes_then_stubs():
     # decode_image import-tries PIL then cv2; in this build neither exists
     # (probed round 4), so formats outside the library-free branches
-    # (BMP, 8-bit PNG) must raise the documented NotImplementedError.
-    # On an image with either library, the same call decodes for real.
+    # (BMP, 8-bit PNG, baseline JPEG) must raise the documented
+    # NotImplementedError. On an image with either library, the same call
+    # decodes for real.
     try:
         import PIL  # type: ignore  # noqa: F401
 
@@ -206,8 +207,20 @@ def test_multimodal_decode_probes_then_stubs():
             has_media = False
     if has_media:
         pytest.skip("media library present: decode_image is live, not a stub")
+    # a JPEG the library-free branch explicitly does NOT cover (SOF2
+    # progressive; baseline SOF0 decodes for real since round 12)
+    import struct as _struct
+
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + _struct.pack(">H", 11)
+        + _struct.pack(">BHHB", 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI/APP0
+        M.decode_image(progressive)
     # a PNG the library-free branch explicitly does NOT cover (16-bit)
     import struct
     import zlib
