@@ -625,15 +625,78 @@ def z_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("z_text_pack_bfd", oracle=None, tags=("text", "packing"))
+@query(
+    "z_text_pack_bfd",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INT) % 8 AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(CAST(('0x' || substr(md5(CAST(doc_id
+                            AS VARCHAR)), 1, 4)) AS INT) % 8 AS BIGINT)
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ),
+    shards AS (SELECT shard, MAX(rn) AS n FROM d GROUP BY shard),
+    -- one greedy placement per recursion step; state = per-bin lists
+    -- (remaining room, fill, doc count) in bin-opening order. 'best' is
+    -- the tightest fitting open bin, ties to the lowest index — encoded
+    -- as room*1e6 + index so one list_min applies both rules at once.
+    st(shard, rn, rooms, fills, ndocs) AS (
+      SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      FROM shards
+      UNION ALL
+      SELECT st.shard, st.rn + 1,
+             CASE WHEN best IS NULL
+                  THEN list_append(st.rooms, greatest(4096 - t, 0))
+                  ELSE list_transform(st.rooms, (x, i) ->
+                         CASE WHEN i = best THEN x - t ELSE x END) END,
+             CASE WHEN best IS NULL
+                  THEN list_append(st.fills, t)
+                  ELSE list_transform(st.fills, (x, i) ->
+                         CASE WHEN i = best THEN x + t ELSE x END) END,
+             CASE WHEN best IS NULL
+                  THEN list_append(st.ndocs, CAST(1 AS BIGINT))
+                  ELSE list_transform(st.ndocs, (x, i) ->
+                         CASE WHEN i = best THEN x + 1 ELSE x END) END
+      FROM (
+        SELECT st.*, d.n_chars AS t,
+               CASE WHEN len(cand) = 0 THEN NULL
+                    ELSE CAST(list_min(cand) % 1000000 AS BIGINT) END AS best
+        FROM st
+        JOIN d ON d.shard = st.shard AND d.rn = st.rn + 1,
+        LATERAL (SELECT list_filter(
+                   list_transform(st.rooms, (x, i) ->
+                     CASE WHEN x >= d.n_chars
+                          THEN x * 1000000 + i ELSE NULL END),
+                   v -> v IS NOT NULL) AS cand) c
+      ) st
+    ),
+    fin AS (
+      SELECT st.shard, rooms, fills, ndocs
+      FROM st JOIN shards USING (shard) WHERE st.rn = shards.n
+    )
+    SELECT shard, CAST(u.i - 1 AS BIGINT) AS bin,
+           ndocs[u.i] AS n_docs, fills[u.i] AS bin_fill
+    FROM fin, LATERAL (SELECT unnest(range(1, len(fills) + 1)) AS i) u
+    """,
+    tags=("text", "packing"),
+)
 def z_text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing sequence packing (operators/packing.py): the
     higher-fill alternative to start-offset binning — BFD places
     largest-first into the tightest open bin, so fewer training sequences
     carry padding. Shards pack in parallel (the greedy loop runs inside
-    each shard's Arrow batch); rows-only (the loop is iterative), with
-    budget-compliance, fewer-bins-than-start-offset, and
-    partitioning-invariance asserted in tests/test_packing_bfd.py.
+    each shard's Arrow batch), with budget-compliance,
+    fewer-bins-than-start-offset, and partitioning-invariance asserted in
+    tests/test_packing_bfd.py. VALUE-EXACT as of round 12 (was rows-only):
+    the greedy is deterministic integer arithmetic over a total order
+    (tokens desc, doc_id asc), so a DuckDB recursive CTE unrolls it one
+    placement per step, carrying the open-bin state as lists — same
+    tightest-bin/lowest-index tie rule, same per-(shard, bin) fill stats.
     Output: per-(shard, bin) fill statistics."""
     from ..operators.packing import pack_sequences_bfd
 

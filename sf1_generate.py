@@ -1,0 +1,203 @@
+"""Synthesize a LOCAL sf1.0 decade extension for the scaling audit.
+
+Most alphas in SCALING.md are < 1 at sf0.1, which means fixed per-query
+overhead still dominates there and the true data-bound slope is
+unmeasured (round-11 verdict item 3). This script manufactures a 10×
+dataset — 50k documents, 1M events, 1.5M orders, 6M lineitem — whose
+distributions are EMPIRICALLY RESAMPLED from the driver's own sf0.1
+parquet (unigram word frequencies, doc-length / value / price
+distributions, lang/source/type shares, key ranges scaled 10×), so the
+top-alpha queries run against data with the same hot-key profile and
+selectivities, just ten times more of it. Deterministic: one seeded
+numpy Generator; same inputs → same bytes.
+
+Output goes to ``.testdata/sf1.0/`` inside the repo (git-ignored;
+/root/testdata is read-only by contract). ``scaling_report.py`` picks the
+directory up automatically and adds the sf1.0 column for the highest-
+alpha queries.
+
+NOT a substitute for driver testdata: correctness gates stay on the
+driver's sf0.01; this exists purely to extend the measured scaling
+decade.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+OUT = Path(__file__).resolve().parent / ".testdata" / "sf1.0"
+SEED = 420
+SCALE = 10
+
+
+def _read(name: str) -> pa.Table:
+    return pq.read_table(SRC / f"{name}.parquet")
+
+
+def gen_documents(rng: np.random.Generator) -> pa.Table:
+    t = _read("documents")
+    texts = t.column("text").to_pylist()
+    langs = np.array(t.column("lang").to_pylist())
+    words = np.concatenate([np.array(s.split(" ")) for s in texts])
+    vocab, counts = np.unique(words, return_counts=True)
+    probs = counts / counts.sum()
+    doc_lens = np.array([len(s.split(" ")) for s in texts])
+    lang_vals, lang_counts = np.unique(langs, return_counts=True)
+    lang_probs = lang_counts / lang_counts.sum()
+
+    n = len(texts) * SCALE
+    lens = rng.choice(doc_lens, size=n, replace=True)
+    total_words = int(lens.sum())
+    flat = rng.choice(vocab, size=total_words, replace=True, p=probs)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    new_texts = [" ".join(flat[offs[i] : offs[i + 1]]) for i in range(n)]
+    # plant the same ~0.16% exact-duplicate rate the source data carries
+    n_dup = max(1, int(n * (1 - len(set(texts)) / len(texts))))
+    dup_at = rng.choice(np.arange(1, n), size=n_dup, replace=False)
+    for i in dup_at:
+        new_texts[int(i)] = new_texts[int(rng.integers(0, i))]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(new_texts, pa.string()),
+            "lang": pa.array(
+                rng.choice(lang_vals, size=n, p=lang_probs), pa.string()
+            ),
+            "source": pa.array(
+                [f"src{int(x)}" for x in rng.integers(0, 20, size=n)],
+                pa.string(),
+            ),
+            "n_chars": pa.array(
+                [len(s) for s in new_texts], pa.int64()
+            ),
+        }
+    )
+
+
+def gen_events(rng: np.random.Generator) -> pa.Table:
+    t = _read("events")
+    n = t.num_rows * SCALE
+    types = np.array(t.column("event_type").to_pylist())
+    tv, tc = np.unique(types, return_counts=True)
+    values = np.array(t.column("value").to_pylist())
+    ts = t.column("ts").to_numpy()  # datetime64[ns]
+    lo, hi = ts.min(), ts.max()
+    span_ns = (hi - lo).astype("timedelta64[ns]").astype(np.int64)
+    new_ts = np.sort(
+        lo.astype("datetime64[ns]")
+        + rng.integers(0, span_ns, size=n).astype("timedelta64[ns]")
+    )
+    n_users = int(np.array(t.column("user_id").to_pylist()).max()) + 1
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(new_ts, pa.timestamp("ns")),
+            "user_id": pa.array(
+                rng.integers(0, n_users * SCALE, size=n), pa.int64()
+            ),
+            "event_type": pa.array(
+                rng.choice(tv, size=n, p=tc / tc.sum()), pa.string()
+            ),
+            "value": pa.array(
+                rng.choice(values, size=n, replace=True), pa.float64()
+            ),
+            "props": pa.array(
+                [
+                    json.dumps({"k": int(k)})
+                    for k in rng.integers(0, 100, size=n)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def _bootstrap_col(rng, t: pa.Table, col: str, n: int) -> np.ndarray:
+    vals = np.array(t.column(col).to_pylist())
+    return rng.choice(vals, size=n, replace=True)
+
+
+def gen_orders(rng: np.random.Generator) -> pa.Table:
+    t = _read("orders")
+    n = t.num_rows * SCALE
+    max_cust = int(np.array(t.column("o_custkey").to_pylist()).max()) + 1
+    ts = t.column("o_orderdate").to_numpy()
+    return pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, max_cust * SCALE, size=n), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                _bootstrap_col(rng, t, "o_orderstatus", n), pa.string()
+            ),
+            "o_totalprice": pa.array(
+                _bootstrap_col(rng, t, "o_totalprice", n), pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                rng.choice(ts, size=n, replace=True).astype("datetime64[us]"),
+                pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                _bootstrap_col(rng, t, "o_orderpriority", n), pa.string()
+            ),
+        }
+    )
+
+
+def gen_lineitem(rng: np.random.Generator, n_orders: int) -> pa.Table:
+    t = _read("lineitem")
+    n = t.num_rows * SCALE
+    max_part = int(np.array(t.column("l_partkey").to_pylist()).max()) + 1
+    max_supp = int(np.array(t.column("l_suppkey").to_pylist()).max()) + 1
+    ship = t.column("l_shipdate").to_numpy()
+    cols = {
+        "l_orderkey": pa.array(rng.integers(0, n_orders, size=n), pa.int64()),
+        "l_partkey": pa.array(
+            rng.integers(0, max_part * SCALE, size=n), pa.int64()
+        ),
+        "l_suppkey": pa.array(
+            rng.integers(0, max_supp * SCALE, size=n), pa.int64()
+        ),
+        "l_linenumber": pa.array(
+            rng.integers(1, 8, size=n).astype(np.int32), pa.int32()
+        ),
+    }
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        cols[c] = pa.array(_bootstrap_col(rng, t, c, n), pa.float64())
+    for c in ("l_returnflag", "l_linestatus"):
+        cols[c] = pa.array(_bootstrap_col(rng, t, c, n), pa.string())
+    cols["l_shipdate"] = pa.array(
+        rng.choice(ship, size=n, replace=True).astype("datetime64[us]"),
+        pa.timestamp("us")
+    )
+    return pa.table(cols)
+
+
+def main() -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    jobs = [
+        ("documents", lambda: gen_documents(rng)),
+        ("events", lambda: gen_events(rng)),
+        ("orders", lambda: gen_orders(rng)),
+        ("lineitem", lambda: gen_lineitem(rng, _read("orders").num_rows * SCALE)),
+    ]
+    for name, fn in jobs:
+        dst = OUT / f"{name}.parquet"
+        if dst.exists():
+            print(f"{name}: exists, skipping")
+            continue
+        tbl = fn()
+        pq.write_table(tbl, dst, version="2.6", coerce_timestamps=None)
+        print(f"{name}: {tbl.num_rows} rows -> {dst}")
+
+
+if __name__ == "__main__":
+    main()
