@@ -279,15 +279,35 @@ def ivf_index_upsert(
     the files being replaced), and a cell whose every row moved away is
     deleted explicitly (dynamic overwrite only touches partitions it
     writes rows for)."""
+    _cell_partitioned_upsert(
+        spark,
+        path,
+        ivf_assign(delta, codebook, vec_col, id_col),
+        delta.select(id_col).distinct(),
+        id_col,
+    )
+
+
+def _cell_partitioned_upsert(
+    spark: "SparkSession",
+    path: str,
+    new_rows: DataFrame,
+    delta_ids: DataFrame,
+    id_col: str,
+) -> None:
+    """Shared delta protocol for cell-partitioned index tables (IVF
+    assignment rows, IVF-PQ code rows): affected cells = new rows' cells ∪
+    cells holding any updated id; merge = (affected base rows minus delta
+    ids) + new rows; publish via dynamic partition overwrite with
+    localCheckpoint materialization and explicit empty-cell cleanup. All
+    driver-side collects are ≤ n_cells rows (codebook-bounded)."""
     base = spark.read.parquet(path)
-    d = ivf_assign(delta, codebook, vec_col, id_col)
-    delta_ids = delta.select(id_col).distinct()
     old_cells = (
         base.join(F.broadcast(delta_ids), id_col)
         .select("cell")
         .distinct()
     )
-    new_cells = d.select("cell").distinct()
+    new_cells = new_rows.select("cell").distinct()
     # bounded-collect: distinct affected cells, <= n_cells rows
     affected = {
         int(r["cell"]) for r in old_cells.unionByName(new_cells).distinct().collect()
@@ -297,7 +317,7 @@ def ivf_index_upsert(
     merged = (
         base.where(F.col("cell").isin([int(c) for c in affected]))
         .join(F.broadcast(delta_ids), id_col, "left_anti")
-        .unionByName(d)
+        .unionByName(new_rows)
     )
     # materialize BEFORE overwriting: merged's lineage reads the very
     # files the write replaces
@@ -317,6 +337,110 @@ def ivf_index_upsert(
         gone = jvm.org.apache.hadoop.fs.Path(jpath, f"cell={int(c)}")
         if fs.exists(gone):
             fs.delete(gone, True)
+
+
+def pq_assign_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, cell, codes)``: each vector's coarse cell AND its PQ
+    byte codes in ONE fused Arrow pass — the row an IVF-PQ code TABLE
+    stores next to the corpus (32× smaller than the vectors; the vectors
+    themselves stay in the corpus and are fetched only for re-ranking).
+    Cell rule identical to :func:`ivf_assign` (first-max argmax ==
+    `ivf_cell_assignments`'s window rule); code rule identical to
+    :func:`pq_encode` (per-subspace nearest centroid by squared L2,
+    numpy argmin first-min tie rule on the same arithmetic)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    M = np.array(codebook, dtype=np.float64)  # (n_cells, dim)
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    src = df.select(id_col, vec_col)
+    out_schema = StructType(
+        [
+            src.schema.fields[0],
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            if len(pdf):
+                X = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                out["cell"] = (X @ M.T).argmax(axis=1).astype("int32")
+                Xs = X.reshape(len(pdf), m, dsub)
+                dots = np.einsum("bmd,mkd->bmk", Xs, B)
+                cn = (B * B).sum(axis=2)
+                codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)
+                out["codes"] = [c.astype("int32").tolist() for c in codes]
+            else:
+                out["cell"] = pd.Series([], dtype="int32")
+                out["codes"] = []
+            yield out
+
+    return src.mapInPandas(_run, out_schema)
+
+
+def pq_code_table_write(
+    spark: "SparkSession",
+    path: str,
+    corpus: DataFrame,
+    codebook: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Full build of the cell-partitioned IVF-PQ code table — the 'codes
+    written next to the data' layout :func:`pq_index_save`'s durability
+    story assumes and `ivfpq_topk`'s docstring prescribes for 100 TB
+    ('at scale you'd WRITE the code table partitioned by cell so the
+    probed-cell filter becomes partition pruning'). One fused Arrow pass
+    per vector; parquet partitioned by ``cell``."""
+    pq_assign_encode(corpus, codebook, books, vec_col, id_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def pq_code_table_upsert(
+    spark: "SparkSession",
+    path: str,
+    delta: DataFrame,
+    codebook: list[list[float]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental maintenance of a :func:`pq_code_table_write` table:
+    route an ingest batch through the LOADED codebooks (coarse + PQ) and
+    rewrite only the affected cell partitions — same
+    :func:`_cell_partitioned_upsert` protocol as the IVF assignment
+    table, including moved-id eviction and empty-cell cleanup. Gold-
+    equivalent to a fresh full encode at the same fixed codebooks
+    (tests/test_ann_index.py), value-exact via ``z_sim_ivfpq_incremental``
+    sharing `sim_ivfpq_topk`'s oracle."""
+    _cell_partitioned_upsert(
+        spark,
+        path,
+        pq_assign_encode(delta, codebook, books, vec_col, id_col),
+        delta.select(id_col).distinct(),
+        id_col,
+    )
 
 
 def ivf_topk_preassigned(
@@ -800,21 +924,55 @@ def ivfpq_topk(
     operating mode; the ``n_cells``/``*_iters`` training knobs are
     ignored then.
     """
-    import numpy as np
-
     if codebook is None:
         codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, coarse_iters)
+    if books is None:
+        books = pq_codebooks(corpus, vec_col, id_col, m, ksub, pq_iters, dim)
     corpus_cells, query_cells = ivf_cell_assignments(
         corpus, queries, codebook, vec_col, id_col, n_probe
     )
+
+    def coded_fn(probed_cells):
+        return (
+            pq_encode(corpus, books, vec_col, id_col, out_id="neighbor_id")
+            .join(corpus_cells, "neighbor_id")
+            # At scale: codes stored bucketed by cell -> partition pruning
+            # (that stored layout IS ivfpq_topk_precoded).
+            .where(F.col("cell").isin(probed_cells))
+            .select("neighbor_id", "cell", "codes")
+        )
+
+    return _ivfpq_adc_probe(
+        coded_fn, corpus, queries, query_cells, books, k, refine, vec_col, id_col
+    )
+
+
+def _ivfpq_adc_probe(
+    coded_fn,
+    corpus: DataFrame,
+    queries: DataFrame,
+    query_cells: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+    refine: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ probe tail: collect the (query-sized) probe sets,
+    build per-query ADC lookup tables, scan the probed cells' codes
+    (``coded_fn(probed_cells)`` supplies the ``(neighbor_id, cell,
+    codes)`` rows — freshly encoded in `ivfpq_topk`, read from a stored
+    cell-partitioned table in :func:`ivfpq_topk_precoded`), then exact
+    re-rank. Emission order inside the scan is the partitioning-invariant
+    (adc desc, id) total order with self dropped before the cut."""
+    import numpy as np
+
     probes: dict[int, list] = {}
     for r in query_cells.collect():  # Q*n_probe rows — query-sized
         probes.setdefault(r.cell, []).append(r.query_id)
 
-    if books is None:
-        books = pq_codebooks(corpus, vec_col, id_col, m, ksub, pq_iters, dim)
     B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
-    dsub = B.shape[2]
+    m, _, dsub = B.shape
     qrows = queries.select(id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     qidx = {qid: i for i, qid in enumerate(qids)}
@@ -826,13 +984,7 @@ def ivfpq_topk(
         for c, qs in probes.items()
     }
 
-    coded = (
-        pq_encode(corpus, books, vec_col, id_col, out_id="neighbor_id")
-        .join(corpus_cells, "neighbor_id")
-        # At scale: codes stored bucketed by cell -> this prunes partitions.
-        .where(F.col("cell").isin(sorted(probes)))
-        .select("neighbor_id", "cell", "codes")
-    )
+    coded = coded_fn(sorted(probes))
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -871,3 +1023,45 @@ def ivfpq_topk(
 
     local_top = coded.mapInPandas(_scan, out_schema)
     return _exact_rerank_adc(local_top, corpus, queries, k, n_local, vec_col, id_col)
+
+
+def ivfpq_topk_precoded(
+    code_table: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe against a STORED code table (the
+    :func:`pq_code_table_write` / :func:`pq_code_table_upsert` product):
+    queries route through the loaded coarse codebook, the ADC scan reads
+    ``(neighbor_id, cell, codes)`` rows straight from the cell-partitioned
+    parquet — no corpus-wide encode pass, and the probed-cell filter
+    prunes the scan to the probed partitions — then only the surviving
+    candidates fetch real vectors from ``corpus`` for the exact re-rank.
+    Identical output to :func:`ivfpq_topk` at the same fixed codebooks."""
+    cells = V.matrix_dots(
+        queries, vec_col, id_col, codebook, out_id="qid"
+    ).select("qid", F.posexplode("dots").alias("cell", "dot"))
+    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    query_cells = (
+        cells.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("qid").alias("query_id"), "cell")
+    )
+
+    def coded_fn(probed_cells):
+        return (
+            code_table.withColumnRenamed(id_col, "neighbor_id")
+            .where(F.col("cell").isin(probed_cells))
+            .select("neighbor_id", "cell", "codes")
+        )
+
+    return _ivfpq_adc_probe(
+        coded_fn, corpus, queries, query_cells, books, k, refine, vec_col, id_col
+    )

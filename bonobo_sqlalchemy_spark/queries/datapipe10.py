@@ -496,3 +496,69 @@ def z_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return M.extract_image_features(M.attach_jpeg_payload(d))
+
+
+def _ivfpq_oracle() -> str:
+    from .datapipe6 import _ivfpq_oracle as d6
+
+    return d6()
+
+
+@query(
+    "z_sim_ivfpq_incremental",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "sketch", "incremental"),
+)
+def z_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF-PQ CODE TABLE, probed
+    (operators/similarity.py::pq_code_table_write / pq_code_table_upsert /
+    ivfpq_topk_precoded): the layout `ivfpq_topk`'s own docstring
+    prescribes for 100 TB — byte codes written next to the data,
+    partitioned by coarse cell, so a probe prunes the scan to the probed
+    cells and never re-encodes the corpus. Fixture mirrors
+    `z_sim_ivf_incremental` (missing + stale rows, delta upsert through
+    the LOADED coarse + PQ codebooks, only affected cell partitions
+    rewritten); because the maintained code table is gold-equivalent to a
+    fresh full encode at the same fixed codebooks, this query shares
+    `sim_ivfpq_topk`'s VALUE-EXACT oracle verbatim."""
+    import os
+
+    from ..cache import artifact_path, ensure_artifact
+    from ..operators.similarity import (
+        ivf_train_or_init,
+        ivfpq_topk_precoded,
+        pq_code_table_upsert,
+        pq_code_table_write,
+        pq_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = ivf_train_or_init(e, "embedding", "vec_id", 16, 1)
+    books = pq_codebooks(e, "embedding", "vec_id", m=8, ksub=16, iters=1)
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+
+    def _build(tmp: str) -> None:
+        delta = e.where(F.col("vec_id") % 5 == 3)
+        stale = delta.where(F.col("vec_id") % 10 == 3).withColumn(
+            "embedding", F.reverse("embedding")
+        )
+        base = e.where(F.col("vec_id") % 5 != 3).unionByName(stale)
+        pq_code_table_write(spark, tmp, base, codebook, books)
+        pq_code_table_upsert(spark, tmp, delta, codebook, books)
+
+    path = ensure_artifact(
+        artifact_path(
+            "pqcodeinc", f"{src}:{st.st_size}:{st.st_mtime_ns}:ivfpq16x8x16inc"
+        ),
+        _build,
+    )
+    return ivfpq_topk_precoded(
+        spark.read.parquet(path),
+        e,
+        e.where(F.col("vec_id") < 8),
+        codebook,
+        books,
+        k=5,
+        n_probe=6,
+    )

@@ -155,3 +155,89 @@ def test_preassigned_probe_matches_training_path(spark, emb, codebook, tmp_path)
     via_train = ivf_topk(emb, queries, k=5, n_probe=4, codebook=codebook)
     norm = lambda df: sorted(map(tuple, df.collect()))
     assert norm(via_index) == norm(via_train)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ code table: codes stored next to the data, incrementally maintained
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    from bonobo_sqlalchemy_spark.operators.similarity import pq_codebooks
+
+    return pq_codebooks(emb, "embedding", "vec_id", m=8, ksub=16, iters=1)
+
+
+def _code_rows(spark, path):
+    return sorted(
+        (int(r["vec_id"]), int(r["cell"]), tuple(r["codes"]))
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_pq_assign_encode_matches_component_ops(emb, codebook, books):
+    """The fused (cell, codes) pass must agree with ivf_assign and
+    pq_encode run separately — same argmax/argmin on the same arithmetic."""
+    from bonobo_sqlalchemy_spark.operators.similarity import (
+        pq_assign_encode,
+        pq_encode,
+    )
+
+    fused = {
+        int(r["vec_id"]): (int(r["cell"]), tuple(r["codes"]))
+        for r in pq_assign_encode(emb, codebook, books).collect()
+    }
+    cells = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in ivf_assign(emb, codebook).collect()
+    }
+    codes = {
+        int(r["vec_id"]): tuple(r["codes"])
+        for r in pq_encode(emb, books, "embedding", "vec_id").collect()
+    }
+    assert fused == {i: (cells[i], codes[i]) for i in cells}
+
+
+def test_pq_code_table_upsert_gold_equivalent(spark, emb, codebook, books, tmp_path):
+    from bonobo_sqlalchemy_spark.operators.similarity import (
+        pq_code_table_upsert,
+        pq_code_table_write,
+    )
+
+    delta = emb.where(F.col("vec_id") % 5 == 3)
+    stale = delta.where(F.col("vec_id") % 10 == 3).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    base = emb.where(F.col("vec_id") % 5 != 3).unionByName(stale)
+
+    inc = str(tmp_path / "inc")
+    pq_code_table_write(spark, inc, base, codebook, books)
+    pq_code_table_upsert(spark, inc, delta, codebook, books)
+    fresh = str(tmp_path / "fresh")
+    pq_code_table_write(spark, fresh, emb, codebook, books)
+    assert _code_rows(spark, inc) == _code_rows(spark, fresh)
+
+
+def test_precoded_probe_matches_training_path(spark, emb, codebook, books, tmp_path):
+    """Probing the stored code table reproduces ivfpq_topk exactly at the
+    same fixed codebooks — stored codes, probed cells, ADC scores, and
+    re-ranked top-k all identical."""
+    from bonobo_sqlalchemy_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_precoded,
+        pq_code_table_write,
+    )
+
+    path = str(tmp_path / "codes")
+    pq_code_table_write(spark, path, emb, codebook, books)
+    queries = emb.where(F.col("vec_id") < 8)
+    via_table = ivfpq_topk_precoded(
+        spark.read.parquet(path), emb, queries, codebook, books, k=5, n_probe=6
+    )
+    via_train = ivfpq_topk(
+        emb, queries, k=5, n_probe=6, m=8, ksub=16,
+        codebook=codebook, books=books,
+    )
+    norm = lambda df: sorted(map(tuple, df.collect()))
+    assert norm(via_table) == norm(via_train)
