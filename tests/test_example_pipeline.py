@@ -66,3 +66,6 @@ def test_corpus_search_example_runs(spark, capsys):
         sys.argv = argv_save
     out = capsys.readouterr().out
     assert "rrf_score" in out and "bm25_rank" in out
+    # the semantic leg demos the production loop: day-0 table build,
+    # day-1 delta upsert through the loaded codebook, table-probe
+    assert "incrementally-maintained IVF leg" in out
