@@ -56,6 +56,12 @@ def hashed_ngram_features(
 
     Buckets are ``1..n_features`` (0 is the bias, added here so every doc
     — even an empty one — has at least the bias row).
+
+    Bucket hash is the repo's md5 convention (first 8 hex chars as an
+    int) rather than ``xxhash64`` — migrated in round 12, the same move
+    round 9 made for SemDeDup's sub-bucket hash, so any SQL engine
+    computes the identical feature rows and the trained model becomes
+    oracle-reproducible (``z_text_quality_model``'s unrolled-GD oracle).
     """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
@@ -77,7 +83,12 @@ def hashed_ngram_features(
         F.array(F.lit(BIAS)),
         F.transform(
             grams,
-            lambda g: (F.pmod(F.xxhash64(g), F.lit(n_features)) + 1).cast("int"),
+            lambda g: (
+                F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10)
+                .cast("bigint")
+                % n_features
+                + 1
+            ).cast("int"),
         ),
     )
     return docs.select(

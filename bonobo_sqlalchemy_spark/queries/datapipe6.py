@@ -329,17 +329,115 @@ def z_text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("z_text_quality_model", oracle=None, tags=("text", "ml"), bench=False)
+def _quality_model_oracle(
+    iters: int = 6,
+    n_features: int = 1024,
+    lr: float = 2.0,
+    reg: float = 1e-4,
+    hi: float = 0.75,
+    lo: float = 0.45,
+) -> str:
+    """DuckDB rendition of the FULL weak-label LR pipeline: the fixed
+    iteration count lets the gradient-descent loop unroll into chained
+    CTEs (w1..wN), each iteration = one margins agg, one sigmoid residual,
+    one per-bucket gradient agg, one weight update over the bucket
+    domain — exactly the relational ops `train_quality_model` runs per
+    round, same IEEE expression trees (zero init, g/n division, lr and
+    L2 terms in the same order). Feature rows reproduce
+    `hashed_ngram_features` bit-for-bit via the md5 bucket convention."""
+    from .datapipe import QUALITY_SQL
+
+    head = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(w) AS g FROM tok),
+    bi AS (SELECT doc_id, w[t.i] || ' ' || w[t.i + 1] AS g
+           FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+    feats AS (
+      SELECT DISTINCT doc_id AS id,
+             CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                  % {n_features} + 1 AS INT) AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      UNION
+      SELECT doc_id, 0 FROM documents
+    ),
+    hq AS (SELECT doc_id AS id, {QUALITY_SQL} AS heuristic FROM documents),
+    lbl AS (
+      SELECT id,
+             CASE WHEN heuristic >= {hi} THEN 1.0
+                  WHEN heuristic <= {lo} THEN 0.0 END AS y
+      FROM hq WHERE heuristic >= {hi} OR heuristic <= {lo}
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lbl),
+    tfeats AS (SELECT feats.* FROM feats JOIN lbl USING (id)),
+    bdom AS (SELECT CAST(unnest(range(0, {n_features + 1})) AS INT) AS bucket),
+    w0 AS (SELECT bucket, 0.0 AS w FROM bdom)"""
+    its = []
+    for i in range(1, max(1, iters) + 1):
+        p = i - 1
+        its.append(f"""
+    m{i} AS (
+      SELECT f.id, SUM(COALESCE(w.w, 0.0)) AS margin
+      FROM tfeats f LEFT JOIN w{p} w USING (bucket) GROUP BY f.id
+    ),
+    r{i} AS (
+      SELECT m.id, 1.0 / (1.0 + exp(-m.margin)) - lbl.y AS r
+      FROM m{i} m JOIN lbl USING (id)
+    ),
+    g{i} AS (
+      SELECT f.bucket, SUM(r.r) / (SELECT n FROM nn) AS g
+      FROM tfeats f JOIN r{i} r USING (id) GROUP BY f.bucket
+    ),
+    w{i} AS (
+      SELECT b.bucket,
+             w.w - {lr} * (COALESCE(g.g, 0.0)
+                           + CASE WHEN b.bucket <> 0
+                                  THEN {reg} * w.w ELSE 0.0 END) AS w
+      FROM bdom b
+      JOIN w{p} w USING (bucket)
+      LEFT JOIN g{i} g USING (bucket)
+    )""")
+    tail = f"""
+    margins AS (
+      SELECT f.id, SUM(COALESCE(w.w, 0.0)) AS margin
+      FROM feats f LEFT JOIN w{max(1, iters)} w USING (bucket) GROUP BY f.id
+    )
+    SELECT hq.id AS doc_id, hq.heuristic,
+           CASE WHEN hq.heuristic >= {hi} THEN 1.0
+                WHEN hq.heuristic <= {lo} THEN 0.0 END AS label,
+           round(1.0 / (1.0 + exp(-margins.margin)), 6) AS q_prob
+    FROM hq JOIN margins ON margins.id = hq.id
+    """
+    return head + "," + ",".join(its) + "," + tail
+
+
+@query(
+    "z_text_quality_model",
+    oracle=_quality_model_oracle(),
+    tags=("text", "ml"),
+    bench=False,
+)
 def z_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality scoring: hashed n-gram logistic regression trained by
     distributed gradient aggregation on weak labels from the heuristic's
     confident tails, then scoring EVERY document (operators/quality.py).
-    Deterministic (zero init, fixed iters/lr, content-derived hashing).
-    Rows-only: iterative training is not SQL-expressible; separation on
-    planted clean/junk docs is asserted in tests/test_quality.py. Excluded
-    from the headline bench: per-iteration scheduler overhead dominates at
-    test SFs (the per-iteration plans are ordinary hash-aggs that scale like
-    every other bench query)."""
+    Deterministic (zero init, fixed iters/lr, content-derived md5 hashing).
+    VALUE-EXACT as of round 12 (was rows-only): the fixed iteration count
+    unrolls the GD loop into chained SQL CTEs — per round the margins agg,
+    sigmoid residual, per-bucket gradient, and weight update are the same
+    IEEE expression trees in both engines; aggregation-order and libm-exp
+    drift stay ~1e-13 over 6 rounds, far inside the 6dp rounding policy
+    (the round-9 SemDeDup precedent: the feature hash migrated from
+    xxhash64 to the repo's md5 convention to make buckets engine-portable).
+    Separation on planted clean/junk docs additionally asserted in
+    tests/test_quality.py. Excluded from the headline bench:
+    per-iteration scheduler overhead dominates at test SFs (the
+    per-iteration plans are ordinary hash-aggs that scale like every
+    other bench query)."""
     from ..operators.quality import quality_model_scores
 
     docs = load_table(spark, sf_dir, "documents")
