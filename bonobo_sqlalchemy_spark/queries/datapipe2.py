@@ -309,6 +309,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4)
 
 
+def ivf_codebook_cached(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The registered fixed IVF-16 codebook (`ivf_train_or_init` with
+    ``train_iters=0`` — the deterministic first-16-by-id init the
+    `_IVF_ORACLE` reproduces), trained once per (input, engine version)
+    and persisted via the atomic artifact cache; every saved-index /
+    incremental query LOADS it instead of re-deriving it. Cache key =
+    input identity + engine source hash (a codebook trained by older code
+    never satisfies newer code); publish is atomic-rename."""
+    import os
+
+    from ..cache import artifact_path, ensure_artifact
+    from ..operators.similarity import (
+        ann_index_load,
+        ann_index_save,
+        ivf_train_or_init,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    path = ensure_artifact(
+        artifact_path("ivfidx", f"{src}:{st.st_size}:{st.st_mtime_ns}:ivf16"),
+        lambda tmp: ann_index_save(
+            spark, tmp, ivf_train_or_init(e, "embedding", "vec_id", 16, 0)
+        ),
+    )
+    return ann_index_load(spark, path)
+
+
 @query(
     "sim_ivf_saved_index",
     oracle=_IVF_ORACLE,
@@ -325,28 +354,10 @@ def sim_ivf_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never an implicit side effect of a query. Save -> load -> probe
     must reproduce `sim_ivf_topk` exactly, so this query shares its
     VALUE-EXACT oracle verbatim."""
-    import os
-
-    from ..cache import artifact_path, ensure_artifact
-    from ..operators.similarity import (
-        ann_index_load,
-        ann_index_save,
-        ivf_topk,
-        ivf_train_or_init,
-    )
+    from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    src = f"{sf_dir}/embeddings.parquet"
-    st = os.stat(src)
-    # cache key = input identity + engine source hash (a codebook trained
-    # by older code never satisfies newer code); publish is atomic-rename
-    path = ensure_artifact(
-        artifact_path("ivfidx", f"{src}:{st.st_size}:{st.st_mtime_ns}:ivf16"),
-        lambda tmp: ann_index_save(
-            spark, tmp, ivf_train_or_init(e, "embedding", "vec_id", 16, 0)
-        ),
-    )
-    codebook = ann_index_load(spark, path)
+    codebook = ivf_codebook_cached(spark, sf_dir)
     return ivf_topk(
         e, e.where(F.col("vec_id") < 8), k=5, n_probe=4, codebook=codebook
     )

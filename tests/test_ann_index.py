@@ -241,3 +241,49 @@ def test_precoded_probe_matches_training_path(spark, emb, codebook, books, tmp_p
     )
     norm = lambda df: sorted(map(tuple, df.collect()))
     assert norm(via_table) == norm(via_train)
+
+
+def test_preassigned_probe_prunes_partitions_dynamically(spark, emb, codebook, tmp_path):
+    """The point of the cell-partitioned layout: the probe's scan of the
+    assignment table must carry a dynamic partition-pruning subquery on
+    `cell` (the broadcast query-cells join feeds it), so at scale only
+    the probed cells' files are read."""
+    path = str(tmp_path / "dpp")
+    ivf_index_write(spark, path, emb, codebook)
+    out = ivf_topk_preassigned(
+        spark.read.parquet(path), emb.where(F.col("vec_id") < 4), codebook,
+        k=5, n_probe=4,
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_precoded_probe_prunes_partitions_statically(spark, emb, codebook, books, tmp_path):
+    """The IVF-PQ probe filters the code table by the (collected,
+    query-sized) probe set, which lands as a static INSET partition
+    filter on the `cell` partition column of the stored table."""
+    import re
+
+    from bonobo_sqlalchemy_spark.operators.similarity import (
+        ivfpq_topk_precoded,
+        pq_code_table_write,
+    )
+
+    path = str(tmp_path / "inset")
+    pq_code_table_write(spark, path, emb, codebook, books)
+    out = ivfpq_topk_precoded(
+        spark.read.parquet(path), emb, emb.where(F.col("vec_id") < 2),
+        codebook, books, k=5, n_probe=2,
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # small probe sets render as IN (..), larger ones as INSET ..
+    filters = re.findall(
+        r"PartitionFilters: \[cell#\d+ (?:IN \(([^)]*)\)|INSET ([^\]]*))\]",
+        plan,
+    )
+    assert filters, plan[:2000]
+    vals = (filters[0][0] or filters[0][1]).split(",")
+    # 2 queries x 2 probes: at most 4 distinct cells survive the filter
+    assert len(vals) <= 4, filters
