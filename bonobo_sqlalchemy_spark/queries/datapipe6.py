@@ -258,6 +258,7 @@ def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p2 WHERE round(dot / sqrt(na * nb), 6) >= 0.35
     """,
     tags=("dedup", "sketch"),
+    bench=True,
 )
 def z_dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the hot-cluster guard engaged (round 7): clusters

@@ -126,28 +126,20 @@ def main() -> None:
     # HIGHEST-alpha queries one more decade out.
     sf1_dir = Path(__file__).parent / ".testdata" / "sf1.0"
     if sf1_dir.exists():
-        alphas = {}
-        for name in names:
-            t = times[name]
-            mid, hi = t.get("0.01"), t.get("0.1")
-            if mid and hi and mid > 0:
-                alphas[name] = math.log(hi / mid) / math.log(10)
-        top = sorted(alphas, key=alphas.get, reverse=True)[:10]
         ext_lines = [
             "",
             "### Decade extension (sf0.1 → sf1.0, locally synthesized)",
             "",
-            "The 10 highest-alpha queries re-measured at a 10× dataset "
-            "(50k docs / 1M events / 1.5M orders / 6M lineitem, "
-            "distribution-resampled from sf0.1 by `sf1_generate.py`; "
-            "queries over tables not in the synthesis report err). "
-            "`alpha (0.1→1.0)` is the next decade's log-slope — the one "
-            "fixed overhead can no longer hide.",
+            "Every bench query re-measured at a 10× dataset (50k docs / "
+            "1M events / 1.5M orders / 6M lineitem / 20k embeddings + "
+            "scaled dimensions, distribution-resampled from sf0.1 by "
+            "`sf1_generate.py`). `alpha (0.1→1.0)` is the next decade's "
+            "log-slope — the one fixed overhead can no longer hide.",
             "",
             "| Query | sf0.1 | sf1.0 | alpha (0.1→1.0) |",
             "|---|---|---|---|",
         ]
-        for name in top:
+        for name in names:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -171,6 +163,21 @@ def main() -> None:
                 ext_lines.append(
                     f"| `{name}` | {hi if hi else 'err'} | err | — |"
                 )
+        ext_lines += [
+            "",
+            "Known structural super-linear row: `z_dedup_semantic` "
+            "(UNCAPPED SemDeDup at a fixed n_clusters=16) keeps cluster "
+            "COUNT constant as the corpus grows, so intra-cluster "
+            "candidate pairs grow quadratically — by design, it is the "
+            "reference behavior the oracle pins. The production variant "
+            "is `dedup_semantic_capped` (same clustering + "
+            "max_cluster_size sub-split), benched right beside it: the "
+            "cap bounds the per-cluster quadratic term and its decade "
+            "alpha stays near-linear. At a real 100 TB run, n_clusters "
+            "additionally scales with the corpus (k ~ N / target cell "
+            "size), which the fixed-k oracle fixture deliberately does "
+            "not do.",
+        ]
         lines += ext_lines
 
     tot = {sf: sum(t.get(sf, 0.0) for t in times.values()) for sf in ("0.001", "0.01", "0.1")}

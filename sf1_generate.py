@@ -3,7 +3,9 @@
 Most alphas in SCALING.md are < 1 at sf0.1, which means fixed per-query
 overhead still dominates there and the true data-bound slope is
 unmeasured (round-11 verdict item 3). This script manufactures a 10×
-dataset — 50k documents, 1M events, 1.5M orders, 6M lineitem — whose
+dataset — 50k documents, 1M events, 1.5M orders, 6M lineitem, 20k
+embeddings, plus the scaled customer/supplier/part and fixed-cardinality
+region/nation dimensions — whose
 distributions are EMPIRICALLY RESAMPLED from the driver's own sf0.1
 parquet (unigram word frequencies, doc-length / value / price
 distributions, lang/source/type shares, key ranges scaled 10×), so the
@@ -180,6 +182,96 @@ def gen_lineitem(rng: np.random.Generator, n_orders: int) -> pa.Table:
     return pa.table(cols)
 
 
+
+
+def gen_embeddings(rng: np.random.Generator) -> pa.Table:
+    t = _read("embeddings")
+    n = t.num_rows * SCALE
+    labels = np.array(t.column("label").to_pylist())
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    mu, sd = float(vecs.mean()), float(vecs.std())
+    new = rng.normal(mu, sd, size=(n, dim)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in new], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.choice(labels, size=n, replace=True).astype(np.int32),
+                pa.int32(),
+            ),
+        }
+    )
+
+
+def gen_customer(rng: np.random.Generator) -> pa.Table:
+    t = _read("customer")
+    n = t.num_rows * SCALE
+    return pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i:09d}" for i in range(n)], pa.string()
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n).astype(np.int32), pa.int32()
+            ),
+            "c_acctbal": pa.array(
+                _bootstrap_col(rng, t, "c_acctbal", n), pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                _bootstrap_col(rng, t, "c_mktsegment", n), pa.string()
+            ),
+        }
+    )
+
+
+def gen_supplier(rng: np.random.Generator) -> pa.Table:
+    t = _read("supplier")
+    n = t.num_rows * SCALE
+    return pa.table(
+        {
+            "s_suppkey": pa.array(range(n), pa.int64()),
+            "s_name": pa.array(
+                [f"Supplier#{i:09d}" for i in range(n)], pa.string()
+            ),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, size=n).astype(np.int32), pa.int32()
+            ),
+            "s_acctbal": pa.array(
+                _bootstrap_col(rng, t, "s_acctbal", n), pa.float64()
+            ),
+        }
+    )
+
+
+def gen_part(rng: np.random.Generator) -> pa.Table:
+    t = _read("part")
+    n = t.num_rows * SCALE
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_name": pa.array(
+                _bootstrap_col(rng, t, "p_name", n), pa.string()
+            ),
+            "p_brand": pa.array(
+                _bootstrap_col(rng, t, "p_brand", n), pa.string()
+            ),
+            "p_type": pa.array(
+                _bootstrap_col(rng, t, "p_type", n), pa.string()
+            ),
+            "p_size": pa.array(
+                _bootstrap_col(rng, t, "p_size", n).astype(np.int32), pa.int32()
+            ),
+            "p_retailprice": pa.array(
+                _bootstrap_col(rng, t, "p_retailprice", n), pa.float64()
+            ),
+        }
+    )
+
+
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -188,6 +280,13 @@ def main() -> None:
         ("events", lambda: gen_events(rng)),
         ("orders", lambda: gen_orders(rng)),
         ("lineitem", lambda: gen_lineitem(rng, _read("orders").num_rows * SCALE)),
+        ("embeddings", lambda: gen_embeddings(rng)),
+        ("customer", lambda: gen_customer(rng)),
+        ("supplier", lambda: gen_supplier(rng)),
+        ("part", lambda: gen_part(rng)),
+        # fixed-cardinality dimensions: same 5 regions / 25 nations at any sf
+        ("region", lambda: _read("region")),
+        ("nation", lambda: _read("nation")),
     ]
     for name, fn in jobs:
         dst = OUT / f"{name}.parquet"
