@@ -486,6 +486,18 @@ def embedding_near_dup_pairs(
     ``p = 1 - θ/π``: ≈1.0 for true near-dups (cosine ≥ 0.9) at the
     (4, 16) default; borderline-threshold pairs are probabilistically
     pruned, which is the documented LSH trade.
+
+    **Scale the bits with the corpus.** At FIXED ``bits_per_table`` the
+    bucket count (``2^b`` per table) is constant, so expected bucket
+    occupancy grows with N and candidate volume grows ~``L * N^2 / 2^b``
+    — the same structural quadratic the SemDeDup cap guards against.
+    The production setting keeps occupancy roughly constant:
+    ``bits_per_table ≈ log2(N / target_occupancy)`` (each +1 bit halves
+    per-bucket load and sharpens the S-curve; recall for true near-dups
+    stays ≈1 while borderline pairs prune harder). Measured at the local
+    sf1.0 (20k isotropic vectors): bits 4→7 cuts wall-clock 8.7s→3.0s
+    (SCALING.md appendix). The registered `dedup_embedding_cosine`
+    fixture deliberately pins (4, 16) for oracle determinism.
     """
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
     base = df.select(

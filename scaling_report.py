@@ -176,7 +176,10 @@ def main() -> None:
             "alpha stays near-linear. At a real 100 TB run, n_clusters "
             "additionally scales with the corpus (k ~ N / target cell "
             "size), which the fixed-k oracle fixture deliberately does "
-            "not do.",
+            "not do. The same pattern in miniature: "
+            "`dedup_embedding_cosine` pins bits_per_table=4 for its "
+            "oracle; production scales bits with the corpus (see the "
+            "LSH bucket-occupancy appendix below).",
         ]
         lines += ext_lines
 
