@@ -479,6 +479,31 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def hot_cold_count_join(
+    occurrences: DataFrame,
+    counts: DataFrame,
+    key: str,
+    count_col: str,
+    hot_df: int | None,
+) -> DataFrame:
+    """The canonical zipf-key lookup-join guard, shared by every
+    occurrence→vocab-count join (`segment_quality_outliers`, the unigram
+    LM scorer): vocab rows with ``count_col > hot_df`` join via BROADCAST
+    (one row per DISTINCT hot key — by pigeonhole at most
+    ``total_occurrences / hot_df`` of them), the tail takes the ordinary
+    shuffle join whose per-key row volume is ≤ ``hot_df`` — no reducer
+    ever receives every "the". Row-for-row equal to the plain inner join
+    (the predicate partitions the vocab; proven in
+    ``tests/test_scale.py``). ``hot_df=None`` disables the split."""
+    if hot_df is None:
+        return occurrences.join(counts, key)
+    hot = counts.where(F.col(count_col) > hot_df)
+    cold = counts.where(F.col(count_col) <= hot_df)
+    return occurrences.join(F.broadcast(hot), key).unionByName(
+        occurrences.join(cold, key)
+    )
+
+
 def segment_quality_outliers(
     df: DataFrame,
     text_col: str = "text",
@@ -540,14 +565,7 @@ def segment_quality_outliers(
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
     chunked = toks.withColumn("chunk_id", F.floor(F.col("pos") / F.lit(chunk)))
-    if hot_token_df is None:
-        joined = chunked.join(counts, "tok")
-    else:
-        hot = counts.where(F.col("c") > hot_token_df)
-        cold = counts.where(F.col("c") <= hot_token_df)
-        joined = chunked.join(F.broadcast(hot), "tok").unionByName(
-            chunked.join(cold, "tok")
-        )
+    joined = hot_cold_count_join(chunked, counts, "tok", "c", hot_token_df)
     chunk_scores = (
         joined.join(F.broadcast(total))
         .groupBy(id_col, "chunk_id")

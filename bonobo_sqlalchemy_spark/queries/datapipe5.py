@@ -176,12 +176,16 @@ def z_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens under the corpus unigram distribution — the classic
     perplexity-style quality-filtering signal (low = rare-token/garbage
     text). Two shuffles (vocab count, per-doc agg); the token->count join
-    shuffles on the token key, so hot tokens are bounded by AQE skew
-    handling. Rounded per the determinism policy (float sum reorder error
-    ~1e-12 vs 1e-6 rounding).
+    rides the shared hot/cold zipf-key guard
+    (operators/quality.py::hot_cold_count_join) — hot vocab rows
+    broadcast, the tail's per-key shuffle volume is threshold-bounded.
+    Rounded per the determinism policy (float sum reorder error ~1e-12 vs
+    1e-6 rounding).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    from ..operators.quality import hot_cold_count_join
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -189,7 +193,11 @@ def z_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
-    scored = toks.join(counts, "tok").join(F.broadcast(total))
+    # zipf-key guard shared with segment_quality_outliers: hot vocab rows
+    # broadcast, tail shuffles with bounded per-key volume
+    scored = hot_cold_count_join(toks, counts, "tok", "c", 100_000).join(
+        F.broadcast(total)
+    )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(
