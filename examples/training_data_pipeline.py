@@ -2,7 +2,8 @@
 composition: profile -> exact dedup -> near-dup removal (Jaccard +
 containment) -> boilerplate strip -> exact substring-span screen ->
 Gopher rule bundle -> quality filter (heuristics + unigram-LM fluency)
--> DSIR target-matching selection (broadcast-boundary deciles, no
+-> segment-outlier screen (per-chunk fluency floor) -> DSIR
+target-matching selection (broadcast-boundary deciles, no
 per-language window) -> plan-driven source re-mix (token-budget
 mixture planner -> exact per-source quotas) -> text metrics ->
 leakage-free cluster-level train/val split -> partitioned corpus write
@@ -133,11 +134,15 @@ def main() -> None:
     #    ... plus the unigram-LM fluency signal (mean log2 token probability
     #    under the corpus distribution): drops rare-token/garbage docs the
     #    surface heuristics miss. Threshold = corpus 5th percentile.
+    from bonobo_sqlalchemy_spark.operators.quality import hot_cold_count_join
+
     toks = docs.select("doc_id", F.explode(F.split(F.trim("text"), " +")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
+    # token->count lookup rides the shared zipf-key guard (hot vocab rows
+    # broadcast; no reducer receives every "the")
     fluency = (
-        toks.join(counts, "tok")
+        hot_cold_count_join(toks, counts, "tok", "c", 100_000)
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg((F.sum(F.log2(F.col("c") / F.col("total"))) / F.count(F.lit(1))).alias("avg_log2p"))
@@ -150,6 +155,21 @@ def main() -> None:
         & (F.col("avg_log2p") >= F.lit(floor))
     ).drop("avg_log2p")
     n3 = curated.count()
+
+    # 3a. segment-outlier screen: whole-doc scorers average an embedded
+    #     garbage block away; the per-16-token-chunk fluency FLOOR flags
+    #     "mostly fine, one bad segment" documents. Drop the worst-gap
+    #     percentile (the substring-strip stage already removed SHARED
+    #     junk; this catches doc-unique junk blocks).
+    from bonobo_sqlalchemy_spark.operators.quality import (
+        segment_quality_outliers,
+    )
+
+    seg = segment_quality_outliers(curated, chunk=16)
+    gap_cap = seg.agg(F.expr("percentile_approx(gap, 0.99)")).collect()[0][0]
+    seg_keep = seg.where(F.col("gap") <= F.lit(gap_cap)).select("doc_id")
+    curated = curated.join(seg_keep, "doc_id", "left_semi")
+    n3a = curated.count()
 
     # 3b. DSIR selection: keep documents whose hashed-unigram distribution
     #     matches the target (English) subset — drop the bottom per-language
@@ -281,7 +301,8 @@ def main() -> None:
     back = read_partitioned(spark, out)
     print(
         f"ingested={n0} after_exact_dedup={n1} after_near_dedup={n2} "
-        f"after_quality_gate={n3} after_dsir={n3b} after_remix={n3c} "
+        f"after_quality_gate={n3} after_segment_screen={n3a} "
+        f"after_dsir={n3b} after_remix={n3c} "
         f"sampled={target_n} written={back.count()} -> {out}"
     )
     print("compaction:", {k: (v["files_before"], v["files_after"]) for k, v in stats.items()})
