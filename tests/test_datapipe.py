@@ -221,12 +221,13 @@ def test_multimodal_decode_probes_then_stubs():
     )
     with pytest.raises(NotImplementedError):
         M.decode_image(progressive)
-    # a PNG the library-free branch explicitly does NOT cover (16-bit)
+    # a PNG the library-free branch explicitly does NOT cover (interlaced;
+    # 16-bit and paletted decode for real as of round 12)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    deep = (
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7
+    laced = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -234,7 +235,7 @@ def test_multimodal_decode_probes_then_stubs():
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
     with pytest.raises(NotImplementedError):
-        M.decode_image(deep)
+        M.decode_image(laced)
 
 
 def test_exact_dedup_group_sizes_sum_to_corpus(docs):
@@ -1018,3 +1019,100 @@ def test_pq_index_save_load_probe_identical(spark, embs, tmp_path):
         )
     )
     assert inline == saved
+
+
+def _png_chunks(*chunks):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    for ctype, data in chunks:
+        out += (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    return out
+
+
+def test_png_16bit_decodes_high_byte():
+    """16-bit gray + RGB PNGs decode library-free, scaling samples to 8
+    bits by the high byte (PIL's convention); filters run at the raw-byte
+    bpp (6 bytes for 16-bit RGB)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 2x2 16-bit grayscale: values chosen so high bytes are distinct
+    vals = np.array([[0x1234, 0xFF00], [0x0080, 0xABCD]], dtype=">u2")
+    raw = b"".join(b"\x00" + row.tobytes() for row in vals)
+    payload = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    img = np.asarray(M.decode_image(payload))
+    assert img.shape == (2, 2, 3)
+    assert img[:, :, 0].tolist() == [[0x12, 0xFF], [0x00, 0xAB]]
+
+    # 1x2 16-bit RGB with a Sub-filtered scanline (bpp = 6 bytes)
+    row = np.array([[0x0100, 0x8000, 0x4142], [0x0200, 0x9000, 0x5152]], dtype=">u2")
+    plain = row.tobytes()
+    sub = bytearray(plain)
+    for i in range(6, len(sub)):
+        sub[i] = (sub[i] - sub[i - 6]) & 0xFF
+    payload = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"\x01" + bytes(sub))),
+        (b"IEND", b""),
+    )
+    img = np.asarray(M.decode_image(payload))
+    assert img[0].tolist() == [[0x01, 0x80, 0x41], [0x02, 0x90, 0x51]]
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_paletted_decodes_all_index_depths(depth):
+    """Color-type-3 PNGs decode via PLTE at every legal index depth;
+    sub-byte indices unpack MSB-first within each scanline byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]], dtype=np.uint8
+    )
+    w = 4 if depth > 1 else 2
+    idx = np.arange(w) % min(4, 1 << depth)
+    # pack one scanline of indices at the given depth, MSB-first
+    bits = np.concatenate(
+        [((v >> np.arange(depth - 1, -1, -1)) & 1) for v in idx]
+    ).astype(np.uint8)
+    pad = (-len(bits)) % 8
+    bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+    scan = np.packbits(bits).tobytes()
+    payload = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, 1, depth, 3, 0, 0, 0)),
+        (b"PLTE", palette.tobytes()),
+        (b"IDAT", zlib.compress(b"\x00" + scan)),
+        (b"IEND", b""),
+    )
+    img = np.asarray(M.decode_image(payload))
+    assert img.shape == (1, w, 3)
+    assert (img[0] == palette[idx]).all()
+
+
+def test_png_paletted_bad_index_raises():
+    import struct
+    import zlib
+
+    payload = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)),
+        (b"PLTE", bytes([1, 2, 3])),  # one entry; index 5 is out of range
+        (b"IDAT", zlib.compress(b"\x00\x05")),
+        (b"IEND", b""),
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        M.decode_image(payload)
