@@ -16,9 +16,10 @@ filter-0..4 unfiltering incl. Paeth; 8/16-bit gray/RGB/RGBA and
 ITU-T T.81, with a paired deterministic encoder). The decode -> resize
 (:func:`resize_nearest`) -> featurize (:func:`extract_image_features`)
 path therefore runs for real in this container on genuinely COMPRESSED
-formats, lossless and lossy both. Progressive JPEG / WebP / interlaced
-PNG still need PIL/cv2 — import-probed, absent in this build — and fall
-back to the documented ``NotImplementedError``; :func:`fake_features`
+formats, lossless and lossy both, interlaced included (Adam7 as of round
+12). Progressive JPEG / WebP / sub-8-bit grayscale PNG still need
+PIL/cv2 — import-probed, absent in this build — and fall back to the
+documented ``NotImplementedError``; :func:`fake_features`
 remains the deterministic byte-level stand-in for oracle-checked
 plumbing tests.
 """
@@ -50,9 +51,9 @@ def decode_image(payload: bytes) -> "object":
     via PLTE), and baseline JPEG (round 12: ``operators/jpeg.py`` — real
     Huffman + dequant + 8×8 IDCT + 4:2:0 upsample per ITU-T T.81), so the
     common-format decode matrix genuinely executes in-container. Remaining
-    env-gated formats: progressive JPEG, WebP, interlaced PNG. On a
-    cluster image that ships either library, the full-format paths
-    activate with no code change.
+    env-gated formats: progressive/arithmetic JPEG, WebP, sub-8-bit
+    grayscale PNG. On a cluster image that ships either library, the
+    full-format paths activate with no code change.
     """
     try:
         import io
@@ -126,8 +127,8 @@ def _decode_bmp24(payload: bytes) -> "object":
 
 
 def _decode_png(payload: bytes) -> "object":
-    """Library-free decode of a non-interlaced PNG into an (h, w, 3)
-    uint8 RGB ndarray — stdlib ``zlib`` inflates the IDAT stream, then
+    """Library-free decode of a PNG into an (h, w, 3) uint8 RGB
+    ndarray — stdlib ``zlib`` inflates the IDAT stream, then
     every scanline filter the spec defines (None / Sub / Up / Average /
     Paeth, RFC 2083 §6) is reversed here. Covered sample layouts: 8-bit
     and 16-bit gray / RGB / RGBA (16-bit samples scale to 8 by taking
@@ -138,8 +139,9 @@ def _decode_png(payload: bytes) -> "object":
     Gray replicates to 3 channels; RGBA drops alpha (featurization reads
     color planes). This is a REAL compressed-format decode running
     in-container with no media library; PIL/cv2 (probed first in
-    :func:`decode_image`) remain the production path for interlaced PNGs
-    and the non-baseline DCT formats.
+    :func:`decode_image`) remain the production path for the
+    non-baseline DCT formats; Adam7 interlacing decodes here too (seven
+    independently-filtered sub-images scattered to the pixel grid).
 
     The per-scanline unfilter is sequential in x for Sub/Average/Paeth
     (each pixel depends on its left neighbor) — a Python loop per row,
@@ -175,11 +177,10 @@ def _decode_png(payload: bytes) -> "object":
                     f"RGBA and 1/2/4/8-bit paletted (got depth={depth}, "
                     f"color_type={color})"
                 )
-            if interlace != 0:
-                raise NotImplementedError(
-                    "library-free PNG branch handles non-interlaced only"
-                )
-            dims = (h, w, {0: 1, 2: 3, 3: 1, 6: 4}[color], depth, color)
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            dims = (h, w, {0: 1, 2: 3, 3: 1, 6: 4}[color], depth, color,
+                    interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -188,73 +189,109 @@ def _decode_png(payload: bytes) -> "object":
             break
     if dims is None:
         raise ValueError("PNG payload has no IHDR chunk")
-    h, w, channels, depth, color = dims
+    h, w, channels, depth, color, interlace = dims
     if color == 3 and palette is None:
         raise ValueError("paletted PNG payload has no PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    # byte-level scanline geometry: stride = ceil(w * channels * depth / 8);
-    # the unfilter's left-neighbor distance is bpp = the BYTES per pixel
-    # (floored at 1 for sub-byte palette indices), per RFC 2083 §6.2
-    stride = (w * channels * depth + 7) // 8
     bpp = max(1, channels * depth // 8)
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG scanline data truncated: need {h * (1 + stride)} bytes, "
-            f"have {len(raw)}"
-        )
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    at = 0
-    for y in range(h):
-        f = raw[at]
-        cur = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
-        at += 1 + stride
-        if f == 0:  # None
-            pass
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif f == 2:  # Up
-            cur = (cur + prev) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (cur[x] + (a + int(prev[x])) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG scanline filter {f}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    if color == 3:
-        if depth == 8:
-            idx = out[:, :w]
-        else:
-            # sub-byte indices: MSB-first within each byte
-            bits = np.unpackbits(out, axis=1)
-            per = bits.reshape(h, -1, depth)
+
+    def unfilter(hp: int, stride: int, at: int):
+        """Reverse filters 0-4 over one (sub-)image of hp scanlines;
+        returns the (hp, stride) byte matrix and the new stream offset.
+        Each Adam7 pass filters independently (prev resets)."""
+        need = at + hp * (1 + stride)
+        if len(raw) < need:
+            raise ValueError(
+                f"PNG scanline data truncated: need {need} bytes, "
+                f"have {len(raw)}"
+            )
+        out = np.zeros((hp, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(hp):
+            f = raw[at]
+            cur = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
+            at += 1 + stride
+            if f == 0:  # None
+                pass
+            elif f == 1:  # Sub
+                for x in range(bpp, stride):
+                    cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            elif f == 2:  # Up
+                cur = (cur + prev) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (cur[x] + (a + int(prev[x])) // 2) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG scanline filter {f}")
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+        return out, at
+
+    def samples(mat: np.ndarray, wp: int) -> np.ndarray:
+        """(hp, stride) filtered bytes -> (hp, wp) palette indices or
+        (hp, wp, channels) uint8 samples, per depth/color."""
+        hp = mat.shape[0]
+        if color == 3:
+            if depth == 8:
+                return mat[:, :wp]
+            bits = np.unpackbits(mat, axis=1)
+            per = bits.reshape(hp, -1, depth)
             weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = (per * weights).sum(axis=2)[:, :w]
-        if int(idx.max(initial=0)) >= len(palette):
-            raise ValueError("PNG palette index out of range")
-        return palette[idx].copy()
-    if depth == 16:
-        # big-endian 16-bit samples -> high byte (PIL's 8-bit convention)
-        img = out.reshape(h, w, channels, 2)[:, :, :, 0]
+            return (per * weights).sum(axis=2)[:, :wp]
+        if depth == 16:
+            # big-endian 16-bit samples -> high byte (PIL's convention)
+            return mat.reshape(hp, -1, channels, 2)[:, :wp, :, 0]
+        return mat.reshape(hp, -1, channels)[:, :wp, :]
+
+    plane_shape = (h, w) if color == 3 else (h, w, channels)
+    plane = np.zeros(plane_shape, dtype=np.uint8)
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        mat, at = unfilter(h, stride, 0)
+        if at != len(raw):
+            raise ValueError("PNG scanline data has trailing bytes")
+        plane[:] = samples(mat, w)
     else:
-        img = out.reshape(h, w, channels)
+        # Adam7: seven sub-images at fixed (x0, y0, dx, dy) offsets, each
+        # filtered independently at its own stride, scattered to the grid
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = (wp * channels * depth + 7) // 8
+            mat, at = unfilter(hp, stride, at)
+            plane[y0::dy, x0::dx] = samples(mat, wp)
+        if at != len(raw):
+            raise ValueError("PNG scanline data has trailing bytes")
+    if color == 3:
+        if int(plane.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[plane].copy()
+    img = plane
     if channels == 1:
         img = np.repeat(img, 3, axis=2)
     elif channels == 4:
         img = img[:, :, :3]
     return img.copy()
+
+
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def encode_png(img) -> bytes:

@@ -221,13 +221,14 @@ def test_multimodal_decode_probes_then_stubs():
     )
     with pytest.raises(NotImplementedError):
         M.decode_image(progressive)
-    # a PNG the library-free branch explicitly does NOT cover (interlaced;
-    # 16-bit and paletted decode for real as of round 12)
+    # a PNG the library-free branch explicitly does NOT cover (4-bit
+    # grayscale; 16-bit, paletted, AND Adam7-interlaced all decode for
+    # real as of round 12)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7
-    laced = (
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    shallow_gray = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -235,7 +236,7 @@ def test_multimodal_decode_probes_then_stubs():
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
     with pytest.raises(NotImplementedError):
-        M.decode_image(laced)
+        M.decode_image(shallow_gray)
 
 
 def test_exact_dedup_group_sizes_sum_to_corpus(docs):
@@ -1116,3 +1117,74 @@ def test_png_paletted_bad_index_raises():
     )
     with pytest.raises(ValueError, match="palette index"):
         M.decode_image(payload)
+
+
+def _adam7_idat(img):
+    """Pack an (h, w, c) uint8 array as Adam7-interlaced filter-0 scanline
+    data (the reference construction the decoder must invert)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    out = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + np.ascontiguousarray(row).tobytes()
+    return bytes(out)
+
+
+def test_png_adam7_interlaced_decodes():
+    """Adam7-interlaced PNGs decode library-free and agree exactly with
+    the non-interlaced decode of the same pixels — odd dimensions included
+    (passes with empty sub-images must be skipped, not read)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for h, w in [(8, 8), (7, 5), (1, 9), (3, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        laced = _png_chunks(
+            (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)),
+            (b"IDAT", zlib.compress(_adam7_idat(img))),
+            (b"IEND", b""),
+        )
+        got = np.asarray(M.decode_image(laced))
+        assert got.shape == (h, w, 3), (h, w)
+        assert (got == img).all(), (h, w)
+
+
+def test_png_adam7_interlaced_gray_and_paletted():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # grayscale 6x6 gradient
+    g = (np.arange(36, dtype=np.uint8) * 7).reshape(6, 6)
+    laced = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1)),
+        (b"IDAT", zlib.compress(_adam7_idat(g[:, :, None]))),
+        (b"IEND", b""),
+    )
+    got = np.asarray(M.decode_image(laced))
+    assert (got[:, :, 0] == g).all() and (got[:, :, 2] == g).all()
+
+    # paletted 5x5 (8-bit indices)
+    palette = np.array([[9, 8, 7], [1, 2, 3], [200, 100, 50]], dtype=np.uint8)
+    idx = (np.arange(25, dtype=np.uint8) % 3).reshape(5, 5)
+    laced = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 5, 5, 8, 3, 0, 0, 1)),
+        (b"PLTE", palette.tobytes()),
+        (b"IDAT", zlib.compress(_adam7_idat(idx[:, :, None]))),
+        (b"IEND", b""),
+    )
+    got = np.asarray(M.decode_image(laced))
+    assert (got == palette[idx]).all()
