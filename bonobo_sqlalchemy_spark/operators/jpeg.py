@@ -11,9 +11,15 @@ quantize → zigzag → DC-diff + AC run-length → Huffman) so the path is
 exercisable end-to-end in-container with payloads any external JPEG
 decoder can also read.
 
-Scope (mirrors the PNG branch's honesty contract): baseline DCT (SOF0),
-8-bit precision, grayscale or YCbCr with sampling factors 1–2 (covers
-4:4:4, 4:2:2, 4:2:0). Progressive (SOF2), arithmetic coding, 12-bit, and
+Scope (mirrors the PNG branch's honesty contract): baseline DCT (SOF0)
+AND progressive DCT (SOF2 — spectral-selection bands, successive
+approximation on DC and AC incl. refinement passes, EOB runs,
+interleaved DC / non-interleaved AC scans), 8-bit precision, grayscale
+or YCbCr with sampling factors 1–2 (covers 4:4:4, 4:2:2, 4:2:0). A
+progressive ENCODER with a fixed four-stage scan script makes the path
+provable in-container: progressive reorders the entropy coding of the
+same quantized coefficients, so both streams must decode to identical
+pixels (asserted in tests/test_jpeg.py). Arithmetic coding, 12-bit, and
 hierarchical modes raise ``NotImplementedError`` — PIL/cv2 (probed first
 in ``multimodal.decode_image``) remain the production path on a full
 cluster image.
@@ -135,14 +141,19 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
 
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize + zigzag one 8x8 sample block -> int64[64] in
+    zigzag order (the coefficient unit both the baseline and progressive
+    entropy coders consume)."""
+    coeffs = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    quant = np.round(coeffs.reshape(-1) / q.reshape(-1)).astype(np.int64)
+    return quant[ZIGZAG]
+
+
 def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray, dc_pred: int) -> int:
     """FDCT + quantize + zigzag + entropy-code one 8x8 sample block;
     returns the new DC predictor."""
-    coeffs = _C @ (block.astype(np.float64) - 128.0) @ _C.T
-    quant = np.round(coeffs.reshape(-1) / q.reshape(8, 8).reshape(-1)).astype(
-        np.int64
-    )
-    zz = quant[ZIGZAG]
+    zz = _quantize_block(block, q)
     # DC
     diff = int(zz[0]) - dc_pred
     s = _category(diff)
@@ -182,18 +193,10 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_baseline(
-    img, quant: np.ndarray | None = None, subsample: str = "4:4:4"
-) -> bytes:
-    """Encode an ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 array as
-    a baseline JFIF JPEG (one quant table, canonical Huffman tables
-    written into the file). ``subsample`` is ``"4:4:4"`` (every component
-    1×1) or ``"4:2:0"`` (Y at 2×2, chroma 2×2-mean-downsampled — the
-    common camera layout, which also exercises the decoder's MCU
-    interleave + upsample path). Deterministic: output bytes are a pure
-    function of (img, quant, subsample). Default quant table is
-    :data:`QUANT_FLAT8` (see its note); pass any 64-length table to trade
-    size for fidelity."""
+def _encode_prep(img, quant, subsample):
+    """Shared encoder front half: validate, color-convert, subsample, and
+    MCU-pad; returns (h, w, q, comps, padded_planes, mcux, mcuy) with
+    ``comps`` as (component id, plane, h-sampling, v-sampling) tuples."""
     arr = np.asarray(img, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -233,7 +236,18 @@ def encode_jpeg_baseline(
             )
             comps = [(1, y, 2, 2), (2, dn(cb2), 1, 1), (3, dn(cr2), 1, 1)]
 
-    # headers
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        pad_to(p, cv * 8 * mcuy, ch * 8 * mcux) for _, p, ch, cv in comps
+    ]
+    return h, w, q, comps, padded, mcux, mcuy
+
+
+def _encode_headers(h, w, q, comps, sof_marker: bytes) -> bytearray:
+    """SOI + APP0 + DQT + SOF + both canonical DHTs (no SOS)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
@@ -246,9 +260,26 @@ def encode_jpeg_baseline(
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, _, ch, cv in comps:
         sof += struct.pack(">BBB", cid, (ch << 4) | cv, 0)
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof  # SOF0
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0x00, _DC_BITS, _DC_VALS)  # DC table 0
     out += _dht_segment(0x10, _AC_BITS, _AC_VALS)  # AC table 0
+    return out
+
+
+def encode_jpeg_baseline(
+    img, quant: np.ndarray | None = None, subsample: str = "4:4:4"
+) -> bytes:
+    """Encode an ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 array as
+    a baseline JFIF JPEG (one quant table, canonical Huffman tables
+    written into the file). ``subsample`` is ``"4:4:4"`` (every component
+    1×1) or ``"4:2:0"`` (Y at 2×2, chroma 2×2-mean-downsampled — the
+    common camera layout, which also exercises the decoder's MCU
+    interleave + upsample path). Deterministic: output bytes are a pure
+    function of (img, quant, subsample). Default quant table is
+    :data:`QUANT_FLAT8` (see its note); pass any 64-length table to trade
+    size for fidelity."""
+    h, w, q, comps, padded, mcux, mcuy = _encode_prep(img, quant, subsample)
+    out = _encode_headers(h, w, q, comps, sof_marker=b"\xff\xc0")
     sos = bytes([len(comps)])
     for cid, _, _, _ in comps:
         sos += bytes([cid, 0x00])  # DC table 0 / AC table 0
@@ -257,13 +288,6 @@ def encode_jpeg_baseline(
 
     # entropy-coded segment: interleaved MCU order — per MCU position,
     # each component contributes its v x h grid of 8x8 blocks
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    padded = [
-        pad_to(p, cv * 8 * mcuy, ch * 8 * mcux) for _, p, ch, cv in comps
-    ]
     writer = _BitWriter()
     preds = [0] * len(comps)
     for my in range(mcuy):
@@ -351,10 +375,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG into an (h, w, 3) uint8 RGB array.
-    Grayscale replicates to 3 channels. Sampling factors 1–2 supported
-    (4:4:4 / 4:2:2 / 4:2:0, chroma upsampled by replication). Progressive
-    / arithmetic / 12-bit inputs raise ``NotImplementedError``."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG into an
+    (h, w, 3) uint8 RGB array. Grayscale replicates to 3 channels.
+    Sampling factors 1–2 supported (4:4:4 / 4:2:2 / 4:2:0, chroma
+    upsampled by replication). Progressive streams run the full T.81
+    machinery: spectral-selection bands, successive approximation on DC
+    and AC (first + refinement passes), EOB runs, interleaved DC /
+    non-interleaved AC scans, coefficients accumulated across scans and
+    reconstructed once. Arithmetic-coded / hierarchical / 12-bit inputs
+    raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -362,6 +391,7 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    store = None  # progressive: per-component zigzag coefficient arrays
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -373,12 +403,13 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"library-free JPEG branch handles baseline (SOF0) only "
-                f"(got SOF marker 0x{marker:02x} — progressive/extended/"
-                f"arithmetic); PIL/cv2 cover these on a full cluster image"
+                f"library-free JPEG branch handles baseline (SOF0) and "
+                f"progressive (SOF2) only (got SOF marker 0x{marker:02x} — "
+                f"extended/arithmetic/hierarchical); PIL/cv2 cover these "
+                f"on a full cluster image"
             )
         if marker == 0xDB:  # DQT
             at = 0
@@ -401,7 +432,7 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                 codes = _build_codes(bits, vals)
                 huff[(tc, th)] = {(l, c): s for s, (c, l) in codes.items()}
                 at += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -414,21 +445,35 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
                         f"sampling factors {ch}x{cv} unsupported (1-2 only)"
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan_order = []
             scan = {}
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                payload, pos, frame, scan, qt, huff, restart_interval
+                scan_order.append(cid)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, pos, frame, scan, qt, huff, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if store is None:
+                store = _prog_store(frame)
+            pos = _decode_progressive_scan(
+                payload, pos, frame, scan_order, scan, ss, se, ah, al,
+                huff, store, restart_interval,
             )
         # APPn / COM / others: skipped
+    if frame is not None and frame.get("progressive") and store is not None:
+        return _reconstruct_progressive(frame, qt, store)
     raise ValueError("JPEG payload has no SOS segment")
 
 
@@ -501,7 +546,15 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
             except _RestartMarker:
                 raise ValueError("unexpected restart marker mid-MCU")
             mcu_count += 1
-    # upsample each plane to full MCU-grid resolution, then crop
+    return _finish_planes(planes, frame)
+
+
+def _finish_planes(planes, frame) -> np.ndarray:
+    """Shared reconstruction tail: upsample each component plane to the
+    full MCU-grid resolution, crop, and convert to RGB."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -519,3 +572,391 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding: coefficients accumulate across scans
+# ---------------------------------------------------------------------------
+
+def _grids(frame):
+    """Per-component block geometry: ((bh_pad, bw_pad), (bh_n, bw_n)) —
+    the MCU-padded grid coefficients are stored in, and the
+    non-interleaved grid single-component scans iterate (ceil of the
+    component's own pixel dims; ≤ the padded grid, never >)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    out = []
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        out.append(
+            (
+                (mcuy * c["v"], mcux * c["h"]),
+                ((ch + 7) // 8, (cw + 7) // 8),
+            )
+        )
+    return mcux, mcuy, out
+
+
+def _prog_store(frame):
+    """Zigzag-ordered int64 coefficient arrays, one per component, sized
+    to the MCU-padded grid."""
+    _, _, grids = _grids(frame)
+    return [
+        np.zeros((pad[0], pad[1], 64), dtype=np.int64) for pad, _ in grids
+    ]
+
+
+def _refine_one(blk, k, br, p1):
+    """T.81 successive-approximation correction bit for a known-nonzero
+    coefficient (libjpeg's AC-refine rule; two's-complement & works for
+    negatives in Python ints and numpy int64 alike)."""
+    if br.bit():
+        if (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan_order, scan, ss, se, ah, al, huff, store,
+    restart_interval,
+):
+    comps = frame["comps"]
+    mcux, mcuy, grids = _grids(frame)
+    br = _BitReader(payload, pos)
+    state = {"eobrun": 0}
+    preds = {cid: 0 for cid in scan_order}
+
+    def dc_block(ci, cid, by, bx):
+        blk = store[ci][by, bx]
+        if ah == 0:
+            dct, _ = scan[cid]
+            s = _huff_decode(br, huff[(0, dct)])
+            diff = _extend(br.receive(s), s) if s else 0
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
+        else:
+            if br.bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    def ac_first(ci, cid, by, bx):
+        blk = store[ci][by, bx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        _, act = scan[cid]
+        tbl = huff[(1, act)]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (br.receive(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("progressive AC index overrun")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(ci, cid, by, bx):
+        blk = store[ci][by, bx]
+        p1 = 1 << al
+        if state["eobrun"] > 0:
+            for j in range(ss, se + 1):
+                if blk[j] != 0:
+                    _refine_one(blk, j, br, p1)
+            state["eobrun"] -= 1
+            return
+        _, act = scan[cid]
+        tbl = huff[(1, act)]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1 + (
+                        br.receive(r) if r else 0
+                    )
+                    for j in range(k, se + 1):
+                        if blk[j] != 0:
+                            _refine_one(blk, j, br, p1)
+                    return
+                cnt = 15  # ZRL: 16 zero-history positions total
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "progressive AC refinement symbol with size != 1"
+                    )
+                newval = p1 if br.bit() else -p1
+                cnt = r
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_one(blk, k, br, p1)
+                else:
+                    if cnt == 0:
+                        break
+                    cnt -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+
+    def maybe_restart(unit_count):
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            br._acc = 0
+            br._n = 0
+            d = br.data
+            if not (
+                br.pos + 1 < len(d)
+                and d[br.pos] == 0xFF
+                and 0xD0 <= d[br.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected restart marker")
+            br.pos += 2
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        if len(scan_order) > 1:
+            # interleaved DC scan over the frame MCU grid
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for cid in scan_order:
+                        ci = next(
+                            i for i, c in enumerate(comps) if c["id"] == cid
+                        )
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    ci, cid, my * c["v"] + by, mx * c["h"] + bx
+                                )
+                    unit += 1
+            return br.pos
+        # fall through: single-component DC scan uses the block loop below
+    if len(scan_order) != 1 and ss != 0:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    cid = scan_order[0]
+    ci = next(i for i, c in enumerate(comps) if c["id"] == cid)
+    (_, _), (bh_n, bw_n) = grids[ci]
+    fn = dc_block if ss == 0 else (ac_first if ah == 0 else ac_refine)
+    unit = 0
+    for by in range(bh_n):
+        for bx in range(bw_n):
+            maybe_restart(unit)
+            fn(ci, cid, by, bx)
+            unit += 1
+    return br.pos
+
+
+def _reconstruct_progressive(frame, qt, store) -> np.ndarray:
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q_zz = qt[c["tq"]][ZIGZAG].astype(np.int64)  # zigzag-ordered steps
+        arr = store[ci]  # (bh, bw, 64) zigzag-ordered coefficients
+        bh, bw_ = arr.shape[:2]
+        vals = (arr * q_zz).astype(np.float64)
+        rm = np.zeros_like(vals)
+        rm[:, :, ZIGZAG] = vals  # back to row-major coefficient layout
+        blocks = rm.reshape(bh, bw_, 8, 8)
+        # X = C.T @ B @ C per block, vectorized over the grid
+        spatial = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        planes.append(plane)
+    return _finish_planes(planes, frame)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder: fixed 4-stage scan script
+# ---------------------------------------------------------------------------
+
+def _emit_mag(bw: _BitWriter, v: int, codes) -> None:
+    """category symbol + magnitude bits for a signed value (DC-diff /
+    AC-first coding form)."""
+    s = _category(v)
+    code, ln = codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def encode_jpeg_progressive(
+    img, quant: np.ndarray | None = None, subsample: str = "4:4:4"
+) -> bytes:
+    """Encode as a PROGRESSIVE (SOF2) JFIF JPEG carrying the same
+    quantized coefficients as :func:`encode_jpeg_baseline` — progressive
+    mode reorders the entropy coding, it does not requantize, so decoding
+    either stream reconstructs identical pixels (the round-trip test's
+    anchor). Fixed four-stage scan script exercising the full T.81
+    progressive machinery:
+
+    1. DC first pass, interleaved, successive approximation ``Al=1``;
+    2. DC refinement (``Ah=1, Al=0`` — one raw bit per block);
+    3. per component: AC band ``Ss=1..63`` first pass at ``Al=1``
+       (magnitudes truncated toward zero, run-length + EOB coding);
+    4. per component: AC refinement (``Ah=1, Al=0`` — newly-visible
+       coefficients with zero-history runs/ZRL, correction bits for
+       known-nonzero coefficients in walk order, EOB with trailing
+       corrections).
+
+    Deterministic: output bytes are a pure function of
+    (img, quant, subsample)."""
+    h, w, q, comps, padded, mcux, mcuy = _encode_prep(img, quant, subsample)
+    out = _encode_headers(h, w, q, comps, sof_marker=b"\xff\xc2")
+
+    # quantized zigzag coefficients for every (padded-grid) block
+    store = []
+    for (_, _, ch, cv), p in zip(comps, padded):
+        bh, bw_ = cv * mcuy, ch * mcux
+        arr = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                arr[by, bx] = _quantize_block(
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                )
+        store.append(arr)
+
+    def sos(scomps, ss, se, ah, al) -> bytes:
+        hdr = bytes([len(scomps)])
+        for cid in scomps:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr
+
+    # --- scan 1: DC first, interleaved, Al=1 ------------------------------
+    out += sos([c[0] for c in comps], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, _, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        v = int(store[ci][my * cv + by, mx * ch + bx, 0]) >> 1
+                        _emit_mag(bw, v - preds[ci], _DC_CODES)
+                        preds[ci] = v
+    bw.flush()
+    out += bw.out
+
+    # --- scan 2: DC refinement, Al=0 (raw bit per block, same order) ------
+    out += sos([c[0] for c in comps], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, _, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        bw.write(int(store[ci][my * cv + by, mx * ch + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # non-interleaved AC grids (component's own ceil dims, never the pad)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+
+    def ngrid(ch, cv):
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        return (chh + 7) // 8, (cw + 7) // 8
+
+    for ci, (cid, _, ch, cv) in enumerate(comps):
+        bh_n, bw_n = ngrid(ch, cv)
+
+        # --- scan 3 (per comp): AC band 1..63 first pass, Al=1 ------------
+        out += sos([cid], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = store[ci][by, bx]
+                run = 0
+                for k in range(1, 64):
+                    c0 = int(zz[k])
+                    v = (abs(c0) >> 1) * (1 if c0 >= 0 else -1)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = _AC_CODES[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = _AC_CODES[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = _AC_CODES[0x00]  # EOB (covers this block)
+                    bw.write(code, ln)
+        bw.flush()
+        out += bw.out
+
+        # --- scan 4 (per comp): AC refinement, Ah=1 -> Al=0 ----------------
+        out += sos([cid], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = store[ci][by, bx]
+                vals = [int(zz[k]) for k in range(1, 64)]
+                n = len(vals)
+                k = 0
+                while True:
+                    nxt = None
+                    for j in range(k, n):
+                        a = abs(vals[j])
+                        if (a >> 1) == 0 and a == 1:
+                            nxt = j
+                            break
+                    if nxt is None:
+                        if k < n:
+                            code, ln = _AC_CODES[0x00]  # EOB + tail corrections
+                            bw.write(code, ln)
+                            for j in range(k, n):
+                                if abs(vals[j]) >> 1 != 0:
+                                    bw.write(abs(vals[j]) & 1, 1)
+                        break
+                    # ZRL segments while >15 zero-history positions remain
+                    while True:
+                        zeros = sum(
+                            1 for j in range(k, nxt) if abs(vals[j]) >> 1 == 0
+                        )
+                        if zeros <= 15:
+                            break
+                        code, ln = _AC_CODES[0xF0]
+                        bw.write(code, ln)
+                        consumed, j = 0, k
+                        while consumed < 16:
+                            if abs(vals[j]) >> 1 != 0:
+                                bw.write(abs(vals[j]) & 1, 1)
+                            else:
+                                consumed += 1
+                            j += 1
+                        k = j
+                    zeros = sum(
+                        1 for j in range(k, nxt) if abs(vals[j]) >> 1 == 0
+                    )
+                    code, ln = _AC_CODES[(zeros << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if vals[nxt] > 0 else 0, 1)
+                    for j in range(k, nxt):
+                        if abs(vals[j]) >> 1 != 0:
+                            bw.write(abs(vals[j]) & 1, 1)
+                    k = nxt + 1
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

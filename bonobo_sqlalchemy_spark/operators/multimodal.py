@@ -16,10 +16,10 @@ filter-0..4 unfiltering incl. Paeth; 8/16-bit gray/RGB/RGBA and
 ITU-T T.81, with a paired deterministic encoder). The decode -> resize
 (:func:`resize_nearest`) -> featurize (:func:`extract_image_features`)
 path therefore runs for real in this container on genuinely COMPRESSED
-formats, lossless and lossy both, interlaced included (Adam7 as of round
-12). Progressive JPEG / WebP / sub-8-bit grayscale PNG still need
-PIL/cv2 — import-probed, absent in this build — and fall back to the
-documented ``NotImplementedError``; :func:`fake_features`
+formats, lossless and lossy both, interlaced (Adam7) and progressive
+(SOF2) included as of round 12. Arithmetic-coded JPEG / WebP / sub-8-bit
+grayscale PNG still need PIL/cv2 — import-probed, absent in this build —
+and fall back to the documented ``NotImplementedError``; :func:`fake_features`
 remains the deterministic byte-level stand-in for oracle-checked
 plumbing tests.
 """
@@ -48,11 +48,13 @@ def decode_image(payload: bytes) -> "object":
     now cover uncompressed 24-bit BMP (public BITMAPFILEHEADER layout),
     non-interlaced PNG (round 11: zlib inflate + all five scanline
     filters; round 12 extends to 16-bit samples and 1/2/4/8-bit paletted
-    via PLTE), and baseline JPEG (round 12: ``operators/jpeg.py`` — real
-    Huffman + dequant + 8×8 IDCT + 4:2:0 upsample per ITU-T T.81), so the
-    common-format decode matrix genuinely executes in-container. Remaining
-    env-gated formats: progressive/arithmetic JPEG, WebP, sub-8-bit
-    grayscale PNG. On a cluster image that ships either library, the
+    via PLTE), and JPEG — baseline SOF0 and progressive SOF2 both (round
+    12: ``operators/jpeg.py`` — real Huffman + dequant + 8×8 IDCT + 4:2:0
+    upsample per ITU-T T.81, with the full progressive machinery:
+    spectral bands, successive approximation incl. AC refinement, EOB
+    runs), so the common-format decode matrix genuinely executes
+    in-container. Remaining env-gated formats: arithmetic-coded /
+    hierarchical JPEG, WebP, sub-8-bit grayscale PNG. On a cluster image that ships either library, the
     full-format paths activate with no code change.
     """
     try:
@@ -695,12 +697,16 @@ def attach_jpeg_payload(
     DC-only with an exactly-representable quantized DC, so the LOSSY codec
     round-trips these payloads EXACTLY — which is what lets a DuckDB
     oracle predict the decoded channel means (``(a+b+c+d)/4``) through a
-    genuine Huffman-coded DCT bitstream. The payload itself exercises
-    nonzero DC diffs (four distinct block levels) and the full marker
-    parse."""
+    genuine Huffman-coded DCT bitstream. Payloads alternate by doc parity
+    between BASELINE (SOF0) and PROGRESSIVE (SOF2) encodings — the
+    progressive stream carries the same quantized coefficients through
+    the full multi-scan successive-approximation machinery and must
+    decode to the identical pixels, so one oracle covers both modes. The
+    payload itself exercises nonzero DC diffs (four distinct block
+    levels) and the full marker parse."""
     from typing import Iterator
 
-    from .jpeg import encode_jpeg_baseline
+    from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
 
     out_schema = f"{id_col} bigint, payload binary"
 
@@ -718,7 +724,12 @@ def attach_jpeg_payload(
                 img[8:, :8] = int(i) % 256
                 img[8:, 8:] = (int(i) * 31 + 5) % 256
                 ids.append(int(i))
-                payloads.append(encode_jpeg_baseline(img))
+                enc = (
+                    encode_jpeg_baseline
+                    if int(i) % 2 == 0
+                    else encode_jpeg_progressive
+                )
+                payloads.append(enc(img))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
             payloads, ids = [], []
 

@@ -487,8 +487,10 @@ def z_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py::attach_jpeg_payload / extract_image_features):
     every document synthesizes a genuine baseline JPEG (Huffman-coded DCT
     bitstream, four constant 8x8 quadrants with levels derived from the
-    doc's columns), which then runs the full decode -> thumbnail ->
-    featurize path over Arrow batches. VALUE-EXACT through a lossy codec:
+    doc's columns; payloads alternate by doc parity between BASELINE SOF0
+    and PROGRESSIVE SOF2 encodings of the same coefficients), which then
+    runs the full decode -> thumbnail -> featurize path over Arrow
+    batches. VALUE-EXACT through a lossy codec:
     under the flat-8 quant table a constant block's DC quantizes without
     remainder, so the decoded pixels equal the source levels and the
     channel means are pure integer arithmetic the oracle reproduces

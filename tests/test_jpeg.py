@@ -74,18 +74,68 @@ def test_custom_quant_table_roundtrips():
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 16
 
 
-def test_progressive_raises_not_implemented():
-    # minimal SOF2 file: the branch must refuse loudly, not mis-decode
+def test_arithmetic_sof_raises_not_implemented():
+    # minimal SOF9 (arithmetic-coded) file: the branch must refuse loudly,
+    # not mis-decode (progressive SOF2 decodes for real as of round 12)
     payload = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc9"
         + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + b"\x01\x11\x00"
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_baseline(payload)
+
+
+def test_progressive_matches_baseline_exactly():
+    """Progressive mode reorders the entropy coding of the SAME quantized
+    coefficients, so decoding the progressive stream must reproduce the
+    baseline decode bit-for-bit — across gray/RGB, odd dims, both
+    subsampling layouts, and the 4:2:0 case where the non-interleaved AC
+    grid is smaller than the MCU-padded DC grid."""
+    from bonobo_sqlalchemy_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:20, 0:28]
+    cases = [
+        (np.full((16, 16), 77, dtype=np.uint8), {}),
+        (np.linspace(0, 255, 24 * 24).reshape(24, 24).astype(np.uint8), {}),
+        (rng.integers(0, 256, (17, 23, 3), dtype=np.uint8), {}),
+        (
+            np.stack(
+                [(xx * 4) % 256, (yy * 5) % 256, np.full_like(xx, 120)], axis=2
+            ).astype(np.uint8),
+            {"subsample": "4:2:0"},
+        ),
+        # 18x26 at 4:2:0: Y's non-interleaved grid (3x4 blocks) < padded
+        # MCU grid (4x4) — AC scans must not touch the padding row
+        (rng.integers(0, 256, (18, 26, 3), dtype=np.uint8), {"subsample": "4:2:0"}),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg_baseline(encode_jpeg_baseline(img, **kw))
+        prog = decode_jpeg_baseline(encode_jpeg_progressive(img, **kw))
+        assert (base == prog).all(), (img.shape, kw)
+
+
+def test_progressive_ac_refinement_machinery_engaged():
+    """The scan script genuinely exercises successive approximation: with
+    Al=1 first passes, any odd-magnitude coefficient forces a refinement
+    bit, and newly-visible |coeff|==1 values appear only in the
+    refinement scan. A noisy image under a fine quant table guarantees
+    both, and the stream still decodes identically to baseline."""
+    from bonobo_sqlalchemy_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    q = np.full(64, 2, dtype=np.int64)  # fine table -> rich coefficients
+    base = decode_jpeg_baseline(encode_jpeg_baseline(img, quant=q))
+    prog_payload = encode_jpeg_progressive(img, quant=q)
+    prog = decode_jpeg_baseline(prog_payload)
+    assert (base == prog).all()
+    # progressive stream is a genuinely different encoding of the data
+    assert prog_payload != encode_jpeg_baseline(img, quant=q)
 
 
 def test_not_a_jpeg_raises_value_error():
