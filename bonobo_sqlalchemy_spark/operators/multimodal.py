@@ -17,9 +17,10 @@ ITU-T T.81, with a paired deterministic encoder). The decode -> resize
 (:func:`resize_nearest`) -> featurize (:func:`extract_image_features`)
 path therefore runs for real in this container on genuinely COMPRESSED
 formats, lossless and lossy both, interlaced (Adam7) and progressive
-(SOF2) included as of round 12. Arithmetic-coded JPEG / WebP / sub-8-bit
-grayscale PNG still need PIL/cv2 — import-probed, absent in this build —
-and fall back to the documented ``NotImplementedError``; :func:`fake_features`
+(SOF2) included as of round 12 — every legal PNG layout decodes.
+Arithmetic-coded/hierarchical JPEG and WebP still need PIL/cv2 —
+import-probed, absent in this build — and fall back to the documented
+``NotImplementedError``; :func:`fake_features`
 remains the deterministic byte-level stand-in for oracle-checked
 plumbing tests.
 """
@@ -53,8 +54,8 @@ def decode_image(payload: bytes) -> "object":
     upsample per ITU-T T.81, with the full progressive machinery:
     spectral bands, successive approximation incl. AC refinement, EOB
     runs), so the common-format decode matrix genuinely executes
-    in-container. Remaining env-gated formats: arithmetic-coded /
-    hierarchical JPEG, WebP, sub-8-bit grayscale PNG. On a cluster image that ships either library, the
+    in-container — EVERY legal PNG layout decodes. Remaining env-gated
+    formats: arithmetic-coded / hierarchical JPEG, WebP. On a cluster image that ships either library, the
     full-format paths activate with no code change.
     """
     try:
@@ -170,14 +171,16 @@ def _decode_png(payload: bytes) -> "object":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            ok = (color in (0, 2, 6) and depth in (8, 16)) or (
-                color == 3 and depth in (1, 2, 4, 8)
+            ok = (
+                (color in (2, 6) and depth in (8, 16))
+                or (color == 0 and depth in (1, 2, 4, 8, 16))
+                or (color == 3 and depth in (1, 2, 4, 8))
             )
             if not ok:
                 raise NotImplementedError(
-                    f"library-free PNG branch handles 8/16-bit gray/RGB/"
-                    f"RGBA and 1/2/4/8-bit paletted (got depth={depth}, "
-                    f"color_type={color})"
+                    f"library-free PNG branch handles gray (any legal "
+                    f"depth), 8/16-bit RGB/RGBA, and 1/2/4/8-bit paletted "
+                    f"(got depth={depth}, color_type={color})"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
@@ -243,13 +246,21 @@ def _decode_png(payload: bytes) -> "object":
         """(hp, stride) filtered bytes -> (hp, wp) palette indices or
         (hp, wp, channels) uint8 samples, per depth/color."""
         hp = mat.shape[0]
-        if color == 3:
+        if color == 3 or (color == 0 and depth < 8):
             if depth == 8:
-                return mat[:, :wp]
-            bits = np.unpackbits(mat, axis=1)
-            per = bits.reshape(hp, -1, depth)
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            return (per * weights).sum(axis=2)[:, :wp]
+                vals = mat[:, :wp]
+            else:
+                bits = np.unpackbits(mat, axis=1)
+                per = bits.reshape(hp, -1, depth)
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                vals = (per * weights).sum(axis=2)[:, :wp]
+            if color == 3:
+                return vals
+            # sub-8-bit grayscale: scale to full range (PIL convention:
+            # max index maps to 255 exactly)
+            return (
+                (vals.astype(np.int64) * 255) // ((1 << depth) - 1)
+            ).astype(np.uint8)[:, :, None]
         if depth == 16:
             # big-endian 16-bit samples -> high byte (PIL's convention)
             return mat.reshape(hp, -1, channels, 2)[:, :wp, :, 0]

@@ -207,36 +207,21 @@ def test_multimodal_decode_probes_then_stubs():
             has_media = False
     if has_media:
         pytest.skip("media library present: decode_image is live, not a stub")
-    # a JPEG the library-free branch explicitly does NOT cover (SOF2
-    # progressive; baseline SOF0 decodes for real since round 12)
+    # a JPEG the library-free branch explicitly does NOT cover
+    # (arithmetic-coded SOF9; baseline SOF0 AND progressive SOF2 decode
+    # for real since round 12, as does every legal PNG layout)
     import struct as _struct
 
-    progressive = (
+    arithmetic = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc9"
         + _struct.pack(">H", 11)
         + _struct.pack(">BHHB", 8, 8, 8, 1)
         + b"\x01\x11\x00"
         + b"\xff\xd9"
     )
     with pytest.raises(NotImplementedError):
-        M.decode_image(progressive)
-    # a PNG the library-free branch explicitly does NOT cover (4-bit
-    # grayscale; 16-bit, paletted, AND Adam7-interlaced all decode for
-    # real as of round 12)
-    import struct
-    import zlib
-
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    shallow_gray = (
-        b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    with pytest.raises(NotImplementedError):
-        M.decode_image(shallow_gray)
+        M.decode_image(arithmetic)
 
 
 def test_exact_dedup_group_sizes_sum_to_corpus(docs):
@@ -1188,3 +1173,37 @@ def test_png_adam7_interlaced_gray_and_paletted():
     )
     got = np.asarray(M.decode_image(laced))
     assert (got == palette[idx]).all()
+
+
+def test_png_sub8bit_grayscale_scales_to_full_range():
+    """1/2/4-bit grayscale PNGs decode with indices scaled so the max
+    level maps to 255 exactly (PIL's convention) — with this, every legal
+    PNG layout decodes library-free."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # 1-bit checkerboard
+    bits = np.array([[1, 0, 1, 0], [0, 1, 0, 1]], dtype=np.uint8)
+    raw = b""
+    for row in bits:
+        raw += b"\x00" + np.packbits(
+            np.concatenate([row, np.zeros(4, np.uint8)])
+        ).tobytes()
+    p = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 4, 2, 1, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    )
+    img = np.asarray(M.decode_image(p))
+    assert img[:, :, 0].tolist() == [[255, 0, 255, 0], [0, 255, 0, 255]]
+
+    # 4-bit gradient: 0, 5, 10, 15 -> 0, 85, 170, 255
+    p = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", 4, 1, 4, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"\x00" + bytes([0x05, 0xAF]))),
+        (b"IEND", b""),
+    )
+    img = np.asarray(M.decode_image(p))
+    assert img[0, :, 0].tolist() == [0, 85, 170, 255]
