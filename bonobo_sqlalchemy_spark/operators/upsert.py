@@ -603,10 +603,12 @@ class InsertOrUpdate:
         merged.write.mode("overwrite").parquet(tmp)
         # Swap keeping the old table recoverable: rename it aside first, so
         # a crash between the two renames leaves the previous version on
-        # disk (at `old`) instead of no table at all. This parquet backend
-        # is still non-transactional for concurrent readers — the real
-        # target for this operator is an atomic `MERGE INTO` on
-        # Delta/Iceberg (single-writer assumption documented in COVERAGE.md).
+        # disk (at `old`) instead of no table at all. This in-place swap is
+        # still non-transactional for concurrent readers (single-writer
+        # assumption documented in COVERAGE.md); for atomic reader-visible
+        # commits on plain parquet use operators/snapshot.py (immutable
+        # snapshots + version pointer), or Delta/Iceberg MERGE INTO on a
+        # cluster image.
         old = path + ".__merge_old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)

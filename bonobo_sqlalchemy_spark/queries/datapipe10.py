@@ -568,3 +568,48 @@ def z_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=6,
     )
+
+
+@query(
+    "z_lake_snapshot_merge",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+    tags=("sink", "lakehouse", "incremental"),
+)
+def z_lake_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic snapshot-table MERGE (operators/snapshot.py): the
+    transactional upgrade for the parquet MERGE emulation's documented
+    mid-swap visibility window. Fixture mirrors the incremental-index
+    queries: version 1 commits the corpus MISSING every 4th doc and
+    holding STALE metadata for half of those ids, then a keyed
+    snapshot_merge applies the true rows — readers at any instant resolve
+    the atomically-renamed version pointer to one immutable snapshot, so
+    they see wholly-old or wholly-new, never the in-between. Because the
+    merged snapshot equals the full corpus, the oracle is the documents
+    table itself; commit sequencing, crash safety, optimistic-concurrency
+    conflicts, time travel, and vacuum are pinned in
+    tests/test_snapshot.py."""
+    import os
+
+    from ..cache import artifact_path, ensure_artifact
+    from ..operators.snapshot import snapshot_merge, snapshot_read
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+
+    def _build(tmp: str) -> None:
+        delta = docs.where(F.col("doc_id") % 4 == 1)
+        stale = delta.where(F.col("doc_id") % 8 == 1).withColumn(
+            "n_chars", F.lit(-1).cast("long")
+        )
+        base = docs.where(F.col("doc_id") % 4 != 1).unionByName(stale)
+        snapshot_merge(spark, tmp, base, ["doc_id"])
+        snapshot_merge(spark, tmp, delta, ["doc_id"])
+
+    root = ensure_artifact(
+        artifact_path("snaptbl", f"{src}:{st.st_size}:{st.st_mtime_ns}:snap2"),
+        _build,
+    )
+    return snapshot_read(spark, root).orderBy("doc_id")

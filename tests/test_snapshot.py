@@ -1,0 +1,117 @@
+"""Snapshot-table protocol tests (operators/snapshot.py): atomic
+reader-visible commits, crash safety, optimistic concurrency, time
+travel, vacuum — the transactional upgrade over the in-place merge swap."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bonobo_sqlalchemy_spark.operators.snapshot import (
+    POINTER,
+    SnapshotConflict,
+    snapshot_commit,
+    snapshot_current,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _rows(df):
+    return sorted((int(r.k), r.v) for r in df.collect())
+
+
+def test_commit_read_roundtrip_and_sequencing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = snapshot_commit(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    assert snapshot_current(root) == v1 and v1.startswith("v00001-")
+    assert _rows(snapshot_read(spark, root)) == [(1, "a"), (2, "b")]
+    v2 = snapshot_commit(spark, root, _df(spark, [(1, "a2")]))
+    assert v2.startswith("v00002-")
+    assert _rows(snapshot_read(spark, root)) == [(1, "a2")]
+
+
+def test_reader_resolved_snapshot_survives_concurrent_commit(spark, tmp_path):
+    """The atomicity property itself: a reader that resolved the pointer
+    keeps a fully-intact immutable snapshot even after a later commit —
+    no mid-swap half-state is ever observable."""
+    root = str(tmp_path / "t")
+    snapshot_commit(spark, root, _df(spark, [(1, "old")]))
+    resolved = snapshot_current(root)
+    old_df = snapshot_read(spark, root, resolved)  # reader in flight
+    snapshot_commit(spark, root, _df(spark, [(1, "new"), (2, "x")]))
+    # the in-flight reader's files are untouched
+    assert _rows(old_df) == [(1, "old")]
+    # a fresh reader sees the whole new state
+    assert _rows(snapshot_read(spark, root)) == [(1, "new"), (2, "x")]
+
+
+def test_crash_before_pointer_swap_leaves_table_unchanged(spark, tmp_path):
+    """Simulated writer crash: a fully-written snapshot dir without the
+    pointer rename is invisible (and vacuumable) — the table still reads
+    as the previous version."""
+    root = str(tmp_path / "t")
+    snapshot_commit(spark, root, _df(spark, [(1, "keep")]))
+    # orphan dir: what a writer leaves if it dies between data write and
+    # pointer rename
+    _df(spark, [(9, "orphan")]).write.parquet(
+        os.path.join(root, "v00002-deadbeef")
+    )
+    assert _rows(snapshot_read(spark, root)) == [(1, "keep")]
+    # orphans eventually vacuum (newest `keep` retained, pointer protected)
+    snapshot_commit(spark, root, _df(spark, [(1, "v3")]))
+    removed = snapshot_vacuum(root, keep=1)
+    assert "v00002-deadbeef" in removed
+    assert _rows(snapshot_read(spark, root)) == [(1, "v3")]
+
+
+def test_optimistic_conflict_detected_and_harmless(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = snapshot_commit(spark, root, _df(spark, [(1, "a")]))
+    # a concurrent writer lands first
+    snapshot_commit(spark, root, _df(spark, [(1, "b")]))
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit(
+            spark, root, _df(spark, [(1, "stale")]), expect_version=v1
+        )
+    # the conflicting attempt changed nothing and left no extra snapshot
+    assert _rows(snapshot_read(spark, root)) == [(1, "b")]
+    assert len(snapshot_versions(root)) == 2
+
+
+def test_merge_semantics_and_retry(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_merge(spark, root, _df(spark, [(1, "a"), (2, "b")]), ["k"])
+    snapshot_merge(spark, root, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    assert _rows(snapshot_read(spark, root)) == [(1, "a"), (2, "B"), (3, "c")]
+    # empty-table merge = plain insert
+    assert snapshot_current(root).startswith("v00002-")
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = snapshot_commit(spark, root, _df(spark, [(1, "one")]))
+    v2 = snapshot_commit(spark, root, _df(spark, [(1, "two")]))
+    assert _rows(snapshot_read(spark, root, v1)) == [(1, "one")]
+    assert _rows(snapshot_read(spark, root, v2)) == [(1, "two")]
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, str(tmp_path / "missing"))
+
+
+def test_pointer_file_is_tiny_and_atomic_target(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_commit(spark, root, _df(spark, [(1, "a")]))
+    p = os.path.join(root, POINTER)
+    assert os.path.getsize(p) < 64  # O(bytes): the only atomicity-bearing file
+    # no stale tmp pointer files linger after a successful commit
+    assert not [f for f in os.listdir(root) if f.startswith(POINTER + ".tmp")]
