@@ -115,3 +115,39 @@ def test_pointer_file_is_tiny_and_atomic_target(spark, tmp_path):
     assert os.path.getsize(p) < 64  # O(bytes): the only atomicity-bearing file
     # no stale tmp pointer files linger after a successful commit
     assert not [f for f in os.listdir(root) if f.startswith(POINTER + ".tmp")]
+
+
+def test_scd2_history_composes_with_snapshot_commits(spark, tmp_path):
+    """The two durability pieces compose: an SCD2 history maintained as a
+    snapshot table gets atomic reader-visible publishes of each batch's
+    merged history, with every prior history state time-travelable."""
+    from bonobo_sqlalchemy_spark.operators.scd2 import scd2_merge
+
+    root = str(tmp_path / "hist")
+    b1 = spark.createDataFrame([(1, "alice"), (2, "bob")], "k bigint, name string")
+    v1 = snapshot_commit(
+        spark, root, scd2_merge(None, b1, ["k"], "2024-01-01 00:00:00")
+    )
+    b2 = spark.createDataFrame([(1, "ALICE")], "k bigint, name string")
+    current = snapshot_read(spark, root)
+    snapshot_commit(
+        spark,
+        root,
+        scd2_merge(current, b2, ["k"], "2024-02-01 00:00:00"),
+        expect_version=v1,
+    )
+    hist = snapshot_read(spark, root)
+    rows = sorted(
+        (int(r.k), r.name, bool(r.is_current)) for r in hist.collect()
+    )
+    assert rows == [
+        (1, "ALICE", True),
+        (1, "alice", False),
+        (2, "bob", True),
+    ]
+    # time travel: the pre-update history is intact under v1
+    old = snapshot_read(spark, root, v1)
+    assert sorted((int(r.k), bool(r.is_current)) for r in old.collect()) == [
+        (1, True),
+        (2, True),
+    ]
