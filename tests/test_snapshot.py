@@ -151,3 +151,47 @@ def test_scd2_history_composes_with_snapshot_commits(spark, tmp_path):
         (1, True),
         (2, True),
     ]
+
+
+def test_streaming_foreachbatch_lands_atomic_snapshots(spark, tmp_path):
+    """Streaming ingest into a snapshot table: each micro-batch's keyed
+    merge publishes atomically via the version pointer, so a downstream
+    reader polling the table between micro-batches only ever sees whole
+    committed states — and the version history records one snapshot per
+    non-empty batch."""
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("k bigint, v string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: snapshot_merge(spark, root, bdf, ["k"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert _rows(snapshot_read(spark, root)) == [(1, "a"), (2, "b")]
+
+    spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k bigint, v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k bigint, v string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: snapshot_merge(spark, root, bdf, ["k"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert _rows(snapshot_read(spark, root)) == [(1, "a"), (2, "B"), (3, "c")]
+    # one committed snapshot per (non-empty) micro-batch; the first is
+    # still time-travelable
+    names = snapshot_versions(root)
+    assert len(names) == 2
+    assert _rows(snapshot_read(spark, root, names[0])) == [(1, "a"), (2, "b")]
