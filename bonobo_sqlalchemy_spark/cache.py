@@ -78,8 +78,14 @@ def ensure_artifact(path: str, build: Callable[[str], None]) -> str:
     if os.path.exists(marker):
         return path
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    build(tmp)
-    open(os.path.join(tmp, PUBLISHED), "w").close()
+    try:
+        build(tmp)
+        open(os.path.join(tmp, PUBLISHED), "w").close()
+    except BaseException:
+        # a failed build (e.g. a Spark job dying mid-write) must not leave
+        # an orphan partial directory accumulating in the temp root
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     if os.path.exists(path) and not os.path.exists(marker):
         # interrupted build of this same code version: clear the husk
         shutil.rmtree(path, ignore_errors=True)

@@ -894,6 +894,8 @@ def encode_jpeg_progressive(
                         bw.write(code, ln)
                         run -= 16
                     s = _category(v)
+                    if s > 10:
+                        raise ValueError("AC coefficient category > 10")
                     code, ln = _AC_CODES[(run << 4) | s]
                     bw.write(code, ln)
                     bw.write(v if v >= 0 else v + (1 << s) - 1, s)

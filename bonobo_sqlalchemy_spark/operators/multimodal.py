@@ -86,9 +86,11 @@ def decode_image(payload: bytes) -> "object":
         return decode_jpeg_baseline(payload)
     raise NotImplementedError(
         "image decode requires a media library (PIL/cv2) not present in "
-        "this build (uncompressed BMP, non-interlaced PNG, and baseline "
-        "JPEG all decode library-free above); both import paths activate "
-        "automatically on a full cluster image"
+        "this build (uncompressed BMP, every legal PNG layout incl. "
+        "Adam7/16-bit/paletted/sub-8-bit, and baseline + progressive JPEG "
+        "all decode library-free above; remaining gaps are "
+        "arithmetic-coded/hierarchical JPEG and WebP); both import paths "
+        "activate automatically on a full cluster image"
     )
 
 

@@ -47,14 +47,42 @@ targets.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 POINTER = "_VERSION"
+LOCKFILE = "_LOCK"
+
+
+@contextmanager
+def _commit_lock(root: str):
+    """Exclusive advisory lock held across the check-version→publish
+    critical section. Without it, two concurrent committers can BOTH pass
+    the ``expect_version`` check and both rename — last writer silently
+    clobbers the other (a TOCTOU the optimistic protocol must not have).
+    Data materialization stays OUTSIDE the lock (it's the expensive part
+    and touches only a private staging dir); only sequence assignment,
+    the version check, and the pointer swap serialize. On object stores
+    the equivalent primitive is a conditional PUT of the pointer."""
+    fd = os.open(os.path.join(root, LOCKFILE), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _seq_of(name: str) -> int:
+    """Sequence number of a snapshot name — digits between 'v' and the
+    first '-'. Width-agnostic: 'v100000-…' parses as 100000 and sorts
+    after 'v99999-…' (lexical sort would misorder them)."""
+    return int(name.split("-", 1)[0][1:])
 
 
 class SnapshotConflict(RuntimeError):
@@ -76,10 +104,13 @@ def snapshot_current(root: str) -> str | None:
 
 
 def snapshot_versions(root: str) -> list[str]:
-    """All snapshot names on disk, commit order (names sort by sequence)."""
+    """All snapshot names on disk, commit order (sorted by integer
+    sequence, not lexically — survives the 5→6 digit rollover)."""
     if not os.path.isdir(root):
         return []
-    return sorted(d for d in os.listdir(root) if d.startswith("v"))
+    return sorted(
+        (d for d in os.listdir(root) if d.startswith("v")), key=_seq_of
+    )
 
 
 def snapshot_read(
@@ -109,32 +140,42 @@ def snapshot_commit(
     and leaves the table untouched. Omit it for last-writer-wins.
 
     Protocol order is what makes a crash at ANY point safe: (1) write the
-    data dir fully, (2) write the pointer CONTENT to a unique temp file,
-    (3) one atomic rename onto ``_VERSION``. Steps 1-2 are invisible to
-    readers; step 3 is all-or-nothing."""
+    data to a private staging dir (expensive, unlocked, invisible to
+    readers and to ``snapshot_versions``), (2) under the commit lock:
+    re-check ``expect_version``, claim the next sequence, rename staging
+    to its final ``vNNNNN-…`` name, (3) still under the lock, write the
+    pointer CONTENT to a unique temp file and atomically rename it onto
+    ``_VERSION``. Readers never take the lock — the pointer rename alone
+    gives them old-or-new, never torn. The lock exists so two concurrent
+    committers cannot BOTH pass the version check (check and publish were
+    previously separate steps — a TOCTOU)."""
     os.makedirs(root, exist_ok=True)
-    prev = snapshot_current(root)
-    seq = 1
-    versions = snapshot_versions(root)
-    if versions:
-        seq = int(versions[-1][1:6]) + 1
-    name = f"v{seq:05d}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(os.path.join(root, name))
-    if expect_version != "__unset__" and snapshot_current(root) != expect_version:
-        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-        raise SnapshotConflict(
-            f"expected version {expect_version!r}, found "
-            f"{snapshot_current(root)!r} — a concurrent commit won"
-        )
-    tmp = _pointer_path(root) + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(name)
-        f.flush()
-        os.fsync(f.fileno())
-    # the one atomic step: readers see either `prev` or `name`, never both
-    os.rename(tmp, _pointer_path(root))
-    del prev
-    return name
+    staging = os.path.join(root, f".staged-{uuid.uuid4().hex[:12]}")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        with _commit_lock(root):
+            if (
+                expect_version != "__unset__"
+                and snapshot_current(root) != expect_version
+            ):
+                raise SnapshotConflict(
+                    f"expected version {expect_version!r}, found "
+                    f"{snapshot_current(root)!r} — a concurrent commit won"
+                )
+            versions = snapshot_versions(root)
+            seq = _seq_of(versions[-1]) + 1 if versions else 1
+            name = f"v{seq:05d}-{uuid.uuid4().hex[:8]}"
+            os.rename(staging, os.path.join(root, name))
+            tmp = _pointer_path(root) + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(name)
+                f.flush()
+                os.fsync(f.fileno())
+            # readers see either the previous version or `name`, never both
+            os.rename(tmp, _pointer_path(root))
+        return name
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def snapshot_merge(

@@ -4,6 +4,8 @@ code-version-aware keys + atomic publish (ADVICE r11 hardening)."""
 import os
 import threading
 
+import pytest
+
 from bonobo_sqlalchemy_spark.cache import (
     PUBLISHED,
     artifact_path,
@@ -80,3 +82,23 @@ def test_ensure_artifact_concurrent_publish_single_winner(tmp_path):
     assert os.path.exists(os.path.join(target, PUBLISHED))
     leftovers = [p for p in os.listdir(tmp_path) if p.startswith("art.tmp-")]
     assert leftovers == []
+
+
+def test_ensure_artifact_failed_build_cleans_tmp(tmp_path, monkeypatch):
+    """A build() that raises (e.g. a Spark job dying mid-write) must not
+    leave its unique .tmp-* staging directory behind (ADVICE r12)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    path = str(tmp_path / "bss_test_deadbeef")
+
+    def exploding_build(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "partial"), "w").close()
+        raise RuntimeError("job died mid-build")
+
+    with pytest.raises(RuntimeError):
+        ensure_artifact(path, exploding_build)
+    orphans = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert orphans == []
+    assert not os.path.exists(path)

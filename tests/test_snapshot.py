@@ -195,3 +195,73 @@ def test_streaming_foreachbatch_lands_atomic_snapshots(spark, tmp_path):
     names = snapshot_versions(root)
     assert len(names) == 2
     assert _rows(snapshot_read(spark, root, names[0])) == [(1, "a"), (2, "b")]
+
+
+def test_version_sequence_rollover_past_five_digits(spark, tmp_path):
+    """Names are width-agnostic: after v99999 the next commit is v100000
+    and both parsing and ordering use the integer sequence, not lexical
+    sort (lexically 'v100000-' would sort BEFORE 'v99999-')."""
+    from bonobo_sqlalchemy_spark.operators.snapshot import _seq_of
+
+    root = tmp_path / "t"
+    root.mkdir()
+    (root / "v99999-aaaaaaaa").mkdir()
+    (root / "v100000-bbbbbbbb").mkdir()
+    assert _seq_of("v100000-bbbbbbbb") == 100000
+    assert snapshot_versions(str(root)) == [
+        "v99999-aaaaaaaa",
+        "v100000-bbbbbbbb",
+    ]
+    (root / POINTER).write_text("v100000-bbbbbbbb")
+    v = snapshot_commit(spark, str(root), _df(spark, [(1, "a")]))
+    assert _seq_of(v) == 100001
+
+
+def test_concurrent_commits_serialize_no_lost_update(spark, tmp_path):
+    """TOCTOU regression (ADVICE r12): two committers that both read the
+    same base version must NOT both publish — the commit lock makes the
+    check+publish a critical section, so exactly one wins and the other
+    raises SnapshotConflict. snapshot_merge's retry then preserves both
+    writers' rows (no lost update)."""
+    import threading
+
+    root = str(tmp_path / "t")
+    snapshot_commit(spark, root, _df(spark, [(0, "base")]))
+
+    errors = []
+
+    def merge(rows):
+        try:
+            snapshot_merge(spark, root, _df(spark, rows), ["k"], max_retries=8)
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=merge, args=([(i, f"w{i}")],))
+        for i in (1, 2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert _rows(snapshot_read(spark, root)) == [
+        (0, "base"),
+        (1, "w1"),
+        (2, "w2"),
+        (3, "w3"),
+    ]
+    # every merge landed as its own serialized snapshot
+    assert len(snapshot_versions(root)) == 4
+
+
+def test_conflict_leaves_no_staging_orphan(spark, tmp_path):
+    """A losing committer cleans up its staged data dir — repeated
+    conflicts must not accumulate invisible partial builds."""
+    root = str(tmp_path / "t")
+    v1 = snapshot_commit(spark, root, _df(spark, [(1, "a")]))
+    snapshot_commit(spark, root, _df(spark, [(1, "b")]))  # moves pointer
+    with pytest.raises(SnapshotConflict):
+        snapshot_commit(spark, root, _df(spark, [(1, "c")]), expect_version=v1)
+    leftovers = [d for d in os.listdir(root) if d.startswith(".staged-")]
+    assert leftovers == []
