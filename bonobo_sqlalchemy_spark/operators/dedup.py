@@ -461,13 +461,35 @@ def simhash_pairs(
     )
 
 
+def auto_bits_per_table(
+    n_rows: int, target_occupancy: int = 160, floor_bits: int = 4
+) -> int:
+    """Occupancy-targeting LSH signature width:
+    ``max(floor_bits, ceil(log2(n_rows / target_occupancy)))``.
+
+    Keeps expected bucket load roughly constant as the corpus grows — the
+    un-floored result lands occupancy in ``(target/2, target]``, so
+    candidate volume stays ~``L * N * target / 2`` (linear in N) instead
+    of the fixed-bits ``L * N² / 2^b`` quadratic. The default target (160)
+    reproduces the round-12 SCALING appendix's measured sweet spot: bits 7
+    at the 20k-vector sf1.0 decade (8.7s -> 3.0s vs fixed bits 4, recall
+    ≈ 1 for true near-dups) while leaving the ≤2k fixtures at the pinned
+    floor of 4 — so the DuckDB oracle for `dedup_embedding_cosine`
+    (hardwired to 4 bits) stays bit-exact at every driver scale factor."""
+    import math
+
+    if n_rows <= 0:
+        return floor_bits
+    return max(floor_bits, math.ceil(math.log2(max(1.0, n_rows / target_occupancy))))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.4,
-    bits_per_table: int = 4,
+    bits_per_table: int | None = None,
     n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
@@ -491,14 +513,18 @@ def embedding_near_dup_pairs(
     bucket count (``2^b`` per table) is constant, so expected bucket
     occupancy grows with N and candidate volume grows ~``L * N^2 / 2^b``
     — the same structural quadratic the SemDeDup cap guards against.
-    The production setting keeps occupancy roughly constant:
-    ``bits_per_table ≈ log2(N / target_occupancy)`` (each +1 bit halves
+    The DEFAULT (``bits_per_table=None``, round 13) therefore
+    auto-scales: one cheap count feeds :func:`auto_bits_per_table`, which
+    keeps expected occupancy roughly constant (each +1 bit halves
     per-bucket load and sharpens the S-curve; recall for true near-dups
     stays ≈1 while borderline pairs prune harder). Measured at the local
     sf1.0 (20k isotropic vectors): bits 4→7 cuts wall-clock 8.7s→3.0s
     (SCALING.md appendix). The registered `dedup_embedding_cosine`
-    fixture deliberately pins (4, 16) for oracle determinism.
+    fixture deliberately pins ``bits_per_table=4`` so its static SQL
+    oracle stays deterministic.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(df.count())
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -807,6 +833,7 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     train_iters: int = 1,
     max_cluster_size: int | None = None,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup: ``(id1, id2, cosine, cluster)``
     pairs with ``cosine >= threshold``, compared ONLY within k-means clusters.
@@ -849,9 +876,23 @@ def semantic_dedup_pairs(
     SemDeDup prunes at lower thresholds ("semantically redundant", not
     "almost identical") where hyperplane-LSH recall decays — clustering
     keeps moderate-similarity neighbors co-located.
+    k ∝ N (``target_cluster_size``): the paper's actual scale recipe —
+    SemDeDup holds the EXPECTED cluster size fixed and grows the cluster
+    COUNT with the corpus (~100k clusters at LAION scale). When set,
+    ``n_clusters`` becomes a floor and the effective k is
+    ``max(n_clusters, ceil(N / target_cluster_size))`` from one cheap
+    count, so the intra-cluster pair term is linear in N by construction
+    (expected pairs/cluster stays ~``target_cluster_size²/2`` while
+    clusters multiply). This is the production default; the fixed-k form
+    is the oracle fixture whose round-12 decade measured alpha 1.52.
     """
     from .similarity import ivf_train_or_init
 
+    if target_cluster_size is not None:
+        # one count job (columnar metadata scan on parquet sources) sizes
+        # the codebook; driver holds k x dim floats either way
+        n_rows = df.count()
+        n_clusters = max(n_clusters, -(-n_rows // target_cluster_size))
     codebook = ivf_train_or_init(df, vec_col, id_col, n_clusters, train_iters)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assigned = (

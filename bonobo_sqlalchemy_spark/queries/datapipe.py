@@ -445,9 +445,14 @@ def _emb_lsh_oracle(
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4): multi-table hyperplane-LSH
     bucket blocking (label as secondary key) + exact cosine verification —
-    linear in the corpus even for huge or skewed label blocks."""
+    linear in the corpus even for huge or skewed label blocks.
+
+    ``bits_per_table`` pinned to 4 (NOT the auto-occupancy default) so the
+    static SQL oracle is deterministic at every scale factor; production
+    callers should leave the default, which auto-scales bits to the corpus
+    (``operators/dedup.py::auto_bits_per_table``)."""
     return D.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, bits_per_table=4
     )
 
 

@@ -199,6 +199,7 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ch GROUP BY 1
     """,
     tags=("text", "quality"),
+    bench=True,
 )
 def z_text_segment_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level fluency floor (operators/quality.py::

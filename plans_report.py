@@ -54,6 +54,10 @@ NESTED_LOOP_OK = {
     "1-row (n_docs, avgdl) stats broadcast and the exact-cosine leg's "
     "1-row query vector — fusion joins themselves are candidate-sized "
     "equi-joins",
+    "z_text_segment_outliers": "1-row broadcast scalar join (corpus total "
+    "token count, the unigram LM denominator) — constant broadcast, no "
+    "quadratic term; the token→count lookup rides the hot/cold zipf "
+    "guard's broadcast+union",
 }
 
 

@@ -277,3 +277,47 @@ def test_segment_outliers_bypass_plan_broadcasts_hot_leg(spark):
     out.collect()  # AQE finalizes the physical plan on execution
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_auto_bits_per_table_hits_target_occupancy():
+    """The auto default (round 13) keeps expected bucket occupancy in
+    (target/2, target] for corpora above the floor, at two sizes an order
+    of magnitude apart — the property that makes LSH candidate volume
+    linear in N instead of quadratic."""
+    from bonobo_sqlalchemy_spark.operators.dedup import auto_bits_per_table
+
+    target = 160
+    for n in (20_000, 1_000_000):
+        bits = auto_bits_per_table(n, target_occupancy=target)
+        occupancy = n / (2**bits)
+        assert target / 2 < occupancy <= target, (n, bits, occupancy)
+    # the round-12 SCALING appendix's measured sweet spot reproduces
+    assert auto_bits_per_table(20_000) == 7
+    # small fixtures stay at the pinned floor (oracle determinism)
+    assert auto_bits_per_table(500) == 4
+    assert auto_bits_per_table(2_000) == 4
+    assert auto_bits_per_table(0) == 4
+
+
+def test_embedding_near_dup_auto_bits_default_engages(spark):
+    """bits_per_table=None (the default) routes through the auto sizing
+    and still finds planted twins on a small corpus (floor bits)."""
+    import random
+
+    from bonobo_sqlalchemy_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((2 * i, "x", v))
+        rows.append((2 * i + 1, "x", [x + 1e-4 for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    found = {
+        (r.id1, r.id2)
+        for r in D.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    expected = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert len(expected - found) <= 1
