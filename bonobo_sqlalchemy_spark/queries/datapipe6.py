@@ -139,7 +139,7 @@ def sim_ivfpq_saved_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_kmeans_prefix(
-    n_clusters: int = 16, max_cluster_size: int | None = None
+    n_clusters: int | str = 16, max_cluster_size: int | None = None
 ) -> str:
     """Shared DuckDB CTE prefix reproducing `semantic_dedup_pairs` with
     ``train_iters=1`` exactly: the spherical k-means init is the
@@ -148,7 +148,9 @@ def _semantic_kmeans_prefix(
     ``ROW_NUMBER ... ORDER BY dot DESC, cell``; per-(cell, dim) mean then
     re-normalize, empty cells keeping their init centroid), and the final
     assignment + intra-cluster candidate join mirror the Spark plan
-    step-for-step. With ``max_cluster_size`` the hot-cluster guard's
+    step-for-step. ``n_clusters`` may be a SQL expression string (the k∝N
+    variant passes a ``(SELECT GREATEST(...) FROM e)`` scalar subquery as
+    the init LIMIT). With ``max_cluster_size`` the hot-cluster guard's
     md5 sub-bucket assignment (``operators/dedup.py::semantic_dedup_pairs``)
     is reproduced too: per-cluster sizes, ``n_sub = max(ceil(n/cap), 1)``,
     and ``sub = int(md5(id)[:8], 16) % n_sub`` agree bit-for-bit, so the
@@ -225,12 +227,19 @@ def _semantic_kmeans_prefix(
     FROM p2 WHERE round(dot / sqrt(na * nb), 6) >= 0.35
     """,
     tags=("dedup", "sketch"),
-    bench=True,
 )
 def z_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: spherical k-means clusters the embedding space, cosine
     near-dup pairs are generated intra-cluster ONLY (equi-join on cluster
     id — no all-pairs product), exact-cosine verified.
+
+    RETIRED from the bench headline set (round 13): at fixed n_clusters=16
+    the intra-cluster pair term is quadratic in corpus size by
+    construction — the round-12 sf1.0 decade measured alpha 1.52
+    (3.2s -> 104.7s). It stays registered (correctness oracle + recall
+    fixture); the production-shaped rows carrying the bench signal are
+    `dedup_semantic_capped` (alpha 0.36) and the k∝N
+    `z_dedup_semantic_scaled` below.
 
     VALUE-EXACT (round 8, was rows-only): with the deterministic first-K
     init and ``train_iters=1``, one Lloyd round is just two aggregations —
@@ -283,6 +292,152 @@ def z_dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+@query(
+    "z_dedup_semantic_scaled",
+    oracle="WITH "
+    + _semantic_kmeans_prefix(
+        n_clusters="(SELECT GREATEST(16, CAST(ceil(COUNT(*) / 24.0) "
+        "AS BIGINT)) FROM embeddings)"
+    )
+    + """
+    SELECT id1, id2, round(dot / sqrt(na * nb), 6) AS cosine, cluster
+    FROM p2 WHERE round(dot / sqrt(na * nb), 6) >= 0.35
+    """,
+    tags=("dedup", "sketch"),
+    bench=True,
+)
+def z_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's k∝N recipe (round 13): the cluster count
+    grows with the corpus — ``k = max(16, ceil(N / 24))`` from one cheap
+    count — holding the EXPECTED cluster size fixed at ~24 vectors, so the
+    intra-cluster pair term is linear in N by construction (the fixed-k
+    ``z_dedup_semantic`` measured decade alpha 1.52; this is the
+    production-shaped replacement carrying its bench slot).
+
+    VALUE-EXACT: the only delta vs the fixed-k oracle is the init LIMIT,
+    which DuckDB accepts as a scalar subquery — clustering, assignment and
+    the verified intra-cluster cosine pairs reproduce end-to-end for ANY
+    corpus size without editing the SQL string."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, threshold=0.35, n_clusters=16, train_iters=1, target_cluster_size=24
+    ).orderBy("id1", "id2")
+
+
+def _bpe_oracle_prefix(
+    n_rounds: int = 8, cap: int = 24, maxw: int = 8, min_freq: int = 2
+) -> str:
+    """DuckDB CTE prefix reproducing the FULL distributed BPE pipeline
+    (`functions/bpe.py::bpe_train` + `bpe_token_counts`) ending in
+    ``bpe_counts(doc_id, n_bpe_tokens)`` — the round-13 conversion of the
+    last text rows-only pair to value-exact.
+
+    Two structural insights make the "iterative argmax" SQL-expressible:
+
+    1. **A merge pass is one string replace.** Symbols are bracket-encoded
+       (``\\x01sym\\x02`` concatenated), so applying merge ``(a, b)`` to a
+       word = ``replace(syms, '\\x01a\\x02\\x01b\\x02', '\\x01ab\\x02')``
+       — SQL ``replace`` scans left-to-right, non-overlapping, continuing
+       after each substitution, which is byte-for-byte `_merge_word`'s
+       loop (the full bracketing means consecutive occurrences share no
+       boundary character, so ``lll`` -> ``(ll)l`` and ``llll`` ->
+       ``(ll)(ll)`` exactly). The corpus contains no control characters
+       (checked at all SFs); ``\\x03`` is the never-matching pattern that
+       turns a NULL (exhausted) pick into a no-op.
+    2. **Training's final segmentation IS the encoding.** Applying merges
+       in learned (rank) order, each exhaustively, equals the rank-greedy
+       `encode_word` loop: a pair's rank exceeds the rank of every merge
+       that created its constituent symbols, so when rank r is processed
+       every adjacency it could ever see already exists — the classic
+       fast-BPE equivalence. Hence ``w{R}``'s token count per word is the
+       encoder's, with no second encode stage (byte-fallback cannot fire:
+       encode-time corpus == training corpus, every char in-alphabet).
+
+    The driver loop unrolls with the trainer's exact control flow: per
+    round, ``want = min(8, 24 - merges_so_far)`` (MATERIALIZED scalar
+    chain ``m{r}``), a ``LIMIT GREATEST(4*want, 16)`` candidate slice
+    ordered ``(cnt DESC, a, b)``, then 8 chained greedy picks each
+    excluding symbols used by earlier picks (``u{r}_{k}`` grows
+    pick-by-pick; a pick past ``want`` or an exhausted pool yields NULL
+    and no-ops). 8 rounds cover any corpus needing up to 24 merges with
+    partial batches (observed 4 rounds at every test SF; spare rounds
+    cost one no-op replace each). MATERIALIZED is load-bearing: the
+    round-over-round CTE chain references each ``w{r-1}`` twice, which
+    plain inlining would expand exponentially."""
+    S1, S2, S3 = "chr(1)", "chr(2)", "chr(3)"
+    ctes = [
+        """wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word)""",
+        f"""w0 AS MATERIALIZED (
+      SELECT word, freq,
+             array_to_string(list_transform(string_split(word, ''), c -> {S1}||c||{S2}), '')
+               || {S1} || '</w>' || {S2} AS syms
+      FROM wf)""",
+        "m0 AS (SELECT 0 AS m)",
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"w{r-1}"
+        ctes.append(
+            f"want{r} AS MATERIALIZED (SELECT LEAST({maxw}, {cap} - m) AS want FROM m{r-1})"
+        )
+        ctes.append(f"""pool{r} AS MATERIALIZED (
+          SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+          FROM (SELECT freq, string_split(substr(syms, 2, length(syms) - 2), {S2}||{S1}) AS l
+                FROM {prev}),
+               LATERAL (SELECT unnest(range(1, len(l))) AS i) t
+          GROUP BY 1, 2 HAVING SUM(freq) >= {min_freq}
+          ORDER BY cnt DESC, a, b
+          LIMIT (SELECT GREATEST(4 * want, 16) FROM want{r}))""")
+        for k in range(1, maxw + 1):
+            excl = (
+                f"a NOT IN (SELECT s FROM u{r}_{k-1}) AND "
+                f"b NOT IN (SELECT s FROM u{r}_{k-1}) AND "
+                if k > 1
+                else ""
+            )
+            ctes.append(f"""k{r}_{k} AS MATERIALIZED (
+              SELECT a, b FROM pool{r}
+              WHERE {excl}{k} <= (SELECT want FROM want{r})
+              ORDER BY cnt DESC, a, b LIMIT 1)""")
+            ctes.append(f"""p{r}_{k} AS MATERIALIZED (
+              SELECT (SELECT a FROM k{r}_{k}) AS a, (SELECT b FROM k{r}_{k}) AS b)""")
+            prev_u = f"SELECT s FROM u{r}_{k-1} UNION " if k > 1 else ""
+            ctes.append(f"""u{r}_{k} AS MATERIALIZED (
+              {prev_u}SELECT a AS s FROM p{r}_{k} WHERE a IS NOT NULL
+              UNION SELECT b FROM p{r}_{k} WHERE b IS NOT NULL
+              UNION SELECT a || b FROM p{r}_{k} WHERE a IS NOT NULL)""")
+        npicks = " + ".join(
+            f"(CASE WHEN (SELECT a FROM p{r}_{k}) IS NOT NULL THEN 1 ELSE 0 END)"
+            for k in range(1, maxw + 1)
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT (SELECT m FROM m{r-1}) + {npicks} AS m)"
+        )
+        expr = "syms"
+        for k in range(1, maxw + 1):
+            pat = f"coalesce({S1}||p{r}_{k}.a||{S2}||{S1}||p{r}_{k}.b||{S2}, {S3})"
+            rep = f"coalesce({S1}||p{r}_{k}.a||p{r}_{k}.b||{S2}, {S3})"
+            expr = f"replace({expr}, {pat}, {rep})"
+        joins = ", ".join(f"p{r}_{k}" for k in range(1, maxw + 1))
+        ctes.append(f"""w{r} AS MATERIALIZED (
+          SELECT word, freq, {expr} AS syms FROM {prev}, {joins})""")
+    ctes.append(f"""tokc AS MATERIALIZED (
+      SELECT word,
+             CAST(len(string_split(substr(syms, 2, length(syms) - 2), {S2}||{S1})) AS BIGINT) AS ntok
+      FROM w{n_rounds})""")
+    ctes.append("""docw AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents)""")
+    ctes.append("""bpe_counts AS MATERIALIZED (
+      SELECT d.doc_id, CAST(COALESCE(SUM(tokc.ntok), 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, word FROM docw WHERE word <> '') dw ON d.doc_id = dw.doc_id
+      LEFT JOIN tokc ON dw.word = tokc.word
+      GROUP BY 1)""")
+    return ",\n".join(ctes)
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     docs = load_table(spark, sf_dir, "documents")
     # 24 merges in 3 batched rounds: enough vocabulary to measurably
@@ -299,7 +454,14 @@ def _bpe_merges_and_alphabet(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("z_text_bpe_tokens", oracle=None, tags=("text", "tokenize"), bench=True)
+@query(
+    "z_text_bpe_tokens",
+    oracle="WITH "
+    + _bpe_oracle_prefix()
+    + "\nSELECT doc_id, n_bpe_tokens FROM bpe_counts",
+    tags=("text", "tokenize"),
+    bench=True,
+)
 def z_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware token counts: train a BPE merge table distributedly
     (iterative pair-count hash-aggs over the distinct-word table), then
@@ -310,23 +472,50 @@ def z_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     training's already-materialized vocabulary table
     (``return_alphabet=True``), not a second corpus scan — the standalone
     ``bpe_alphabet`` path re-paid the corpus token shuffle and measured
-    ~1.3x on this query (r8 adjudication, SCALING.md). Rows-only
-    (training is iterative — not SQL-expressible; classic-BPE
-    equivalence, determinism, round-trip decode and the 512-merge stress
-    are asserted in tests/test_bpe.py)."""
+    ~1.3x on this query (r8 adjudication, SCALING.md).
+
+    VALUE-EXACT (round 13, was rows-only since round 6): the training
+    loop unrolls into chained CTEs via the bracket-encoded-replace device
+    and the rank-order/greedy encoding equivalence — see
+    `_bpe_oracle_prefix`. Classic-BPE equivalence, determinism,
+    round-trip decode and the 512-merge stress remain asserted in
+    tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents")
     merges, alphabet = _bpe_merges_and_alphabet(spark, sf_dir)
     return bpe.bpe_token_counts(docs, merges, alphabet=alphabet).orderBy("doc_id")
 
 
-@query("z_text_pack_bpe", oracle=None, tags=("text", "packing"), bench=False)
+@query(
+    "z_text_pack_bpe",
+    oracle="WITH "
+    + _bpe_oracle_prefix()
+    + """,
+    sh AS (
+      SELECT doc_id, n_bpe_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS BIGINT) AS shard
+      FROM bpe_counts
+    ),
+    packed AS (
+      SELECT shard, n_bpe_tokens,
+             CAST(SUM(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS BIGINT) AS bin_offset
+      FROM sh
+    )
+    SELECT shard, CAST(bin_offset // 2048 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2""",
+    tags=("text", "packing"),
+    bench=False,
+)
 def z_text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing budgeted by BPE tokens instead of whitespace tokens
     — the budget a training data loader actually enforces. Same one-window
     start-offset packing as `text_pack_sequences`, fed by the BPE counts;
-    output is per-(shard, bin) fill statistics. Rows-only (BPE training is
-    not SQL-expressible; the packing window itself is oracle-checked via
-    `text_pack_sequences`)."""
+    output is per-(shard, bin) fill statistics. VALUE-EXACT (round 13,
+    with `z_text_bpe_tokens`): the shared `_bpe_oracle_prefix` counts
+    compose with the md5 shard + running-offset window SQL already proven
+    on `text_pack_sequences`."""
     docs = load_table(spark, sf_dir, "documents")
     counts = bpe.bpe_token_counts(docs, _bpe_merges(spark, sf_dir))
     packed = pack_sequences(counts, token_col="n_bpe_tokens", budget=2048, n_shards=8)
