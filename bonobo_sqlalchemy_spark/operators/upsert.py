@@ -116,6 +116,7 @@ class InsertOrUpdate:
         buffer_size: int = 1000,
         engine: str = DEFAULT_ENGINE_SERVICE,
         order_col: str | None = None,
+        snapshot: bool = False,
     ) -> None:
         self.table_name = table_name
         self.fetch_columns: dict[str, str] = {}
@@ -139,6 +140,15 @@ class InsertOrUpdate:
         #: column (e.g. an event timestamp or version) makes "last" well-
         #: defined under ANY partitioning — the recommended production form.
         self.order_col = order_col
+        #: Route path-backed MERGEs through operators/snapshot.py instead
+        #: of the in-place directory swap: the table root becomes a
+        #: versioned snapshot table (immutable data dirs + atomically-
+        #: renamed `_VERSION` pointer), so concurrent readers get whole
+        #: pre- or post-merge states — never the in-place swap's mid-swap
+        #: half-state — and concurrent writers serialize optimistically
+        #: (round-13 verdict item #4). Ignored for DBAPI targets, whose
+        #: RDBMS transaction already provides this.
+        self.snapshot = bool(snapshot)
         #: dead-letter channel: list of dicts after the last write (O2d)
         self.last_errors: list[dict] = []
         self.last_stats: dict[str, int] = {}
@@ -533,31 +543,16 @@ class InsertOrUpdate:
     # ------------------------------------------------------------------
     # Parquet-directory backend (lakehouse MERGE emulation)
     # ------------------------------------------------------------------
-    def _write_path(
-        self, df: DataFrame, spark: SparkSession, service: PathService
-    ) -> DataFrame:
-        path = service.table_path(self.table_name)
-        exists = os.path.exists(path)
-        target = spark.read.parquet(path) if exists else None
-        target_cols = target.columns if target is not None else df.columns
-
-        prepared = self._prepare(df, list(target_cols))
+    def _merge_branches(
+        self, target: DataFrame, prepared: DataFrame, target_cols: list[str]
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Shared MERGE branch construction (split incoming by
+        key-existence; update/untouched/insert unions; operation gating to
+        the dead-letter channel) — used by both path publish modes. On
+        Delta/Iceberg this whole construction is one MERGE INTO keyed on
+        the discriminant (idempotent, retry-safe at 100 TB). Returns
+        ``(merged, inserted, updated)``."""
         keys = list(self.discriminant)
-        self.last_errors = []
-
-        if target is None:
-            if INSERT not in self.allowed_operations:
-                self.last_errors = [
-                    {"op": "INSERT", "key": "*", "n": prepared.count()}
-                ]
-                return prepared.limit(0)
-            prepared.write.mode("overwrite").parquet(path)
-            self.last_stats = {"insert": spark.read.parquet(path).count(), "update": 0}
-            return prepared
-
-        # MERGE emulation: split incoming by key-existence, rewrite the
-        # table. On Delta/Iceberg this whole block is one MERGE INTO keyed
-        # on the discriminant (idempotent, retry-safe at 100 TB).
         tkeys = target.select(*keys).distinct()
         incoming_upd = prepared.join(tkeys, keys, "left_semi")
         incoming_ins = prepared.join(tkeys, keys, "left_anti")
@@ -596,6 +591,54 @@ class InsertOrUpdate:
             ]
         )
         merged = untouched.unionByName(updated).unionByName(inserted)
+        return merged, inserted, updated
+
+    def _fetch_back_path(self, prepared: DataFrame, tgt: DataFrame) -> DataFrame:
+        """O2i for path targets: left-join generated/stored columns back
+        from the post-merge table by discriminant."""
+        if not self.fetch_columns:
+            return prepared
+        keys = list(self.discriminant)
+        return prepared.join(
+            tgt.select(*keys, *{*self.fetch_columns.values()} - set(keys)),
+            keys,
+            "left",
+        ).select(
+            *[prepared[c] for c in prepared.columns],
+            *[
+                F.col(col).alias(alias)
+                for alias, col in self.fetch_columns.items()
+                if alias not in prepared.columns
+            ],
+        )
+
+    def _write_path(
+        self, df: DataFrame, spark: SparkSession, service: PathService
+    ) -> DataFrame:
+        path = service.table_path(self.table_name)
+        if self.snapshot:
+            return self._write_path_snapshot(df, spark, path)
+        exists = os.path.exists(path)
+        target = spark.read.parquet(path) if exists else None
+        target_cols = target.columns if target is not None else df.columns
+
+        prepared = self._prepare(df, list(target_cols))
+        keys = list(self.discriminant)
+        self.last_errors = []
+
+        if target is None:
+            if INSERT not in self.allowed_operations:
+                self.last_errors = [
+                    {"op": "INSERT", "key": "*", "n": prepared.count()}
+                ]
+                return prepared.limit(0)
+            prepared.write.mode("overwrite").parquet(path)
+            self.last_stats = {"insert": spark.read.parquet(path).count(), "update": 0}
+            return prepared
+
+        merged, inserted, updated = self._merge_branches(
+            target, prepared, list(target_cols)
+        )
 
         # Counts must materialize BEFORE the swap — they read the old files.
         n_ins, n_upd = inserted.count(), updated.count()
@@ -615,15 +658,73 @@ class InsertOrUpdate:
         shutil.move(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
         self.last_stats = {"insert": n_ins, "update": n_upd}
-        out = prepared
         if self.fetch_columns:
-            tgt = spark.read.parquet(path)
-            out = prepared.join(tgt.select(*keys, *{*self.fetch_columns.values()} - set(keys)), keys, "left").select(
-                *[prepared[c] for c in prepared.columns],
-                *[
-                    F.col(col).alias(alias)
-                    for alias, col in self.fetch_columns.items()
-                    if alias not in prepared.columns
-                ],
+            return self._fetch_back_path(prepared, spark.read.parquet(path))
+        return prepared
+
+    def _write_path_snapshot(
+        self, df: DataFrame, spark: SparkSession, root: str
+    ) -> DataFrame:
+        """Snapshot-backed publish (``snapshot=True``): the same MERGE
+        semantics, landed as an atomic snapshot commit
+        (operators/snapshot.py) instead of the in-place directory swap —
+        a concurrent reader sees the whole pre-merge or whole post-merge
+        table, never the swap's transient half-state, and concurrent
+        writers serialize via optimistic retry on the version pointer."""
+        from .snapshot import (
+            SnapshotConflict,
+            snapshot_commit,
+            snapshot_current,
+            snapshot_read,
+        )
+
+        last_exc: Exception | None = None
+        for _ in range(3):
+            base_version = snapshot_current(root)
+            target = (
+                snapshot_read(spark, root, base_version)
+                if base_version is not None
+                else None
             )
-        return out
+            target_cols = target.columns if target is not None else df.columns
+            prepared = self._prepare(df, list(target_cols))
+            self.last_errors = []
+
+            if target is None:
+                if INSERT not in self.allowed_operations:
+                    self.last_errors = [
+                        {"op": "INSERT", "key": "*", "n": prepared.count()}
+                    ]
+                    return prepared.limit(0)
+                try:
+                    name = snapshot_commit(
+                        spark, root, prepared, expect_version=None
+                    )
+                except SnapshotConflict as exc:
+                    last_exc = exc
+                    continue
+                committed = snapshot_read(spark, root, name)
+                self.last_stats = {"insert": committed.count(), "update": 0}
+                return self._fetch_back_path(prepared, committed)
+
+            merged, inserted, updated = self._merge_branches(
+                target, prepared, list(target_cols)
+            )
+            # Counts read the base snapshot's immutable files — safe to
+            # materialize either side of the commit, done before for parity
+            # with the in-place path.
+            n_ins, n_upd = inserted.count(), updated.count()
+            try:
+                name = snapshot_commit(
+                    spark, root, merged, expect_version=base_version
+                )
+            except SnapshotConflict as exc:
+                last_exc = exc
+                continue
+            self.last_stats = {"insert": n_ins, "update": n_upd}
+            return self._fetch_back_path(
+                prepared, snapshot_read(spark, root, name)
+            )
+        raise last_exc if last_exc is not None else RuntimeError(
+            f"snapshot upsert into {root} did not commit"
+        )

@@ -282,3 +282,39 @@ def test_hwm_sidecar_detects_out_of_band_writer(spark, tmp_path):
     hist2 = c.write(df("v4"), spark, path, as_of="2024-06-01 00:00:00")
     assert snapshot_as_of(hist2, "2024-06-02 00:00:00").collect()[0].v == "v4"
     assert os.path.exists(path + ".__scd2_hwm")  # sidecar re-established
+
+
+def test_scd2_snapshot_sink_roundtrip_and_time_travel(spark, tmp_path):
+    """Scd2Sink(snapshot=True): the identical SCD2 merge published as
+    atomic snapshot commits — each merge is one version, the history
+    table's own history is time-travelable, and the HWM sidecar contract
+    survives the backend switch (round-13 first-class sink wiring)."""
+    from bonobo_sqlalchemy_spark.operators.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "dim_customer")
+    sink = Scd2Sink(keys=["id"], snapshot=True)
+    sink.write(_batch(spark, [(1, "a", 10.0)]), spark, root, "2024-01-01 00:00:00")
+    assert sink.last_stats == {"rows": 1, "open": 1}
+    out = sink.write(
+        _batch(spark, [(1, "a", 20.0)]), spark, root, "2024-02-01 00:00:00"
+    )
+    assert sink.last_stats == {"rows": 2, "open": 1}
+    reread = snapshot_read(spark, root)
+    assert reread.count() == 2
+    assert reread.where("is_current").collect()[0].balance == 20.0
+    assert out.columns == reread.columns
+    # time travel: the pre-second-merge history (one open version @10.0)
+    names = snapshot_versions(root)
+    assert len(names) == 2
+    v1 = snapshot_read(spark, root, names[0])
+    assert v1.count() == 1 and v1.collect()[0].balance == 10.0
+    # out-of-order as_of still rejected through the snapshot path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.write(
+            _batch(spark, [(1, "a", 30.0)]), spark, root, "2023-01-01 00:00:00"
+        )

@@ -375,3 +375,58 @@ def test_order_col_may_be_input_only_and_ties_are_stable(spark, tmp_path):
     # tie at version=9: later source row ('c') wins via the monotonic-id
     # tiebreak — deterministic on the single-partition input
     assert got == [(1, "c"), (2, "x")]
+
+
+def test_path_target_snapshot_create_then_merge(spark, tmp_path):
+    """snapshot=True: the same MERGE semantics land as atomic snapshot
+    commits (operators/snapshot.py) — round-13 first-class sink wiring.
+    The pre-merge state stays time-travelable and each write is one
+    version."""
+    from bonobo_sqlalchemy_spark.operators.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    svc = {"sqlalchemy.engine": PathService(str(tmp_path))}
+    sink = InsertOrUpdate("t", discriminant=("id",), snapshot=True)
+    run(Graph(_golden(spark), sink), spark, services=svc)
+    assert sink.last_stats["insert"] == 10
+
+    mixed = spark.createDataFrame(
+        [(5, "changed"), (20, "new row")], "id int, value string"
+    )
+    sink2 = InsertOrUpdate("t", discriminant=("id",), snapshot=True)
+    run(Graph(mixed, sink2), spark, services=svc)
+    assert sink2.last_stats == {"insert": 1, "update": 1}
+
+    root = str(tmp_path / "t.parquet")
+    final = snapshot_read(spark, root)
+    assert final.count() == 11
+    assert final.where("id = 5").collect()[0].value == "changed"
+    assert final.where("id = 20").collect()[0].value == "new row"
+    # one snapshot per write; the pre-merge table is still readable
+    names = snapshot_versions(root)
+    assert len(names) == 2
+    v1 = snapshot_read(spark, root, names[0])
+    assert v1.count() == 10
+    assert v1.where("id = 5").collect()[0].value != "changed"
+
+
+def test_path_target_snapshot_update_only_gating(spark, tmp_path):
+    from bonobo_sqlalchemy_spark.operators.snapshot import snapshot_read
+
+    svc = {"sqlalchemy.engine": PathService(str(tmp_path))}
+    run(
+        Graph(_golden(spark), InsertOrUpdate("t", snapshot=True)),
+        spark,
+        services=svc,
+    )
+    sink = InsertOrUpdate("t", allowed_operations=(UPDATE,), snapshot=True)
+    mixed = spark.createDataFrame(
+        [(3, "upd"), (99, "rejected")], "id int, value string"
+    )
+    run(Graph(mixed, sink), spark, services=svc)
+    assert sink.last_errors and sink.last_errors[0]["op"] == "INSERT"
+    final = snapshot_read(spark, str(tmp_path / "t.parquet"))
+    assert final.count() == 10
+    assert final.where("id = 3").collect()[0].value == "upd"
