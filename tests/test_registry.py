@@ -66,14 +66,24 @@ def test_parity_artifact_lists_every_registry_query():
     )
 
 
-def test_parity_artifact_hash_matches_head_source():
-    """PARITY_LOCAL.md stamps a content hash of the exact engine tree it
-    verified; this test recomputes that hash (the same loop as
+@pytest.mark.parametrize(
+    "artifact,regen",
+    [
+        ("PARITY_LOCAL.md", "python parity_report.py"),
+        ("PLANS.md", "python plans_report.py"),
+        ("SCALING.md", "python scaling_report.py"),
+    ],
+)
+def test_artifact_hash_matches_head_source(artifact, regen):
+    """Each standing artifact stamps a content hash of the exact engine
+    tree it verified; this test recomputes that hash (the same loop as
     parity_report.py) over the CURRENT tree and fails on drift — so any
-    engine-source change without a parity regeneration turns RED instead
-    of silently shipping a stale artifact (round-9/10 verdict action item:
-    the r9 snapshot drifted `2371688c1ad7` -> `df397ad0f635` and only the
-    judge's manual recompute caught it)."""
+    engine-source change without a regeneration turns RED instead of
+    silently shipping a stale artifact. History: the r9 PARITY snapshot
+    drifted and only the judge's manual recompute caught it (round-10 fix
+    covered PARITY only); in round 12 PLANS.md/SCALING.md then drifted 11
+    commits with a benched query's plan changed post-stamp (r12 verdict
+    action item #1) — hence ALL THREE artifacts now share the gate."""
     import hashlib
     import re
     from pathlib import Path
@@ -86,12 +96,12 @@ def test_parity_artifact_hash_matches_head_source():
         h.update(p.name.encode())
         h.update(p.read_bytes())
     head_hash = h.hexdigest()[:12]
-    text = (root / "PARITY_LOCAL.md").read_text()
+    text = (root / artifact).read_text()
     m = re.search(r"engine source sha256 `([0-9a-f]{12})`", text)
-    assert m, "PARITY_LOCAL.md carries no source-hash stamp — regenerate"
+    assert m, f"{artifact} carries no source-hash stamp — run `{regen}`"
     assert m.group(1) == head_hash, (
-        f"PARITY_LOCAL.md is stale: stamped {m.group(1)}, HEAD engine source "
-        f"hashes to {head_hash} — run `python parity_report.py`"
+        f"{artifact} is stale: stamped {m.group(1)}, HEAD engine source "
+        f"hashes to {head_hash} — run `{regen}`"
     )
 
 
