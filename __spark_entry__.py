@@ -5,8 +5,11 @@
 - ``queries()``: every implemented operator from SURVEY.md §2, one callable
   ``(spark, sf_dir) -> DataFrame`` per name.
 - ``oracle_sql()``: the DuckDB-equivalent SQL for each query that is
-  SQL-expressible (non-SQL ops — LSH/minhash/simhash/streaming-stateful —
-  are rows-only by design).
+  SQL-expressible — which as of round 13 is every registered query except
+  ``text_compression_ratio`` (no oracle engine ships zlib; the DEFLATE
+  byte stream is not SQL-expressible). Everything else, including the
+  LSH/minhash/simhash families, streaming-stateful replays, BPE training,
+  and the PCA eigenbasis, carries a full value-level oracle.
 
 Implementation lives in ``bonobo_sqlalchemy_spark.queries``; this module is
 a thin adapter over its registry.

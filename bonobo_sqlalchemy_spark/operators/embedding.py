@@ -83,6 +83,146 @@ def pca_train(df: DataFrame, vec_col: str = "embedding", k: int = 8):
     return mean, comps, vals[order]
 
 
+def pca_power_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 12,
+    q: int = 1 << 20,
+):
+    """Cross-engine-exact PCA: fixed-iteration deflated power method over an
+    INTEGER-EXACT covariance — ``(n, s_ints, mean, comps, lams)``.
+
+    ``pca_train`` is rows-only-checkable because ``eigh`` over a
+    partition-order-sensitive double covariance has no SQL twin. This
+    variant removes both obstacles so the full eigenbasis is reproducible
+    bit-for-bit by a DuckDB recursive CTE (``queries/datapipe7.py::
+    _pca_power_oracle``):
+
+    - **Quantize** each float32 component onto a ``2^-20`` grid with
+      ``floor(x * q)`` — exact in doubles (power-of-two scale, no rounding
+      ties, identical in Python / JVM / DuckDB).
+    - **Integer sufficient statistics**: per-partition ``(n, Σxq, Σxq·xqᵀ)``
+      in ONE Arrow pass (d²+d+1 ints per partition, data never leaves the
+      executors), combined on the driver with arbitrary-precision ints —
+      integer addition is associative, so the result is partition-order
+      FREE. Covariance ``n·Sij − Si·Sj`` is an exact integer; the single
+      int→double conversion rounds to nearest-even identically everywhere.
+    - **Fixed-iteration power method with deflation**: ``iters`` matvec +
+      normalize steps per component, Rayleigh-quotient eigenvalue, rank-one
+      deflation, sign fixed by the first |coordinate| > 1e-12. Every sum
+      folds left-to-right in index order (Python loop here ≡ DuckDB
+      ``list_reduce`` ≡ Spark ``aggregate``), so the basis is DETERMINISTIC
+      BY CONSTRUCTION, not convergence-dependent: both engines run the same
+      finite recurrence on identical doubles.
+
+    Driver work is O(P·d² + k·iters·d²) — independent of row count. The
+    per-partition int64 sums require fewer than 2^23 rows per partition at
+    the default grid (|x| < 2 ⇒ products < 2^42); repartition denser inputs
+    upstream or lower ``q``.
+    """
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+
+    def stats(batches):
+        import pandas as pd
+
+        n, s, ss = 0, np.zeros(d, dtype=np.int64), np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xq = np.floor(x * q).astype(np.int64)
+            n += xq.shape[0]
+            s += xq.sum(axis=0)
+            ss += xq.T @ xq
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(stats, "n bigint, s array<bigint>, ss array<bigint>")
+        .collect()
+    )
+    n = sum(r.n for r in rows)
+    s_ints = [sum(int(r.s[j]) for r in rows) for j in range(d)]
+    ss_ints = [
+        [sum(int(r.ss[i * d + j]) for r in rows) for j in range(d)] for i in range(d)
+    ]
+    c = [
+        [float(n * ss_ints[i][j] - s_ints[i] * s_ints[j]) for j in range(d)]
+        for i in range(d)
+    ]
+
+    def _seq(terms):
+        acc = 0.0
+        for t in terms:
+            acc += t
+        return acc
+
+    import math
+
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    for _ in range(k):
+        v = [1.0] * d
+        for _ in range(iters):
+            w = [_seq(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+            nrm = math.sqrt(_seq(w[i] * w[i] for i in range(d)))
+            v = [w[i] / nrm for i in range(d)]
+        for i in range(d):
+            if abs(v[i]) > 1e-12:
+                if v[i] < 0:
+                    v = [-x for x in v]
+                break
+        lam = _seq(v[i] * _seq(c[i][j] * v[j] for j in range(d)) for i in range(d))
+        comps.append(v)
+        lams.append(lam)
+        c = [[c[i][j] - lam * v[i] * v[j] for j in range(d)] for i in range(d)]
+    mean = [s_ints[j] / n for j in range(d)]
+    return n, s_ints, mean, comps, lams
+
+
+def pca_project_fold(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+    q: int = 1 << 20,
+) -> DataFrame:
+    """Projection twin of ``pca_power_train`` that stays ENTIRELY JVM-side:
+    quantize → center → per-component sequential dot, all with SQL
+    higher-order functions (``transform`` / ``zip_with`` / ``aggregate``),
+    whole-stage-codegen'd — no Python worker at all. ``aggregate`` folds
+    left-to-right from 0.0, the same order as the trainer's Python loop and
+    the oracle's ``list_reduce``, so projections are bit-identical across
+    all three. Basis ships as k·d double literals (k, d bounded)."""
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.transform(
+        F.col(vec_col),
+        lambda x, j: F.floor(x.cast("double") * F.lit(float(q))) - F.element_at(mean_arr, j + 1),
+    )
+    projs = []
+    for r, comp in enumerate(components):
+        comp_arr = F.array(*[F.lit(float(w)) for w in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col("_centered"), comp_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(dot)
+    return (
+        df.select(id_col, vec_col)
+        .withColumn("_centered", centered)
+        .select(F.col(id_col), F.array(*projs).alias(out_col))
+    )
+
+
 def pca_project(
     df: DataFrame,
     mean,

@@ -712,23 +712,156 @@ def z_text_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("z_emb_pca_ann", oracle=None, tags=("similarity", "ml"))
+def _pca_power_oracle(q: int = 1 << 20, d: int = 64, k: int = 16, iters: int = 12) -> str:
+    """DuckDB twin of ``pca_power_train`` + ``pca_project_fold``: the SAME
+    finite recurrence as the driver's power iteration, as one recursive CTE.
+
+    Why this is bit-exact cross-engine (validated on the real corpus at
+    sf0.001 and sf0.01):
+
+    - ``floor(x*2^20)`` quantization is tie-free and exact in doubles;
+    - the covariance is built from EXACT integer sums (HUGEINT here,
+      Python ints on the driver) — no float accumulation order anywhere;
+    - every float sum afterwards folds left-to-right in index order
+      (``list_reduce`` ≡ the trainer's Python loop ≡ ``aggregate`` in the
+      projection), and scalar IEEE ops (＊ / sqrt) are correctly rounded in
+      both engines, so the 16-component basis and all projections come out
+      bit-identical — the *approximate spectral decomposition* itself is the
+      checked value, not just downstream ranks.
+
+    The recursion runs ``k`` components × (``iters`` matvec steps + 1
+    finalize step): sign-fix, Rayleigh eigenvalue, rank-one deflation, and
+    a reset to the all-ones start vector. Reduced-space cosine then follows
+    the registry's standard rounded-cosine determinism policy."""
+    step = iters + 1
+    one = "CAST(1.0 AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qz),
+    sums AS (
+      SELECT list(si ORDER BY i) AS s FROM (
+        SELECT u.i AS i, CAST(SUM(xq[u.i+1]) AS HUGEINT) AS si
+        FROM qz, (SELECT unnest(range(0,{d})) AS i) u GROUP BY u.i)
+    ),
+    prs AS (
+      SELECT u.i AS i, v.j AS j, CAST(SUM(xq[u.i+1] * xq[v.j+1]) AS HUGEINT) AS sij
+      FROM qz, (SELECT unnest(range(0,{d})) AS i) u,
+                (SELECT unnest(range(0,{d})) AS j) v
+      GROUP BY u.i, v.j
+    ),
+    cmat AS (
+      SELECT list(CAST(nn.n * p.sij
+                       - s.s[CAST(p.i AS BIGINT)+1] * s.s[CAST(p.j AS BIGINT)+1]
+                       AS DOUBLE) ORDER BY p.i, p.j) AS c
+      FROM prs p CROSS JOIN nn CROSS JOIN sums s
+      GROUP BY nn.n
+    ),
+    it AS (
+      SELECT 0 AS t, c, list_transform(range(0,{d}), x -> {one}) AS v,
+             CAST([] AS DOUBLE[]) AS comps
+      FROM cmat
+      UNION ALL
+      SELECT t + 1,
+        CASE WHEN fin THEN
+          list_transform(range(0,{d}*{d}), ij ->
+            c[ij+1] - (lam * sv[CAST(ij // {d} AS BIGINT)+1])
+                      * sv[CAST(ij % {d} AS BIGINT)+1])
+        ELSE c END,
+        CASE WHEN fin THEN list_transform(range(0,{d}), x -> {one})
+             ELSE list_transform(w, x -> x / nrm) END,
+        CASE WHEN fin THEN comps || sv ELSE comps END
+      FROM (
+        SELECT t, c, v, comps, fin, w, sv,
+          CASE WHEN fin THEN {one} ELSE
+            sqrt(list_reduce(list_transform(w, x -> x * x), (a,b) -> a + b))
+          END AS nrm,
+          CASE WHEN NOT fin THEN CAST(0.0 AS DOUBLE) ELSE
+            list_reduce(list_transform(range(0,{d}), i ->
+              sv[CAST(i AS BIGINT)+1] * list_reduce(
+                list_transform(range(0,{d}), j -> c[i*{d}+j+1] * sv[CAST(j AS BIGINT)+1]),
+                (a,b) -> a + b)), (a,b) -> a + b)
+          END AS lam
+        FROM (
+          SELECT t, c, v, comps, fin,
+            CASE WHEN fin THEN v ELSE
+              list_transform(range(0,{d}), i ->
+                list_reduce(
+                  list_transform(range(0,{d}), j -> c[i*{d}+j+1] * v[CAST(j AS BIGINT)+1]),
+                  (a,b) -> a + b))
+            END AS w,
+            CASE WHEN NOT fin THEN v ELSE
+              CASE WHEN COALESCE(list_filter(v, x -> abs(x) > 1e-12)[1], {one}) < 0
+                   THEN list_transform(v, x -> -x) ELSE v END
+            END AS sv
+          FROM (SELECT t, c, v, comps, (t % {step}) = {iters} AS fin
+                FROM it WHERE t < {k * step}) s0
+        ) s1
+      ) s2
+    ),
+    basis AS (SELECT comps FROM it WHERE t = {k * step}),
+    proj AS (
+      SELECT qz.vec_id,
+             list_transform(range(0,{k}), r ->
+               list_reduce(list_transform(range(0,{d}), j ->
+                 (CAST(qz.xq[CAST(j AS BIGINT)+1] AS DOUBLE)
+                  - CAST(s.s[CAST(j AS BIGINT)+1] AS DOUBLE) / nn.n)
+                 * b.comps[r*{d}+j+1]), (a,b) -> a + b)) AS p
+      FROM qz CROSS JOIN basis b CROSS JOIN sums s CROSS JOIN nn
+    ),
+    pj AS (
+      SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id, pq.p AS qv, pc.p AS cv
+      FROM proj pq JOIN proj pc ON pc.vec_id <> pq.vec_id
+      WHERE pq.vec_id < 8
+    ),
+    u2 AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM pj),
+    p2 AS (
+      SELECT query_id, neighbor_id,
+             SUM(x * y) AS dot, SUM(x * x) AS na, SUM(y * y) AS nb
+      FROM u2 GROUP BY 1, 2
+    ),
+    r2 AS (
+      SELECT query_id, neighbor_id, round(dot / sqrt(na * nb), 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / sqrt(na * nb), 6) DESC,
+                                         neighbor_id) AS rn
+      FROM p2
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM r2 WHERE rn <= 5
+    """
+
+
+@query("z_emb_pca_ann", oracle=_pca_power_oracle(), tags=("similarity", "ml"))
 def z_emb_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-compressed ANN — the standard pre-step for large-scale vector
-    search: learn the top-16 principal components from partition-level
-    sufficient statistics (driver sees d^2 floats, never data), project
-    the 64-d embeddings down 4x in one Arrow pass, and run cosine top-5
-    in the REDUCED space. Rows-only (eigenbasis floats are partition-sum
-    sensitive at 1e-8); recall vs full-space exact search is asserted in
-    tests/test_embedding.py on planted low-rank data (this corpus's
-    vectors are deliberately isotropic, where no linear compression can
-    preserve neighborhoods — real encoder outputs are low-rank)."""
-    from ..operators.embedding import pca_project, pca_train
+    search: learn a 16-component basis from integer-exact sufficient
+    statistics (driver sees d² ints, never data), project the 64-d
+    embeddings down 4x ENTIRELY JVM-side (higher-order-function fold, no
+    Python worker), and run cosine top-5 in the REDUCED space.
+
+    VALUE-EXACT as of round 13 (was rows-only): ``pca_power_train``
+    replaces driver-side ``eigh`` over an order-sensitive float covariance
+    with a fixed-iteration deflated power method over an INTEGER-EXACT
+    covariance (floor-quantized inputs, associative integer sums), every
+    float reduction folding in index order — so a DuckDB recursive CTE
+    replays the identical recurrence and the eigenbasis, projections, and
+    ranks all reproduce bit-for-bit (``_pca_power_oracle``). Recall vs
+    full-space exact search is asserted in tests/test_embedding.py on
+    planted low-rank data (this corpus's vectors are deliberately
+    isotropic, where no linear compression can preserve neighborhoods —
+    real encoder outputs are low-rank)."""
+    from ..operators.embedding import pca_power_train, pca_project_fold
     from ..operators.similarity import cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    mean, comps, _ = pca_train(e, k=16)
-    proj = pca_project(e, mean, comps).withColumnRenamed("proj", "embedding")
+    _, _, mean, comps, _ = pca_power_train(e, k=16, iters=12)
+    proj = pca_project_fold(e, mean, comps).withColumnRenamed("proj", "embedding")
     queries = proj.where(F.col("vec_id") < 8)
     return cosine_topk(proj, queries, k=5).orderBy("query_id", "rank")
 

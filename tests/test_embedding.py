@@ -94,3 +94,79 @@ def test_pca_ann_recall_on_low_rank_data(spark):
         (r.query_id, r.neighbor_id) for r in cosine_topk(proj, pq, k=5).collect()
     }
     assert len(exact & approx) >= len(exact) * 0.9, (len(exact & approx), len(exact))
+
+
+def test_pca_power_partitioning_bit_exact(spark, sf_small):
+    """The integer-sufficient-statistics trainer is partition-order FREE:
+    any repartitioning yields the bit-identical basis (this is the property
+    that makes z_emb_pca_ann value-exact cross-engine)."""
+    from bonobo_sqlalchemy_spark.operators.embedding import pca_power_train
+
+    embs = load_table(spark, sf_small, "embeddings")
+    n1, s1, m1, c1, l1 = pca_power_train(embs, k=6, iters=8)
+    n2, s2, m2, c2, l2 = pca_power_train(embs.repartition(13), k=6, iters=8)
+    assert (n1, s1) == (n2, s2)
+    assert m1 == m2 and l1 == l2
+    assert c1 == c2  # exact float equality, not allclose
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """On genuinely low-rank data the fixed-iteration power method recovers
+    the planted dominant direction (|cos| > 0.999) and eigenvalues come out
+    in decreasing order."""
+    from bonobo_sqlalchemy_spark.operators.embedding import pca_power_train
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 400
+    u = rng.standard_normal(d)
+    u /= np.linalg.norm(u)
+    x = np.outer(rng.standard_normal(n) * 5.0, u) + rng.standard_normal((n, d)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<float>",
+    )
+    _, _, _, comps, lams = pca_power_train(df, k=3, iters=20)
+    c0 = np.asarray(comps[0])
+    assert abs(float(c0 @ u) / np.linalg.norm(c0)) > 0.999
+    assert lams[0] > lams[1] >= lams[2] > 0
+
+
+def test_pca_project_fold_matches_trainer_reference(spark, sf_small):
+    """The JVM higher-order-function projection folds in the same index
+    order as the trainer's Python loop — projections agree bit-for-bit."""
+    from bonobo_sqlalchemy_spark.operators.embedding import (
+        pca_power_train,
+        pca_project_fold,
+    )
+
+    embs = load_table(spark, sf_small, "embeddings").limit(50)
+    q = 1 << 20
+    _, s_ints, mean, comps, _ = pca_power_train(embs, k=4, iters=6)
+    got = {
+        r.vec_id: list(r.proj)
+        for r in pca_project_fold(embs, mean, comps).collect()
+    }
+    rows = embs.select("vec_id", "embedding").collect()
+    import math
+
+    for r in rows:
+        xq = [math.floor(float(v) * q) for v in r.embedding]
+        for rr, comp in enumerate(comps):
+            acc = 0.0
+            for j in range(len(xq)):
+                acc += (float(xq[j]) - mean[j]) * comp[j]
+            assert got[r.vec_id][rr] == acc  # bit-exact, no tolerance
+
+
+def test_pca_project_fold_plan_is_jvm_side(spark, sf_small):
+    """No Python worker in the projection plan: the fold is pure SQL HOFs
+    (scale contract — the per-row math rides whole-stage codegen)."""
+    from bonobo_sqlalchemy_spark.operators.embedding import (
+        pca_power_train,
+        pca_project_fold,
+    )
+
+    embs = load_table(spark, sf_small, "embeddings")
+    _, _, mean, comps, _ = pca_power_train(embs, k=2, iters=4)
+    plan = pca_project_fold(embs, mean, comps)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
