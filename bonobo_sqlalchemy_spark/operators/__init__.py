@@ -9,6 +9,7 @@ from .dedup import (
     survivors,
 )
 from .contamination import benchmark_overlap
+from .graphalgo import pagerank_integer
 from .export import (
     shard_manifest,
     update_training_shards,
@@ -25,6 +26,7 @@ from .upsert import InsertOrUpdate
 
 __all__ = [
     "InsertOrUpdate",
+    "pagerank_integer",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

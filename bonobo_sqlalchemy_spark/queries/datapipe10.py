@@ -614,3 +614,88 @@ def z_lake_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build,
     )
     return snapshot_read(spark, root).orderBy("doc_id")
+
+
+def _trade_edges_sql() -> str:
+    """Symmetrized customer<->supplier trade edge list (distinct pairs from
+    lineitem x orders; customers at 2*key, suppliers at 2*key+1 so the two
+    node namespaces never collide)."""
+    return """
+      WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      )
+      SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+    """
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graphalgo import pagerank_integer_sql
+
+    pr = pagerank_integer_sql(_trade_edges_sql(), iters=6)
+    return f"""
+    WITH ranks AS ({pr})
+    SELECT s.s_name,
+           CAST(r.rank AS BIGINT) AS rank_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, s.s_name) AS BIGINT) AS pos
+    FROM ranks r JOIN supplier s ON r.node = 2 * s.s_suppkey + 1
+    QUALIFY pos <= 25
+    ORDER BY pos
+    """
+
+
+@query(
+    "z_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "scale"),
+    bench=True,
+)
+def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the symmetrized customer<->supplier
+    trade graph — the domain-centrality quality prior of web-corpus
+    pipelines, computed Pregel-style as 6 declarative join+agg rounds
+    (`operators/graphalgo.py::pagerank_integer`). Top-25 suppliers by
+    trade centrality.
+
+    VALUE-EXACT by construction: ranks are scaled integers (micro-units of
+    1e12), out-contributions use floor division, damping is the exact
+    rational 17/20 — every sum is associative, so partitioning and
+    aggregation order are irrelevant and the DuckDB unrolled CTE chain
+    reproduces each of the 6 rounds bit-for-bit."""
+    from ..operators.graphalgo import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # symmetrize with ONE map pass (explode of a 2-struct array) — a union
+    # of two selects would re-run the join+distinct subtree per leg
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+                ),
+                F.struct(
+                    (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    ranks = pagerank_integer(edges, iters=6)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = ranks.join(sup, ranks.node == 2 * sup.s_suppkey + 1).select(
+        "s_name", F.col("rank").alias("rank_micro")
+    )
+    from pyspark.sql import Window as W
+
+    # distributed top-k first (TakeOrderedAndProject), THEN number the 25
+    # survivors — the global window never sees more than k rows
+    top = joined.orderBy(F.col("rank_micro").desc(), "s_name").limit(25)
+    w = W.orderBy(F.col("rank_micro").desc(), "s_name")
+    return top.withColumn("pos", F.row_number().over(w).cast("bigint")).orderBy("pos")
