@@ -10,6 +10,7 @@ from .dedup import (
 )
 from .contamination import benchmark_overlap
 from .graphalgo import pagerank_integer
+from .sketch import cms_build, cms_estimate, cms_merge
 from .export import (
     shard_manifest,
     update_training_shards,
@@ -27,6 +28,9 @@ from .upsert import InsertOrUpdate
 __all__ = [
     "InsertOrUpdate",
     "pagerank_integer",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -699,3 +699,76 @@ def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = joined.orderBy(F.col("rank_micro").desc(), "s_name").limit(25)
     w = W.orderBy(F.col("rank_micro").desc(), "s_name")
     return top.withColumn("pos", F.row_number().over(w).cast("bigint")).orderBy("pos")
+
+
+_CMS_POS_SQL = "CAST(('0x' || substr(md5({r} || '|' || {key}), 1, 8)) AS BIGINT) % 2048"
+
+
+@query(
+    "z_sketch_cms_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents
+    ),
+    rws AS (SELECT unnest(['0','1','2','3']) AS rr),
+    sk AS (
+      SELECT rr, {_CMS_POS_SQL.format(r='rr', key='token')} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok, rws GROUP BY 1, 2
+    ),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+    top AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rn
+      FROM counts QUALIFY rn <= 30
+    ),
+    est AS (
+      SELECT t.token, t.freq, t.rn,
+             MIN(COALESCE(sk.cnt, 0)) AS est
+      FROM top t CROSS JOIN rws
+      LEFT JOIN sk ON sk.rr = rws.rr
+                  AND sk.pos = {_CMS_POS_SQL.format(r='rws.rr', key='t.token')}
+      GROUP BY 1, 2, 3
+    )
+    SELECT token, freq, est, est - freq AS overcount, CAST(rn AS BIGINT) AS rank
+    FROM est ORDER BY rank
+    """,
+    tags=("sketch", "text"),
+    bench=True,
+)
+def z_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over the corpus token stream
+    (`operators/sketch.py`): build a 4x2048 sketch in one explode + one
+    map-side-combined agg, then point-estimate the 30 true-most-frequent
+    tokens through the sketch. Output pins BOTH CMS guarantees
+    value-exactly: ``est >= freq`` (one-sided error; ``overcount`` is the
+    collision inflation) and the min-over-rows estimator itself, because
+    every counter is integer arithmetic on md5 prefixes the oracle
+    replays. The probe side shuffles at key cardinality only; the sketch
+    rides a broadcast."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    sketch = cms_build(tok, "token", depth=4, width=2048)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window as W
+
+    top = (
+        counts.orderBy(F.col("freq").desc(), "token")
+        .limit(30)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("freq").desc(), "token"))
+            .cast("bigint"),
+        )
+    )
+    est = cms_estimate(sketch, top, "token")
+    return est.select(
+        "token",
+        "freq",
+        "est",
+        (F.col("est") - F.col("freq")).alias("overcount"),
+        "rank",
+    ).orderBy("rank")
