@@ -30,6 +30,15 @@ def main() -> None:
 
     spark = get_spark(app_name="scaling_report")
     names = [n for n, s in sorted(REGISTRY.items()) if s.bench]
+    # dev knob: comma-list subset for a fast dry run — prints the report to
+    # stdout and does NOT write SCALING.md (a partial artifact would defeat
+    # the staleness gate)
+    import os
+
+    subset = os.environ.get("SPARK_GRAFT_SCALING_QUERIES")
+    if subset:
+        want = {s.strip() for s in subset.split(",") if s.strip()}
+        names = [n for n in names if n in want]
 
     # same trust signals bench.py carries: box load at start/end so a
     # reader can adjudicate run-to-run drift as noise vs regression
@@ -40,7 +49,13 @@ def main() -> None:
     except OSError:
         load1_start = None
 
+    from bonobo_sqlalchemy_spark.metrics import measure_volumes
+
     times: dict[str, dict[str, float]] = {n: {} for n in names}
+    # steady-state shuffle-write bytes per (query, sf): taken from the
+    # SECOND run so artifact-backed queries (saved indexes, snapshots)
+    # report their probe-path volume, matching the min-of-2 time semantics
+    vols: dict[str, dict[str, int]] = {n: {} for n in names}
     for sf_dir in SFS:
         sf = sf_dir.rsplit("sf", 1)[-1]
         for name in names:
@@ -48,7 +63,8 @@ def main() -> None:
             for _ in range(2):
                 t0 = time.perf_counter()
                 try:
-                    REGISTRY[name].spark(spark, sf_dir).collect()
+                    with measure_volumes(spark) as m:
+                        REGISTRY[name].spark(spark, sf_dir).collect()
                 except Exception:
                     best = None
                     break
@@ -56,6 +72,7 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             if best is not None:
                 times[name][sf] = round(best, 3)
+                vols[name][sf] = m.delta.shuffle_write_bytes
 
     try:
         commit = subprocess.run(
@@ -144,12 +161,15 @@ def main() -> None:
             for _ in range(2):
                 t0 = time.perf_counter()
                 try:
-                    REGISTRY[name].spark(spark, str(sf1_dir)).collect()
+                    with measure_volumes(spark) as m:
+                        REGISTRY[name].spark(spark, str(sf1_dir)).collect()
                 except Exception:
                     best = None
                     break
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            if best is not None:
+                vols[name]["1.0"] = m.delta.shuffle_write_bytes
             hi = times[name].get("0.1")
             if best is not None and hi and hi > 0:
                 a2 = math.log(best / hi) / math.log(10)
@@ -184,6 +204,46 @@ def main() -> None:
         ]
         lines += ext_lines
 
+    # -------------------------------------------------------------------
+    # Data movement: shuffle-write volume per query per scale factor.
+    # Wall-clock at local[32] mixes data cost with fixed overhead; shuffle
+    # bytes are deterministic per plan+input, so their decade exponent is
+    # the cleanest answer to "does this operator's DATA MOVEMENT stay
+    # linear at 100 TB?". beta ~ 1 = shuffle grows with data (expected for
+    # shuffle-bound plans); beta ~ 0 = index/sketch-bounded probe (the
+    # best shape); beta >> 1 = a join/agg whose intermediate explodes —
+    # the true scale red flag even when wall time still looks flat.
+    has_sf1 = sf1_dir.exists()
+    mv = [
+        "",
+        "## Data movement (shuffle-write bytes, steady-state run)",
+        "",
+        "Captured from Spark's AppStatusStore around each query's second "
+        "run (`bonobo_sqlalchemy_spark/metrics.py::measure_volumes`). "
+        "`beta` = log-slope of shuffle volume over the top measured "
+        "decade" + (" (sf0.1 → sf1.0)." if has_sf1 else " (sf0.01 → sf0.1)."),
+        "",
+        "| Query | sf0.01 MB | sf0.1 MB |" + (" sf1.0 MB |" if has_sf1 else "") + " beta |",
+        "|---|---|---|" + ("---|" if has_sf1 else "") + "---|",
+    ]
+    mb = lambda b: f"{b / 1e6:.2f}" if b is not None else "err"
+    for name in names:
+        v = vols[name]
+        lo_b, hi_b = v.get("0.01"), v.get("0.1")
+        top_lo, top_hi = (hi_b, v.get("1.0")) if has_sf1 else (lo_b, hi_b)
+        if top_lo and top_hi and top_lo > 0 and top_hi > 0:
+            beta = math.log(top_hi / top_lo) / math.log(10)
+            bstr = f"{beta:.2f}" + (" ⚠" if beta > 1.3 else "")
+            if beta > 1.3:
+                flagged.append((name + " [shuffle]", beta))
+        else:
+            bstr = "— (≈0 shuffle)" if (top_hi is not None and top_hi == 0) else "—"
+        row = f"| `{name}` | {mb(lo_b)} | {mb(hi_b)} |"
+        if has_sf1:
+            row += f" {mb(v.get('1.0'))} |"
+        mv.append(row + f" {bstr} |")
+    lines += mv
+
     tot = {sf: sum(t.get(sf, 0.0) for t in times.values()) for sf in ("0.001", "0.01", "0.1")}
     lines += [
         "",
@@ -198,6 +258,11 @@ def main() -> None:
             "Flagged super-linear: " + ", ".join(f"`{n}` ({a:.2f})" for n, a in flagged)
         )
         lines.append("")
+
+    if subset:
+        print("\n".join(lines))
+        print(f"(dry run over {len(names)} queries — SCALING.md NOT written)")
+        return
 
     out = Path(__file__).parent / "SCALING.md"
     # Preserve hand-written appendices (e.g. the skew-hardening measurements)
