@@ -597,6 +597,21 @@ def z_lake_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
+    root = _snapshot_fixture(spark, sf_dir, docs)
+    return snapshot_read(spark, root).orderBy("doc_id")
+
+
+def _snapshot_fixture(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+    """Shared two-commit snapshot table: v1 = corpus MISSING every 4th doc
+    with STALE metadata (n_chars=-1) for half of those ids; v2 = keyed
+    merge of the true rows. Artifact-cached on the source file identity +
+    engine hash (cache.py), so the merge and the time-travel queries read
+    the same immutable history."""
+    import os
+
+    from ..cache import artifact_path, ensure_artifact
+    from ..operators.snapshot import snapshot_merge
+
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
 
@@ -609,11 +624,58 @@ def z_lake_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_merge(spark, tmp, base, ["doc_id"])
         snapshot_merge(spark, tmp, delta, ["doc_id"])
 
-    root = ensure_artifact(
+    return ensure_artifact(
         artifact_path("snaptbl", f"{src}:{st.st_size}:{st.st_mtime_ns}:snap2"),
         _build,
     )
-    return snapshot_read(spark, root).orderBy("doc_id")
+
+
+@query(
+    "z_lake_time_travel",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 8 = 1 THEN CAST(-1 AS BIGINT) ELSE NULL END
+             AS n_chars_before,
+           n_chars AS n_chars_after,
+           CASE WHEN doc_id % 8 = 1 THEN 'update' ELSE 'insert' END AS change
+    FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id
+    """,
+    tags=("sink", "lakehouse", "incremental"),
+)
+def z_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL under the oracle gate (previously pinned only
+    in tests): read the FIRST and CURRENT versions of the shared
+    two-commit snapshot table and diff them — the change-data-capture
+    read every incremental downstream consumer performs against a
+    versioned lake table. The diff (null-safe inequality full-plan join
+    on the merge key) must reproduce EXACTLY the merge's documented
+    effect: an 'update' row per stale id (n_chars -1 → true) and an
+    'insert' row per id absent from v1 — which the oracle derives from
+    the raw corpus without ever seeing the snapshot machinery."""
+    from ..operators.snapshot import snapshot_read, snapshot_versions
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = _snapshot_fixture(spark, sf_dir, docs)
+    versions = snapshot_versions(root)
+    v1 = snapshot_read(spark, root, versions[0]).select(
+        "doc_id", F.col("n_chars").alias("n_chars_before")
+    )
+    v2 = snapshot_read(spark, root, versions[-1]).select(
+        "doc_id", F.col("n_chars").alias("n_chars_after")
+    )
+    diff = v2.join(v1, "doc_id", "left").where(
+        ~F.col("n_chars_before").eqNullSafe(F.col("n_chars_after"))
+    )
+    return diff.select(
+        "doc_id",
+        "n_chars_before",
+        "n_chars_after",
+        F.when(F.col("n_chars_before").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+    ).orderBy("doc_id")
 
 
 def _trade_edges_sql() -> str:
@@ -772,3 +834,75 @@ def z_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("freq")).alias("overcount"),
         "rank",
     ).orderBy("rank")
+
+
+_TYPE_ID_SQL = "CAST(('0x' || substr(md5({t}), 1, 8)) AS BIGINT)"
+
+
+def _markov_oracle() -> str:
+    from ..operators.graphalgo import pagerank_integer_sql
+
+    edges_sql = f"""
+      WITH lagged AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      )
+      SELECT {_TYPE_ID_SQL.format(t='prev_type')} AS src,
+             {_TYPE_ID_SQL.format(t='event_type')} AS dst
+      FROM lagged WHERE prev_type IS NOT NULL
+    """
+    pr = pagerank_integer_sql(edges_sql, iters=6)
+    return f"""
+    WITH ranks AS ({pr}),
+    names AS (SELECT DISTINCT event_type,
+                     {_TYPE_ID_SQL.format(t='event_type')} AS node
+              FROM events)
+    SELECT n.event_type, CAST(r.rank AS BIGINT) AS rank_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, n.event_type)
+                AS BIGINT) AS pos
+    FROM ranks r JOIN names n USING (node)
+    ORDER BY pos
+    """
+
+
+@query(
+    "z_events_markov_rank",
+    oracle=_markov_oracle(),
+    tags=("graph", "events"),
+)
+def z_events_markov_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary centrality of the event-type TRANSITION graph: per-user
+    LAG gives (prev_type -> type) edges — one edge per observed
+    transition, so repeated transitions ARE the integer weights — and
+    `pagerank_integer` runs unchanged on the multigraph (the same
+    operator serving the trade-graph query, demonstrating it is
+    weight-ready by construction). The damped stationary distribution is
+    the Markov-chain view of \"which event type do journeys concentrate
+    in?\". Node ids are md5-derived from the type string (engine-portable,
+    no driver-side vocabulary collect); VALUE-EXACT end to end — integer
+    micro-unit ranks, deterministic tie-broken positions."""
+    from ..operators.graphalgo import pagerank_integer
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.withColumn("prev_type", F.lag("event_type").over(w))
+
+    def type_id(c):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, 8), 16, 10).cast("bigint")
+
+    edges = lagged.where(F.col("prev_type").isNotNull()).select(
+        type_id("prev_type").alias("src"), type_id("event_type").alias("dst")
+    )
+    ranks = pagerank_integer(edges, iters=6)
+    names = e.select("event_type").distinct().select(
+        "event_type", type_id("event_type").alias("node")
+    )
+    joined = ranks.join(names, "node").select("event_type", F.col("rank").alias("rank_micro"))
+    top = joined.orderBy(F.col("rank_micro").desc(), "event_type")
+    return top.withColumn(
+        "pos",
+        F.row_number().over(W.orderBy(F.col("rank_micro").desc(), "event_type")).cast("bigint"),
+    ).orderBy("pos")
