@@ -9,7 +9,7 @@ from .dedup import (
     survivors,
 )
 from .contamination import benchmark_overlap
-from .graphalgo import pagerank_integer
+from .graphalgo import pagerank_integer, pagerank_personalized_integer
 from .sketch import cms_build, cms_estimate, cms_merge
 from .export import (
     shard_manifest,
@@ -28,6 +28,7 @@ from .upsert import InsertOrUpdate
 __all__ = [
     "InsertOrUpdate",
     "pagerank_integer",
+    "pagerank_personalized_integer",
     "cms_build",
     "cms_estimate",
     "cms_merge",

@@ -105,6 +105,127 @@ def pagerank_integer(
     return ranks.select("node", "rank")
 
 
+def pagerank_personalized_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 6,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED SET) under
+    the same integer-exactness contract as :func:`pagerank_integer` —
+    the data-selection variant: rank every node by proximity to a trusted
+    seed set (quality-seeded source ranking, seed-anchored retrieval).
+
+    The restart mass goes ONLY to seeds: per round,
+
+        rank' = (seed ? (3 * scale) div (20 * |S|) : 0)
+                + (17 * incoming) div 20
+
+    with ``|S|`` the seed count and the initial rank ``scale div |S|`` on
+    seeds, 0 elsewhere. Non-seed nodes therefore hold mass purely through
+    graph proximity. Seeds ride a broadcast into the node frame; the
+    round structure (and the scale story) is identical to the uniform
+    operator."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
+    marked = nodes.join(
+        F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    ranks = marked.crossJoin(
+        F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns")))
+    ).select(
+        "node",
+        "is_seed",
+        F.expr(f"CASE WHEN is_seed THEN CAST({int(scale)} AS BIGINT) div ns "
+               "ELSE CAST(0 AS BIGINT) END").alias("rank"),
+        "ns",
+    )
+    for _ in range(iters):
+        rside = ranks.select(F.col("node").alias("src"), "rank", "ns")
+        if broadcast_ranks:
+            rside = F.broadcast(rside)
+        contrib = ed.join(rside, "src").select(
+            "dst", F.expr("rank div outdeg").alias("c"), "ns"
+        )
+        incoming = contrib.groupBy("dst", "ns").agg(F.sum("c").alias("inc"))
+        # a node with no in-edges this round simply drops out of `incoming`;
+        # re-anchor on the marked node frame so seeds always restart
+        ranks = (
+            marked.join(
+                incoming.select(F.col("dst").alias("node"), "inc", "ns"), "node", "left"
+            )
+            .crossJoin(F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns2"))))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.expr(
+                        f"CASE WHEN is_seed THEN CAST(3 * {int(scale)} AS BIGINT) div (20 * ns2) "
+                        "ELSE CAST(0 AS BIGINT) END"
+                    )
+                    + F.expr(
+                        f"CAST({_DAMP_NUM} AS BIGINT) * coalesce(inc, CAST(0 AS BIGINT)) div {_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+                F.col("ns2").alias("ns"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def pagerank_personalized_integer_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 6,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank_personalized_integer` — the same
+    unrolled integer CTE chain with the restart mass confined to the seed
+    set and every round re-anchored on the full node frame (so seeds
+    restart even with zero inflow)."""
+    base = f"""
+    e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql})),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    sd AS (SELECT DISTINCT CAST(node AS BIGINT) AS node FROM ({seeds_sql})),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd),
+    mk AS (SELECT n.node, sd.node IS NOT NULL AS is_seed
+           FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+    r0 AS (SELECT node, CASE WHEN is_seed THEN CAST({int(scale)} AS BIGINT) // ns
+                             ELSE CAST(0 AS BIGINT) END AS rank
+           FROM mk, ns)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+    i{t + 1} AS (
+      SELECT ed.dst AS node, SUM(r{t}.rank // ed.outdeg) AS inc
+      FROM ed JOIN r{t} ON r{t}.node = ed.src
+      GROUP BY ed.dst
+    ),
+    r{t + 1} AS (
+      SELECT mk.node,
+             (CASE WHEN mk.is_seed THEN CAST(3 * {int(scale)} AS BIGINT) // (20 * ns.ns)
+                   ELSE CAST(0 AS BIGINT) END)
+             + (CAST({_DAMP_NUM} AS BIGINT) * COALESCE(i{t + 1}.inc, 0)) // {_DAMP_DEN} AS rank
+      FROM mk LEFT JOIN i{t + 1} USING (node) CROSS JOIN ns
+    )""")
+    return "WITH" + ",".join([base] + steps) + f"\n    SELECT node, rank FROM r{iters}"
+
+
 def pagerank_integer_sql(
     edges_sql: str,
     iters: int = 6,

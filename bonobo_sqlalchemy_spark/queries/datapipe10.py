@@ -906,3 +906,76 @@ def z_events_markov_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.row_number().over(W.orderBy(F.col("rank_micro").desc(), "event_type")).cast("bigint"),
     ).orderBy("pos")
+
+
+def _ppr_oracle() -> str:
+    from ..operators.graphalgo import pagerank_personalized_integer_sql
+
+    seeds_sql = "SELECT 2 * c_custkey AS node FROM customer WHERE c_nationkey = 7"
+    pr = pagerank_personalized_integer_sql(_trade_edges_sql(), seeds_sql, iters=6)
+    return f"""
+    WITH ranks AS ({pr})
+    SELECT s.s_name,
+           CAST(r.rank AS BIGINT) AS rank_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, s.s_name) AS BIGINT) AS pos
+    FROM ranks r JOIN supplier s ON r.node = 2 * s.s_suppkey + 1
+    QUALIFY pos <= 15
+    ORDER BY pos
+    """
+
+
+@query(
+    "z_graph_ppr_trade",
+    oracle=_ppr_oracle(),
+    tags=("graph", "scale"),
+)
+def z_graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) over the trade
+    graph, seeded on one nation's customers — the data-selection variant
+    of the centrality prior: rank suppliers by proximity to a trusted
+    seed set rather than by global mass (the same shape as quality-seeded
+    source selection over a document-similarity graph). Top-15 suppliers
+    for nation-7 customers.
+
+    Same integer-exactness contract as `z_graph_pagerank` (micro-unit
+    ranks, floor division, exact 17/20 damping; restart mass confined to
+    seeds, every round re-anchored on the node frame so seeds restart
+    even with zero inflow); VALUE-EXACT via the unrolled personalized CTE
+    chain."""
+    from ..operators.graphalgo import pagerank_personalized_integer
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+                ),
+                F.struct(
+                    (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    seeds = cust.where(F.col("c_nationkey") == 7).select(
+        (2 * F.col("c_custkey")).alias("node")
+    )
+    ranks = pagerank_personalized_integer(edges, seeds, iters=6)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = ranks.join(sup, ranks.node == 2 * sup.s_suppkey + 1).select(
+        "s_name", F.col("rank").alias("rank_micro")
+    )
+    from pyspark.sql import Window as W
+
+    top = joined.orderBy(F.col("rank_micro").desc(), "s_name").limit(15)
+    return top.withColumn(
+        "pos",
+        F.row_number().over(W.orderBy(F.col("rank_micro").desc(), "s_name")).cast("bigint"),
+    ).orderBy("pos")
