@@ -398,6 +398,7 @@ def _emb_lsh_oracle(
     n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
+    block_on_label: bool = True,
 ) -> str:
     """DuckDB mirror of `embedding_near_dup_pairs`: the identical seeded
     hyperplanes are inlined as array literals (repr round-trips the doubles
@@ -422,7 +423,8 @@ def _emb_lsh_oracle(
             FROM dots GROUP BY 1, 2, 3),
     cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
              FROM sig a JOIN sig b
-               ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id),
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+              {"AND a.label = b.label" if block_on_label else ""} AND a.vec_id < b.vec_id),
     j AS (SELECT id1, id2, e1.embedding AS va, e2.embedding AS vb
           FROM cand JOIN e e1 ON id1 = e1.vec_id JOIN e e2 ON id2 = e2.vec_id),
     u2 AS (SELECT id1, id2, unnest(va) AS x, unnest(vb) AS y FROM j),

@@ -979,3 +979,79 @@ def z_graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.row_number().over(W.orderBy(F.col("rank_micro").desc(), "s_name")).cast("bigint"),
     ).orderBy("pos")
+
+
+def _ppr_seed_expand_oracle() -> str:
+    from ..operators.graphalgo import pagerank_personalized_integer_sql
+    from .datapipe import _emb_lsh_oracle
+
+    pairs = _emb_lsh_oracle(threshold=0.15, block_on_label=False)
+    edges_sql = f"""
+      WITH prs AS ({pairs})
+      SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM prs
+    """
+    seeds_sql = "SELECT vec_id AS node FROM embeddings WHERE label = 3"
+    pr = pagerank_personalized_integer_sql(edges_sql, seeds_sql, iters=6)
+    return f"""
+    WITH ranks AS ({pr})
+    SELECT e.vec_id, e.label, CAST(r.rank AS BIGINT) AS rank_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, e.vec_id)
+                AS BIGINT) AS pos
+    FROM ranks r JOIN embeddings e ON e.vec_id = r.node
+    WHERE e.label <> 3 AND r.rank > 0
+    QUALIFY pos <= 20
+    ORDER BY pos
+    """
+
+
+@query(
+    "z_graph_ppr_seed_expand",
+    oracle=_ppr_seed_expand_oracle(),
+    tags=("graph", "similarity", "selection"),
+)
+def z_graph_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEED-SET EXPANSION for data selection: personalized PageRank over
+    the embedding similarity graph, seeded on the label-3 vectors — the
+    semi-supervised \"find more data like my curated set\" selector
+    (curated seed docs -> similarity edges -> walk-with-restart ->
+    highest-proximity unlabeled candidates). Edges are the LSH-blocked
+    near-dup pairs (threshold 0.15, cross-label) symmetrized; top-20
+    non-seed vectors by proximity, with their true labels exposed so the
+    expansion's purity is inspectable.
+
+    Every stage is already value-exact — seeded-hyperplane LSH buckets,
+    rounded-cosine verification, integer PPR — so the composition is too.
+    Scale: candidate volume rides the LSH occupancy contract
+    (auto_bits_per_table in production; bits pinned at 4 here for the
+    static oracle), and the walk costs one broadcast join + one
+    aggregation per round."""
+    from ..operators import dedup as D
+    from ..operators.graphalgo import pagerank_personalized_integer
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(
+        e, threshold=0.15, bits_per_table=4, block_col=None
+    ).select("id1", "id2")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+                F.struct(F.col("id2").alias("src"), F.col("id1").alias("dst")),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst")
+    seeds = e.where(F.col("label") == 3).select(F.col("vec_id").alias("node"))
+    ranks = pagerank_personalized_integer(edges, seeds, iters=6)
+    labeled = ranks.join(e.select("vec_id", "label"), ranks.node == F.col("vec_id"))
+    cand = labeled.where((F.col("label") != 3) & (F.col("rank") > 0)).select(
+        "vec_id", "label", F.col("rank").alias("rank_micro")
+    )
+    from pyspark.sql import Window as W
+
+    top = cand.orderBy(F.col("rank_micro").desc(), "vec_id").limit(20)
+    return top.withColumn(
+        "pos",
+        F.row_number().over(W.orderBy(F.col("rank_micro").desc(), "vec_id")).cast("bigint"),
+    ).orderBy("pos")
