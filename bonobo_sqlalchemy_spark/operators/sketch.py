@@ -128,8 +128,14 @@ def cms_estimate(
         ).alias("p"),
     )
     joined = probes.join(
-        F.broadcast(sketch.select("row", "pos", "cnt")),
-        (F.col("p.row") == F.col("row")) & (F.col("p.pos") == F.col("pos")),
+        F.broadcast(
+            sketch.select(
+                F.col("row").alias("_sk_row"),
+                F.col("pos").alias("_sk_pos"),
+                "cnt",
+            )
+        ),
+        (F.col("p.row") == F.col("_sk_row")) & (F.col("p.pos") == F.col("_sk_pos")),
         "left",
     )
     others = [c for c in keys.columns]

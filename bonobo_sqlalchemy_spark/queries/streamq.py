@@ -479,3 +479,120 @@ def z_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_completion(q)
     return spark.table(name)
+
+
+_SCMS_POS = "CAST(('0x' || substr(md5({r} || '|' || {k}), 1, 8)) AS BIGINT) % 1024"
+
+
+@query(
+    "z_stream_cms_users",
+    oracle=f"""
+    WITH rws AS (SELECT unnest(['0','1','2','3']) AS rr),
+    keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    sk AS (
+      SELECT rr, {_SCMS_POS.format(r='rr', k='k')} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM keys, rws GROUP BY 1, 2
+    ),
+    counts AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS freq FROM keys GROUP BY 1),
+    top AS (
+      SELECT k, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, k) AS rn
+      FROM counts QUALIFY rn <= 20
+    ),
+    est AS (
+      SELECT t.k, t.freq, t.rn, MIN(COALESCE(sk.cnt, 0)) AS est
+      FROM top t CROSS JOIN rws
+      LEFT JOIN sk ON sk.rr = rws.rr
+                  AND sk.pos = {_SCMS_POS.format(r='rws.rr', k='t.k')}
+      GROUP BY 1, 2, 3
+    )
+    SELECT k AS user_key, freq, est, est - freq AS overcount,
+           CAST(rn AS BIGINT) AS pos
+    FROM est ORDER BY pos
+    """,
+    tags=("streaming", "sketch"),
+)
+def z_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-batch streaming Count-Min fold: events replay as SIX
+    mtime-ordered micro-batches (one file per trigger); each batch builds
+    its own 4x1024 CMS distributed and `foreachBatch` integer-adds the
+    bounded counter cells into the running sketch
+    (`streaming/sketches.py::cms_stream_fold`) — the mergeable-summaries
+    property exercised ACROSS micro-batch boundaries, with per-trigger
+    driver transfer bounded by the sketch geometry, never the feed.
+
+    The final sketch estimates the 20 most-active users; VALUE-EXACT
+    because counter linearity makes the six-batch fold identical to one
+    batch build over all events, which the oracle replays (md5-derived
+    positions, integer counters, one-sided overcount included)."""
+    import os
+    import shutil
+
+    from ..cache import artifact_path, ensure_artifact
+    from ..operators.sketch import cms_estimate
+    from ..streaming.sketches import cms_from_cells, cms_stream_fold
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+
+    def _stage(stage_dir: str) -> None:
+        os.makedirs(stage_dir, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("user_key"),
+            (F.col("event_id") % 6).alias("sl"),
+        )
+        for i in range(6):
+            tmp = os.path.join(stage_dir, f"_tmp{i}")
+            (
+                ev.where(F.col("sl") == i)
+                .select("user_key")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stage_dir, f"b{i:02d}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            t_ns = st.st_mtime_ns + i * 10**9
+            os.utime(dst, ns=(t_ns, t_ns))
+            shutil.rmtree(tmp)
+
+    watch = ensure_artifact(
+        artifact_path("scms", f"{src}:{st.st_size}:{st.st_mtime_ns}:slices6"),
+        _stage,
+    )
+    stream = (
+        spark.readStream.schema("user_key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    sink, cells, batches = cms_stream_fold(stream, "user_key", depth=4, width=1024)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    run_to_completion(q)
+    assert len(batches) >= 6, f"expected >= 6 micro-batches, got {len(batches)}"
+    sketch = cms_from_cells(spark, cells, depth=4, width=1024)
+
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("user_key"))
+        .groupBy("user_key")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        counts.orderBy(F.col("freq").desc(), "user_key")
+        .limit(20)
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(W.orderBy(F.col("freq").desc(), "user_key"))
+            .cast("bigint"),
+        )
+    )
+    est = cms_estimate(sketch, top, "user_key")
+    return est.select(
+        "user_key",
+        "freq",
+        "est",
+        (F.col("est") - F.col("freq")).alias("overcount"),
+        "pos",
+    ).orderBy("pos")

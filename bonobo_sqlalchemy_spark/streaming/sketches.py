@@ -504,3 +504,50 @@ def final_sketch(update_log: DataFrame) -> DataFrame:
         .where(F.col("batch_seq") == F.col("__max_seq"))
         .select("shard", "key", "est_count", "max_err")
     )
+
+
+def cms_stream_fold(
+    stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Fold a stream into an accumulated Count-Min sketch via
+    ``foreachBatch``: each micro-batch builds its own CMS DISTRIBUTED
+    (``operators/sketch.py::cms_build`` — one explode + one
+    map-side-combined agg inside the batch), and the driver integer-adds
+    the batch's ≤ depth·width counter cells into the running sketch —
+    ``cms_merge``'s union+sum applied incrementally, exact by counter
+    linearity. The per-batch driver transfer is bounded by the sketch
+    GEOMETRY, never by batch size, so a 100 TB/day feed costs the same
+    ``depth·width`` integers per trigger.
+
+    Returns ``(sink, cells, batches)``: pass ``sink`` to
+    ``writer.foreachBatch``; after the query completes, ``cells`` maps
+    ``(row, pos) -> count`` and ``batches`` lists per-batch cell counts
+    (its length = micro-batches processed)."""
+    from ..operators.sketch import cms_build
+
+    cells: dict[tuple[int, int], int] = {}
+    batches: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = cms_build(batch_df, key_col, depth=depth, width=width).collect()
+        for r in rows:
+            k = (r.row, r.pos)
+            cells[k] = cells.get(k, 0) + r.cnt
+        batches.append(len(rows))
+
+    return sink, cells, batches
+
+
+def cms_from_cells(spark, cells: dict, depth: int, width: int) -> DataFrame:
+    """Materialize an accumulated cell dict back into the sketch-DataFrame
+    shape ``cms_estimate`` consumes."""
+    rows = [
+        (int(r), int(p), int(c), int(depth), int(width))
+        for (r, p), c in sorted(cells.items())
+    ]
+    return spark.createDataFrame(
+        rows, "row int, pos bigint, cnt bigint, depth int, width bigint"
+    )

@@ -80,3 +80,37 @@ def test_cms_probe_plan_broadcasts_sketch(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_stream_fold_equals_batch_build(spark, tmp_path):
+    """Linearity across micro-batches: folding a 3-file replay equals one
+    batch build over all rows, cell for cell."""
+    import os
+
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        cms_from_cells,
+        cms_stream_fold,
+    )
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    all_rows = []
+    for i in range(3):
+        rows = [(f"k{j % 17}",) for j in range(i * 40, (i + 1) * 40)]
+        all_rows += rows
+        df = spark.createDataFrame(rows, "k string").coalesce(1)
+        df.write.parquet(f"{d}/_t{i}")
+        part = next(p for p in os.listdir(f"{d}/_t{i}") if p.endswith(".parquet"))
+        os.rename(f"{d}/_t{i}/{part}", f"{d}/b{i}.parquet")
+        os.utime(f"{d}/b{i}.parquet", ns=(10**15 + i * 10**9, 10**15 + i * 10**9))
+    stream = (
+        spark.readStream.schema("k string").option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    sink, cells, batches = cms_stream_fold(stream, "k", depth=3, width=64)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(batches) == 3
+    folded = cms_from_cells(spark, cells, depth=3, width=64)
+    combined = cms_build(spark.createDataFrame(all_rows, "k string"), "k", depth=3, width=64)
+    as_set = lambda df: {(r.row, r.pos, r.cnt) for r in df.collect()}
+    assert as_set(folded) == as_set(combined)
