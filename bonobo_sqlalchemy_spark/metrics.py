@@ -11,11 +11,17 @@ in-container.
 Access note: ``SparkContext._jsc.sc().statusStore().stageList`` is a
 Scala method with default parameters; py4j requires passing them
 explicitly, which is what :func:`_stage_list` does via the compiler's
-``stageList$default$N`` accessors. The store retains a bounded number of
-stages (``spark.ui.retainedStages``, default 1000), so deltas taken
-around a single query are exact unless that query alone exceeds the
-retention window.
-"""
+``stageList$default$N`` accessors.
+
+Eviction note: the store retains a bounded number of stages
+(``spark.ui.retainedStages``, default 1000) and evicts the OLDEST once
+full. A naive totals-after − totals-before delta therefore goes WRONG
+(even negative) in long sessions, because eviction of pre-existing stages
+shrinks the "after" total. :class:`measure_volumes` instead records the
+max stage id at entry and sums ONLY stages newer than it — old-stage
+eviction can no longer corrupt the delta, and the result is exact unless
+the measured block ALONE creates more stages than the retention window
+(no registered query comes within an order of magnitude of that)."""
 
 from __future__ import annotations
 
@@ -38,38 +44,47 @@ class VolumeTotals:
     input_bytes: int
     output_bytes: int
 
-    def __sub__(self, other: "VolumeTotals") -> "VolumeTotals":
-        return VolumeTotals(
-            self.stages - other.stages,
-            self.shuffle_write_bytes - other.shuffle_write_bytes,
-            self.shuffle_read_bytes - other.shuffle_read_bytes,
-            self.spill_bytes - other.spill_bytes,
-            self.input_bytes - other.input_bytes,
-            self.output_bytes - other.output_bytes,
-        )
 
-
-def volume_totals(spark) -> VolumeTotals:
-    """Cumulative stage-level data volumes for the whole application."""
+def _collect(spark, min_stage_id_exclusive: int) -> tuple[VolumeTotals, int]:
+    """Totals over stages with id > ``min_stage_id_exclusive``, plus the
+    max stage id seen."""
     it = _stage_list(spark).iterator()
     n = w = r = sp = ib = ob = 0
+    max_id = min_stage_id_exclusive
     while it.hasNext():
         s = it.next()
+        sid = s.stageId()
+        if sid > max_id:
+            max_id = sid
+        if sid <= min_stage_id_exclusive:
+            continue
         n += 1
         w += s.shuffleWriteBytes()
         r += s.shuffleReadBytes()
         sp += s.diskBytesSpilled() + s.memoryBytesSpilled()
         ib += s.inputBytes()
         ob += s.outputBytes()
-    return VolumeTotals(n, w, r, sp, ib, ob)
+    return VolumeTotals(n, w, r, sp, ib, ob), max_id
+
+
+def volume_totals(spark) -> VolumeTotals:
+    """Cumulative stage-level data volumes for the RETAINED stages of the
+    application (bounded by ``spark.ui.retainedStages`` — prefer
+    :class:`measure_volumes` deltas for per-block numbers)."""
+    totals, _ = _collect(spark, -1)
+    return totals
 
 
 class measure_volumes:
-    """Context manager: data-volume deltas for the enclosed work.
+    """Context manager: data-volume totals for the enclosed work.
 
     >>> with measure_volumes(spark) as m:
     ...     df.collect()
     >>> m.delta.shuffle_write_bytes
+
+    The delta counts ONLY stages submitted after ``__enter__`` (by stage
+    id), so concurrent history eviction cannot produce negative or
+    inflated numbers.
     """
 
     def __init__(self, spark):
@@ -77,9 +92,9 @@ class measure_volumes:
         self.delta: VolumeTotals | None = None
 
     def __enter__(self):
-        self._before = volume_totals(self._spark)
+        _, self._floor = _collect(self._spark, -1)
         return self
 
     def __exit__(self, *exc):
-        self.delta = volume_totals(self._spark) - self._before
+        self.delta, _ = _collect(self._spark, self._floor)
         return False
