@@ -63,8 +63,20 @@ def pagerank_integer(
     # localCheckpoint idiom) so the k join+agg rounds re-read a
     # materialized edge list instead of re-running the upstream build k
     # times (without this, every round re-joined the source tables —
-    # 0 reused exchanges, ~3x the wall time on the trade graph)
-    ed = e.join(deg, "src").localCheckpoint()  # (src, dst, outdeg)
+    # 0 reused exchanges, ~3x the wall time on the trade graph).
+    # deg is node-cardinality: broadcast it explicitly, or the optimizer's
+    # size estimate flips this to a sort-merge join somewhere past ~100k
+    # nodes and the ENTIRE edge list shuffles for the build (measured 61x
+    # the volume at the sf1.0 decade). Pre-partitioning the materialized
+    # edge list by dst makes every round's groupBy(dst) aggregation
+    # partition-LOCAL: with ranks arriving by broadcast, a round moves
+    # ZERO bytes over the network (measured 38 MB/round -> 0 at sf1.0).
+    # persist (not localCheckpoint) keeps the partitioning visible to the
+    # planner; the cache is released before returning.
+    if broadcast_ranks:
+        ed = e.join(F.broadcast(deg), "src").repartition("dst").persist()
+    else:
+        ed = e.join(deg, "src").localCheckpoint()  # (src, dst, outdeg)
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
@@ -81,6 +93,7 @@ def pagerank_integer(
         F.expr(f"CAST({int(scale)} AS BIGINT) div n").alias("rank"),
         "n",
     )
+    ranks = ranks.localCheckpoint()
     for _ in range(iters):
         # ranks is node-cardinality (orders of magnitude under the edge
         # list); broadcast it so each round costs exactly ONE shuffle (the
@@ -94,6 +107,12 @@ def pagerank_integer(
             "dst", F.expr("rank div outdeg").alias("c"), "n"
         )
         incoming = contrib.groupBy("dst", "n").agg(F.sum("c").alias("inc"))
+        # materialize the (tiny) rank table each round: chaining all k
+        # rounds lazily means every round's broadcast re-executes the
+        # rounds before it — quadratic re-execution that measured 3.9x
+        # the shuffle volume at the sf1.0 decade (SCALING.md). The
+        # checkpoint costs one node-cardinality job per round and makes
+        # per-round work O(E) exactly once.
         ranks = incoming.select(
             F.col("dst").alias("node"),
             (
@@ -101,8 +120,13 @@ def pagerank_integer(
                 + F.expr(f"CAST({_DAMP_NUM} AS BIGINT) * inc div {_DAMP_DEN}")
             ).alias("rank"),
             "n",
-        )
-    return ranks.select("node", "rank")
+        ).localCheckpoint()
+    out = ranks.select("node", "rank")
+    if broadcast_ranks:
+        # the final ranks are checkpoint-materialized; the edge cache is
+        # no longer referenced
+        ed.unpersist(blocking=False)
+    return out
 
 
 def pagerank_personalized_integer(
@@ -134,7 +158,13 @@ def pagerank_personalized_integer(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "src").localCheckpoint()
+    # broadcast deg + dst-partitioned persisted edge list, for the same
+    # reasons as pagerank_integer: the edge list never shuffles for its
+    # own build, and every round's aggregation is partition-local
+    if broadcast_ranks:
+        ed = e.join(F.broadcast(deg), "src").repartition("dst").persist()
+    else:
+        ed = e.join(deg, "src").localCheckpoint()
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
@@ -153,6 +183,8 @@ def pagerank_personalized_integer(
                "ELSE CAST(0 AS BIGINT) END").alias("rank"),
         "ns",
     )
+    ranks = ranks.localCheckpoint()
+    marked = marked.localCheckpoint()  # node frame re-anchors every round
     for _ in range(iters):
         rside = ranks.select(F.col("node").alias("src"), "rank", "ns")
         if broadcast_ranks:
@@ -162,7 +194,9 @@ def pagerank_personalized_integer(
         )
         incoming = contrib.groupBy("dst", "ns").agg(F.sum("c").alias("inc"))
         # a node with no in-edges this round simply drops out of `incoming`;
-        # re-anchor on the marked node frame so seeds always restart
+        # re-anchor on the marked node frame so seeds always restart. The
+        # per-round localCheckpoint (same rationale as pagerank_integer)
+        # keeps per-round work O(E) exactly once.
         ranks = (
             marked.join(
                 incoming.select(F.col("dst").alias("node"), "inc", "ns"), "node", "left"
@@ -182,8 +216,12 @@ def pagerank_personalized_integer(
                 ).alias("rank"),
                 F.col("ns2").alias("ns"),
             )
+            .localCheckpoint()
         )
-    return ranks.select("node", "rank")
+    out = ranks.select("node", "rank")
+    if broadcast_ranks:
+        ed.unpersist(blocking=False)
+    return out
 
 
 def pagerank_personalized_integer_sql(

@@ -58,6 +58,10 @@ NESTED_LOOP_OK = {
     "token count, the unigram LM denominator) — constant broadcast, no "
     "quadratic term; the token→count lookup rides the hot/cold zipf "
     "guard's broadcast+union",
+    "z_graph_pagerank": "1-row broadcast scalar join (graph node count, "
+    "PageRank's 1/n initial rank and damping base) — constant broadcast, "
+    "no quadratic term; every per-round join is a broadcast equi-join on "
+    "src",
 }
 
 
