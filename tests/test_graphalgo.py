@@ -144,3 +144,10 @@ def test_ppr_nonseed_holds_mass_only_through_proximity(spark):
     got = {r.node: r.rank for r in pagerank_personalized_integer(df, sd, iters=8).collect()}
     assert got[10] == 0 and got[11] == 0
     assert got[1] > got[2] > 0
+
+
+def test_pagerank_empty_edges_yields_empty_ranks(spark):
+    """No edges -> no nodes -> empty result (no division-by-zero path is
+    ever evaluated; the scalar n broadcast has zero rows to cross into)."""
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_integer(df, iters=3).count() == 0

@@ -114,3 +114,11 @@ def test_cms_stream_fold_equals_batch_build(spark, tmp_path):
     combined = cms_build(spark.createDataFrame(all_rows, "k string"), "k", depth=3, width=64)
     as_set = lambda df: {(r.row, r.pos, r.cnt) for r in df.collect()}
     assert as_set(folded) == as_set(combined)
+
+
+def test_cms_empty_build_probe_raises_clearly(spark):
+    """An empty sketch carries no geometry; probing it is a caller error
+    with a clear message, not a silent all-zero estimate."""
+    empty = cms_build(_keys(spark, []), "k", depth=4, width=64)
+    with pytest.raises(ValueError, match="empty Count-Min sketch"):
+        cms_estimate(empty, _keys(spark, ["a"]), "k")
