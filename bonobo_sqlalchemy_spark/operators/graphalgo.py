@@ -39,14 +39,20 @@ def pagerank_integer(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_ranks: bool = True,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank: ``(node, rank)`` with ``rank`` the
     exact scaled-integer score after ``iters`` rounds.
 
     ``edges`` is a directed edge list; nodes are everything that appears as
-    a src or dst. Every node must have at least one out-edge (feed
-    symmetrized edges for bipartite/trade graphs — the caller controls
-    dangling-mass policy by construction, not by a hidden redistribution
+    a src or dst, and EVERY node appears in the output every round — a
+    zero-in-degree node (a pure source) holds exactly the base term
+    ``(3*scale) div (20*n)``, matching the textbook recurrence (each round
+    re-anchors on the node frame, the same shape as the personalized
+    variant). Dangling-node policy stays with the CALLER: a node with
+    in-edges but no out-edges keeps its rank yet contributes nothing, so
+    its damped mass leaks each round (feed symmetrized edges, or add
+    self-loops, to conserve mass — there is no hidden redistribution
     step). Initial rank is ``scale div n``; each round is
 
         rank' = (3 * scale) div (20 * n)  +  (17 * incoming) div 20
@@ -54,6 +60,16 @@ def pagerank_integer(
 
     — all BIGINT ops, so the result is identical under any partitioning
     and any aggregation order.
+
+    ``checkpoint_interval`` bounds lazy-chain re-execution: a round whose
+    rank frame is NOT checkpointed gets re-executed once when the next
+    round's broadcast materializes, so interval ``k`` trades ``(k-1)``
+    extra in-memory O(E) passes per block for ``k-1`` fewer checkpoint
+    jobs. Shuffle volume is unchanged either way (the re-executed pass
+    rides the dst-partitioned edge cache + broadcasts). The default (2)
+    halves the per-round job overhead that dominates small inputs;
+    interval 1 is the conservative choice when E is huge and an extra
+    O(E) pass costs more than a job submission.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
@@ -84,43 +100,54 @@ def pagerank_integer(
     )
     # n and the per-round base term are scalars: one tiny agg, crossed in
     # as a broadcast literal-free 1-row frame (the plan-audit-allowlisted
-    # shape used by text_tfidf and friends)
-
-    ranks = nodes.crossJoin(
+    # shape used by text_tfidf and friends). The (node, n) anchor frame is
+    # checkpointed ONCE and re-read every round — it is what keeps
+    # zero-in-degree nodes in the output.
+    anchor = nodes.crossJoin(
         F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
-    ).select(
+    ).localCheckpoint()
+    ranks = anchor.select(
         "node",
         F.expr(f"CAST({int(scale)} AS BIGINT) div n").alias("rank"),
-        "n",
     )
-    ranks = ranks.localCheckpoint()
-    for _ in range(iters):
+    for it in range(iters):
         # ranks is node-cardinality (orders of magnitude under the edge
         # list); broadcast it so each round costs exactly ONE shuffle (the
         # map-side-combined incoming aggregation) and the materialized
         # edge list never moves. For billion-node graphs pass
         # broadcast_ranks=False to fall back to a shuffle join.
-        rside = ranks.select(F.col("node").alias("src"), "rank", "n")
+        rside = ranks.select(F.col("node").alias("src"), "rank")
         if broadcast_ranks:
             rside = F.broadcast(rside)
         contrib = ed.join(rside, "src").select(
-            "dst", F.expr("rank div outdeg").alias("c"), "n"
+            "dst", F.expr("rank div outdeg").alias("c")
         )
-        incoming = contrib.groupBy("dst", "n").agg(F.sum("c").alias("inc"))
-        # materialize the (tiny) rank table each round: chaining all k
-        # rounds lazily means every round's broadcast re-executes the
-        # rounds before it — quadratic re-execution that measured 3.9x
-        # the shuffle volume at the sf1.0 decade (SCALING.md). The
-        # checkpoint costs one node-cardinality job per round and makes
-        # per-round work O(E) exactly once.
-        ranks = incoming.select(
-            F.col("dst").alias("node"),
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        inc_side = incoming.select(F.col("dst").alias("node"), "inc")
+        if broadcast_ranks:
+            # node-cardinality; a broadcast keeps the re-anchor join
+            # map-side so a round still moves zero shuffled bytes
+            inc_side = F.broadcast(inc_side)
+        ranks = anchor.join(inc_side, "node", "left").select(
+            "node",
             (
                 F.expr(f"CAST(3 * {int(scale)} AS BIGINT) div (20 * n)")
-                + F.expr(f"CAST({_DAMP_NUM} AS BIGINT) * inc div {_DAMP_DEN}")
+                + F.expr(
+                    f"CAST({_DAMP_NUM} AS BIGINT) * coalesce(inc, CAST(0 AS BIGINT))"
+                    f" div {_DAMP_DEN}"
+                )
             ).alias("rank"),
-            "n",
-        ).localCheckpoint()
+        )
+        # materialize the (tiny) rank table every checkpoint_interval
+        # rounds: chaining ALL k rounds lazily means every round's
+        # broadcast re-executes the rounds before it — quadratic
+        # re-execution that measured 3.9x the shuffle volume at the sf1.0
+        # decade (SCALING.md). Checkpointing every round makes per-round
+        # work O(E) exactly once but costs one job per round, which is
+        # ~80% of the sf0.1 bench row; the interval bounds re-execution
+        # at (interval-1) extra O(E) passes per block instead.
+        if (it + 1) % max(1, checkpoint_interval) == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     out = ranks.select("node", "rank")
     if broadcast_ranks:
         # the final ranks are checkpoint-materialized; the edge cache is
@@ -138,6 +165,7 @@ def pagerank_personalized_integer(
     dst_col: str = "dst",
     seed_col: str = "node",
     broadcast_ranks: bool = True,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart to a SEED SET) under
     the same integer-exactness contract as :func:`pagerank_integer` —
@@ -185,7 +213,7 @@ def pagerank_personalized_integer(
     )
     ranks = ranks.localCheckpoint()
     marked = marked.localCheckpoint()  # node frame re-anchors every round
-    for _ in range(iters):
+    for it in range(iters):
         rside = ranks.select(F.col("node").alias("src"), "rank", "ns")
         if broadcast_ranks:
             rside = F.broadcast(rside)
@@ -193,14 +221,16 @@ def pagerank_personalized_integer(
             "dst", F.expr("rank div outdeg").alias("c"), "ns"
         )
         incoming = contrib.groupBy("dst", "ns").agg(F.sum("c").alias("inc"))
+        inc_side = incoming.select(F.col("dst").alias("node"), "inc", "ns")
+        if broadcast_ranks:
+            inc_side = F.broadcast(inc_side)
         # a node with no in-edges this round simply drops out of `incoming`;
         # re-anchor on the marked node frame so seeds always restart. The
-        # per-round localCheckpoint (same rationale as pagerank_integer)
-        # keeps per-round work O(E) exactly once.
+        # checkpoint cadence (same rationale + trade as pagerank_integer)
+        # bounds lazy-chain re-execution at (interval-1) extra O(E) passes
+        # per block.
         ranks = (
-            marked.join(
-                incoming.select(F.col("dst").alias("node"), "inc", "ns"), "node", "left"
-            )
+            marked.join(inc_side, "node", "left")
             .crossJoin(F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns2"))))
             .select(
                 "node",
@@ -216,8 +246,9 @@ def pagerank_personalized_integer(
                 ).alias("rank"),
                 F.col("ns2").alias("ns"),
             )
-            .localCheckpoint()
         )
+        if (it + 1) % max(1, checkpoint_interval) == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     out = ranks.select("node", "rank")
     if broadcast_ranks:
         ed.unpersist(blocking=False)
@@ -272,7 +303,9 @@ def pagerank_integer_sql(
     """DuckDB twin of :func:`pagerank_integer` as an unrolled CTE chain —
     ``edges_sql`` must yield ``(src, dst)``. Because every operation is
     integer, the GROUP BY sums need no ordering discipline; the chain is
-    bit-exact against the Spark plan by construction."""
+    bit-exact against the Spark plan by construction. Every round
+    re-anchors on the full node frame (LEFT JOIN + COALESCE), matching the
+    operator: zero-in-degree nodes hold exactly the base term."""
     base = f"""
     e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql})),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
@@ -283,11 +316,15 @@ def pagerank_integer_sql(
     steps = []
     for t in range(iters):
         steps.append(f"""
+    i{t + 1} AS (
+      SELECT ed.dst AS node, SUM(r{t}.rank // ed.outdeg) AS inc
+      FROM ed JOIN r{t} ON r{t}.node = ed.src
+      GROUP BY ed.dst
+    ),
     r{t + 1} AS (
-      SELECT ed.dst AS node,
+      SELECT nodes.node,
              (CAST(3 * {int(scale)} AS BIGINT) // (20 * nn.n))
-             + (CAST({_DAMP_NUM} AS BIGINT) * SUM(r{t}.rank // ed.outdeg)) // {_DAMP_DEN} AS rank
-      FROM ed JOIN r{t} ON r{t}.node = ed.src CROSS JOIN nn
-      GROUP BY ed.dst, nn.n
+             + (CAST({_DAMP_NUM} AS BIGINT) * COALESCE(i{t + 1}.inc, 0)) // {_DAMP_DEN} AS rank
+      FROM nodes LEFT JOIN i{t + 1} USING (node) CROSS JOIN nn
     )""")
     return "WITH" + ",".join([base] + steps) + f"\n    SELECT node, rank FROM r{iters}"

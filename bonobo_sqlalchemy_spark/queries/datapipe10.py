@@ -882,7 +882,17 @@ def z_events_markov_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Markov-chain view of \"which event type do journeys concentrate
     in?\". Node ids are md5-derived from the type string (engine-portable,
     no driver-side vocabulary collect); VALUE-EXACT end to end — integer
-    micro-unit ranks, deterministic tie-broken positions."""
+    micro-unit ranks, deterministic tie-broken positions.
+
+    Dangling semantics (pinned, r13 ADVICE): this is a RAW directed
+    transition graph, so a terminal event type (appears as dst, never as
+    src) keeps its rank in the output but re-emits nothing — its damped
+    mass leaks each round per `pagerank_integer`'s caller-owned dangling
+    policy, making the result a LEAKY damped stationary distribution (the
+    usual uniform-teleport redistribution is deliberately not applied). A
+    source-only type holds exactly the base term every round (the r14
+    re-anchored node contract). Both engines replay the identical
+    recurrence, so the leak is bit-consistent."""
     from ..operators.graphalgo import pagerank_integer
     from pyspark.sql import Window as W
 
