@@ -31,8 +31,26 @@ from dataclasses import dataclass
 def _stage_list(spark):
     core = spark.sparkContext._jsc.sc().statusStore()
     statuses = spark._jvm.java.util.ArrayList()
-    args = [getattr(core, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
-    return core.stageList(statuses, *args)
+    # Probe the compiler-synthesized default accessors dynamically instead
+    # of hardcoding one Scala signature: a Spark upgrade that adds/removes
+    # a default parameter would otherwise break all volume capture with an
+    # opaque py4j error (r13 ADVICE). getattr on a missing synthetic
+    # method raises py4j.Py4JError only at CALL time, so probe by calling.
+    args = []
+    for i in range(2, 12):
+        try:
+            args.append(getattr(core, f"stageList$default${i}")())
+        except Exception:
+            break
+    try:
+        return core.stageList(statuses, *args)
+    except Exception as exc:  # pragma: no cover - version-dependent
+        raise RuntimeError(
+            "unsupported Spark version: AppStatusStore.stageList signature "
+            f"not recognized ({len(args)} default params probed) — volume "
+            "capture (metrics.measure_volumes / scaling_report data "
+            "movement) is unavailable on this build"
+        ) from exc
 
 
 @dataclass(frozen=True)

@@ -123,7 +123,13 @@ def pca_power_train(
     """
     import numpy as np
 
-    d = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError(
+            "pca_power_train: input DataFrame is empty — cannot infer the "
+            "vector dimension or train a basis on zero rows"
+        )
+    d = len(head[0])
 
     def stats(batches):
         import pandas as pd
@@ -172,6 +178,18 @@ def pca_power_train(
         for _ in range(iters):
             w = [_seq(c[i][j] * v[j] for j in range(d)) for i in range(d)]
             nrm = math.sqrt(_seq(w[i] * w[i] for i in range(d)))
+            if nrm == 0.0:
+                # rank-deficient input: the deflated covariance annihilated
+                # the start vector, so the remaining components do not
+                # exist. Raise rather than divide — propagating NaN/inf
+                # would silently poison the basis (r13 ADVICE). No oracled
+                # fixture can reach this branch (it would have NaN'd), so
+                # the cross-engine recurrence is unchanged where defined.
+                raise ValueError(
+                    f"pca_power_train: covariance rank < k after "
+                    f"{len(comps)} components — lower k or feed "
+                    "higher-rank data"
+                )
             v = [w[i] / nrm for i in range(d)]
         for i in range(d):
             if abs(v[i]) > 1e-12:

@@ -236,6 +236,13 @@ def main() -> None:
             bstr = f"{beta:.2f}" + (" ⚠" if beta > 1.3 else "")
             if beta > 1.3:
                 flagged.append((name + " [shuffle]", beta))
+        elif top_lo == 0 and top_hi is not None and top_hi > 10_000_000:
+            # 0 bytes at the lower decade -> a large volume at the upper
+            # decade has no finite beta but is exactly the blow-up this
+            # section exists to catch (r13 ADVICE): flag it explicitly
+            # instead of hiding it behind '—'. Threshold 10 MB absolute.
+            bstr = f"0 → {top_hi / 1e6:.0f} MB ⚠"
+            flagged.append((name + " [shuffle 0→MB]", top_hi / 1e6))
         else:
             bstr = "— (≈0 shuffle)" if (top_hi is not None and top_hi == 0) else "—"
         row = f"| `{name}` | {mb(lo_b)} | {mb(hi_b)} |"
