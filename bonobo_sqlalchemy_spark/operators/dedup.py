@@ -356,33 +356,57 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
+def auto_simhash_blocks(
+    n_rows: int,
+    max_hamming: int,
+    target_occupancy: int = 160,
+    max_extra: int = 4,
+) -> int:
+    """Occupancy-targeting block count for :func:`simhash_pairs` banding.
+
+    With the signature split into ``k`` blocks and candidate keys built
+    from every ``(k - d)``-subset of blocks (``d = max_hamming``), the
+    guaranteed key width is ``(k - d) * (64 // k)`` bits, so expected
+    per-key bucket load is ``~ n / 2^width``. Pick the SMALLEST ``k`` in
+    ``[d + 1, d + 1 + max_extra]`` whose width reaches
+    ``log2(n / target_occupancy)`` — candidate volume then stays
+    ``~ C(k, d) * n * target`` (linear in n) instead of the fixed-``k``
+    ``C(k, d) * n^2 / 2^width`` quadratic. This is the probe-count /
+    table-count trade of Manku, Jain & Das Sarma (WWW'07 §3) — the
+    pigeonhole guarantee (zero false negatives at hamming <= d) holds at
+    EVERY ``k``, so the knob moves cost, never recall.
+
+    ``max_extra`` caps the combinatorial key count ``C(k, d)`` (k = d+5
+    with d = 8 is already 715 keys); past the cap the sizing note in
+    SCALING.md applies — raise ``target_occupancy`` or verify-partition
+    the residual hot buckets."""
+    import math
+
+    d = max_hamming
+    k = d + 1
+    if n_rows > 0:
+        need = math.log2(max(1.0, n_rows / target_occupancy))
+        while (k - d) * (64 // k) < need and k < d + 1 + max_extra and 64 // (k + 1) >= 1:
+            k += 1
+    return k
+
+
+def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_col: str | None = "lang",
-    max_hamming: int = 12,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sketch, hamming <= t, within a block.
+    """64-bit SimHash sketch per row: ``(id, blk, sig)``.
 
-    Candidate generation uses bit-band blocking instead of an all-pairs
-    join: the 64 signature bits split into ``max_hamming + 1`` bands, so by
-    pigeonhole any pair within ``max_hamming`` differing bits agrees on at
-    least one whole band — zero false negatives, and candidates shuffle on
-    band values instead of exploding quadratically per block. (On a corpus
-    where near-everything is near-duplicate — like the small-vocab test
-    fixture — banding degenerates to all pairs plus band overhead; its win
-    is on realistic corpora where similar pairs are sparse.)
-    """
-    # SimHash via explode + 64 codegen'd SUM aggregates (per-bit votes) —
-    # same rationale as the MinHash path: interpreted array lambdas are
-    # ~100x slower than whole-stage-codegen hash aggregation.
-    #
-    # The 64 token-hash bits are md5-derived (two 8-hex-char halves -> two
-    # 32-bit ints, composed hi<<32 | lo) instead of xxhash64: md5 is
-    # bit-identical in DuckDB, so the whole sketch — votes, signature,
-    # bit-band blocking, hamming distances — has an exact SQL oracle (the
-    # repo's hash-determinism policy, operators/sampling.py).
+    Computed via explode + 64 codegen'd SUM aggregates (per-bit majority
+    votes) — same rationale as the MinHash path: interpreted array lambdas
+    are ~100x slower than whole-stage-codegen hash aggregation. The 64
+    token-hash bits are md5-derived (two 8-hex-char halves -> two 32-bit
+    ints, composed hi<<32 | lo) instead of xxhash64: md5 is bit-identical
+    in DuckDB, so the whole sketch — votes, signature, banding, hamming
+    distances — has an exact SQL oracle (the repo's hash-determinism
+    policy, operators/sampling.py)."""
     hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
     ex = df.select(
@@ -408,27 +432,85 @@ def simhash_pairs(
         sig_expr = term if sig_expr is None else sig_expr + term
     # Both self-join sides read this one aggregate; its exchange is reused
     # (AQE), so no checkpoint barrier is needed for a 1-row-per-doc frame.
-    base = votes.select("id", "blk", sig_expr.alias("sig"))
+    return votes.select("id", "blk", sig_expr.alias("sig"))
 
-    # Bit-band blocking: n_bands = max_hamming + 1 contiguous bit ranges.
-    n_bands = max_hamming + 1
-    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    def band_val(sig, i):
+def simhash_buckets(
+    base: DataFrame, max_hamming: int, n_blocks: int
+) -> DataFrame:
+    """Explode a ``(id, blk, sig)`` signature frame into candidate keys:
+    one ``(id, blk, sig, bidx, bval)`` row per ``(n_blocks - max_hamming)``
+    -subset of contiguous bit-blocks (Manku/Jain/Das Sarma block
+    combinations; ``n_blocks = max_hamming + 1`` is classic single-block
+    banding as the special case). Exposed separately so the scaling audit
+    can measure bucket occupancy / candidate volume per ``n_blocks``."""
+    k = max(max_hamming + 1, min(n_blocks, 64))
+    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+
+    def block_val(sig, i):
         return F.shiftright(sig, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    import itertools
+
+    combos = list(itertools.combinations(range(k), k - max_hamming))
+
+    def key_val(sig, combo):
+        acc = block_val(sig, combo[0])
+        for b in combo[1:]:
+            acc = F.shiftleft(acc, widths[b]).bitwiseOR(block_val(sig, b))
+        return acc
 
     bands = F.array(
         *[
             F.struct(
-                F.lit(i).alias("bidx"), band_val(F.col("sig"), i).alias("bval")
+                F.lit(ci).alias("bidx"), key_val(F.col("sig"), combo).alias("bval")
             )
-            for i in range(n_bands)
+            for ci, combo in enumerate(combos)
         ]
     )
-    buckets = base.select(
+    return base.select(
         "id", "blk", "sig", F.explode(bands).alias("band")
     ).select("id", "blk", "sig", F.col("band.bidx").alias("bidx"), F.col("band.bval").alias("bval"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    max_hamming: int = 12,
+    n_blocks: int | None = None,
+    target_occupancy: int = 160,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sketch, hamming <= t, within a block.
+
+    Candidate generation splits the 64 signature bits into ``n_blocks``
+    bit-blocks and keys candidates on every ``(n_blocks - max_hamming)``
+    -subset of blocks (concatenated block values): by pigeonhole, a pair
+    within ``max_hamming`` differing bits leaves at least that many blocks
+    untouched, so it agrees on at least one whole key — ZERO false
+    negatives at any ``n_blocks``, and candidates shuffle on key values
+    instead of exploding quadratically per block. ``n_blocks =
+    max_hamming + 1`` is classic contiguous banding (keys are single
+    blocks); larger values WIDEN the keys (more, sharper tables — the
+    Manku-style probe/table trade), which is what keeps candidate volume
+    linear as the corpus grows. The DEFAULT (``n_blocks=None``) spends one
+    cheap count to pick the occupancy-targeting value
+    (:func:`auto_simhash_blocks`); the measured sweep is in SCALING.md's
+    simhash band-width appendix. (On a corpus where near-everything is
+    near-duplicate — like the small-vocab test fixture — any banding
+    degenerates to all pairs plus key overhead; its win is on realistic
+    corpora where similar pairs are sparse.) Because the final hamming
+    verify is exact and the guarantee is exact, the OUTPUT is
+    banding-independent — ``n_blocks`` moves cost, never values.
+    """
+    if n_blocks is None:
+        n_blocks = auto_simhash_blocks(
+            df.count(), max_hamming, target_occupancy=target_occupancy
+        )
+    base = simhash_signatures(df, text_col=text_col, id_col=id_col, block_col=block_col)
+    buckets = simhash_buckets(base, max_hamming, n_blocks)
     # shuffle_hash keeps the self-join symmetric: a broadcast build side
     # would re-run the whole 64-aggregate votes pipeline to materialize the
     # broadcast (no exchange sharing with the probe side) — measured 1.4x

@@ -117,6 +117,24 @@ def test_simhash_close_pairs_have_similar_text(docs):
         assert r.id1 < r.id2
 
 
+def test_simhash_banding_choice_never_changes_pairs(docs):
+    """The block-combination knob (r14, Manku-style) moves COST only: the
+    pigeonhole guarantee is exact at every n_blocks and the hamming verify
+    is exact, so classic banding (k = d+1), wider keys, and the auto
+    default all emit the identical pair set — which is also why the static
+    DuckDB oracle needs no banding mirror."""
+    def pairs(**kw):
+        return {
+            (r.id1, r.id2, r.hamming)
+            for r in D.simhash_pairs(docs, max_hamming=8, **kw).collect()
+        }
+
+    classic = pairs(n_blocks=9)
+    assert classic  # non-degenerate fixture
+    assert pairs(n_blocks=11) == classic
+    assert pairs() == classic  # auto default
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, embs):
     queries = embs.where(F.col("vec_id") < 8)
     exact = {

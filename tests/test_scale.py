@@ -299,6 +299,27 @@ def test_auto_bits_per_table_hits_target_occupancy():
     assert auto_bits_per_table(0) == 4
 
 
+def test_auto_simhash_blocks_sizing_rule():
+    """The r14 occupancy rule: smallest k in [d+1, d+5] whose guaranteed
+    key width (k-d)*floor(64/k) reaches log2(n/160). Pinned at the
+    measured SCALING-appendix points plus the floor/cap edges."""
+    from bonobo_sqlalchemy_spark.operators.dedup import auto_simhash_blocks
+
+    d = 8
+    assert auto_simhash_blocks(0, d) == 9  # empty -> floor
+    assert auto_simhash_blocks(500, d) == 9  # driver fixtures stay classic
+    assert auto_simhash_blocks(5_000, d) == 9
+    assert auto_simhash_blocks(50_000, d) == 10  # sf1.0 decade
+    assert auto_simhash_blocks(1_000_000, d) == 11
+    assert auto_simhash_blocks(10**9, d) == 13  # capped at d+5
+    # width must actually meet the occupancy bound where uncapped
+    for n in (50_000, 1_000_000):
+        k = auto_simhash_blocks(n, d)
+        import math
+
+        assert (k - d) * (64 // k) >= math.log2(n / 160)
+
+
 def test_embedding_near_dup_auto_bits_default_engages(spark):
     """bits_per_table=None (the default) routes through the auto sizing
     and still finds planted twins on a small corpus (floor bits)."""
