@@ -438,11 +438,97 @@ def _emb_lsh_oracle(
     """
 
 
+def _emb_lsh_auto_oracle(
+    threshold: float = 0.4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    max_bits: int = 8,
+    block_on_label: bool = True,
+) -> str:
+    """DuckDB mirror of `embedding_near_dup_pairs` with the AUTO
+    (occupancy-targeting) signature width — the production default. The
+    bits value is a scalar subquery replaying `auto_bits_per_table`
+    (max(4, ceil(log2(n/160))); LOG2/CEIL are correctly-rounded doubles in
+    both engines, so the integer agrees bit-for-bit), and the plane set is
+    ONE inlined prefix of the seeded LCG stream (`seeded_planes` is
+    sequential, so planes for any bits <= max_bits are a prefix of the
+    max_bits*n_tables list; plane (t, j) = stream index t*bits + j). Past
+    n = 160 * 2^max_bits (40,960 vectors at the default) the inline set
+    under-covers, so the oracle ERRORS rather than silently diverging —
+    raise max_bits to extend."""
+    from ..functions import vectors as V
+
+    planes = V.seeded_planes(max_bits * n_tables, dim, seed)
+    values = ",\n".join(
+        f"({pi}, [{', '.join(repr(w) for w in row)}])" for pi, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pi, w) AS (VALUES {values}),
+    nb AS (
+      SELECT CASE WHEN b > {max_bits}
+                  THEN CAST(error('auto-bits oracle: corpus needs bits > {max_bits}; raise max_bits') AS INT)
+                  ELSE b END AS bits
+      FROM (SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1.0, count(*) / 160.0))) AS INT)) AS b
+            FROM embeddings)
+    ),
+    pm AS (
+      SELECT p.pi // nb.bits AS tbl, p.pi % nb.bits AS bit, p.w
+      FROM planes p, nb WHERE p.pi < {n_tables} * nb.bits
+    ),
+    e AS (SELECT vec_id, label, embedding FROM embeddings),
+    u AS (SELECT vec_id, label, tbl, bit, unnest(embedding) AS x, unnest(w) AS y FROM e, pm),
+    dots AS (SELECT vec_id, label, tbl, bit, SUM(CAST(x AS DOUBLE) * y) AS d FROM u GROUP BY 1, 2, 3, 4),
+    sig AS (SELECT vec_id, label, tbl,
+                   string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS bucket
+            FROM dots GROUP BY 1, 2, 3),
+    cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+             FROM sig a JOIN sig b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+              {"AND a.label = b.label" if block_on_label else ""} AND a.vec_id < b.vec_id),
+    j AS (SELECT id1, id2, e1.embedding AS va, e2.embedding AS vb
+          FROM cand JOIN e e1 ON id1 = e1.vec_id JOIN e e2 ON id2 = e2.vec_id),
+    u2 AS (SELECT id1, id2, unnest(va) AS x, unnest(vb) AS y FROM j),
+    p2 AS (SELECT id1, id2,
+                  SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                  SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+           FROM u2 GROUP BY 1, 2)
+    SELECT id1, id2, round(dot / sqrt(na * nb2), 6) AS cosine
+    FROM p2 WHERE round(dot / sqrt(na * nb2), 6) >= {threshold}
+    """
+
+
+@query(
+    "z_dedup_embedding_auto",
+    oracle=_emb_lsh_auto_oracle(),
+    tags=("dedup", "similarity", "scale"),
+    bench=True,
+)
+def z_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs under the PRODUCTION default: hyperplane-LSH
+    with the occupancy-targeting auto signature width
+    (`operators/dedup.py::auto_bits_per_table` — one cheap count, then
+    `max(4, ceil(log2(N/160)))` bits per table), exact-cosine verified.
+    This is the bench twin the round-13 verdict asked for: the pinned
+    `dedup_embedding_cosine` fixture (bits=4, kept registry-only for its
+    static oracle) measures a plan whose shuffle volume is quadratic at
+    fixed bits, while THIS row measures the plan a deployment actually
+    runs — constant expected bucket occupancy, so candidate volume and
+    shuffle stay linear in the corpus (bits 4 at the <=2k driver SFs,
+    bits 7 at the 20k-vector sf1.0 decade). VALUE-EXACT: the oracle
+    resolves the same bits from the same count via a scalar subquery and
+    indexes the same seeded-LCG plane prefix."""
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=_emb_lsh_oracle(),
     tags=("dedup", "similarity"),
-    bench=True,
+    bench=False,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4): multi-table hyperplane-LSH
@@ -452,7 +538,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bits_per_table`` pinned to 4 (NOT the auto-occupancy default) so the
     static SQL oracle is deterministic at every scale factor; production
     callers should leave the default, which auto-scales bits to the corpus
-    (``operators/dedup.py::auto_bits_per_table``)."""
+    (``operators/dedup.py::auto_bits_per_table``). REGISTRY-ONLY since
+    round 14: the pinned-bits plan's shuffle volume is quadratic by
+    construction (measured beta 2.03), so the bench slot moved to
+    `z_dedup_embedding_auto`, which measures the production default."""
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4, bits_per_table=4
     )
