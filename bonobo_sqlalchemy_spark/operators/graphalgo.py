@@ -74,25 +74,34 @@ def pagerank_integer(
     e = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # the edge set is loop-invariant: materialize it ONCE (the repo's
-    # localCheckpoint idiom) so the k join+agg rounds re-read a
-    # materialized edge list instead of re-running the upstream build k
-    # times (without this, every round re-joined the source tables —
-    # 0 reused exchanges, ~3x the wall time on the trade graph).
-    # deg is node-cardinality: broadcast it explicitly, or the optimizer's
-    # size estimate flips this to a sort-merge join somewhere past ~100k
-    # nodes and the ENTIRE edge list shuffles for the build (measured 61x
-    # the volume at the sf1.0 decade). Pre-partitioning the materialized
-    # edge list by dst makes every round's groupBy(dst) aggregation
-    # partition-LOCAL: with ranks arriving by broadcast, a round moves
-    # ZERO bytes over the network (measured 38 MB/round -> 0 at sf1.0).
-    # persist (not localCheckpoint) keeps the partitioning visible to the
-    # planner; the cache is released before returning.
+    # the edge set is loop-invariant: materialize it ONCE so the k
+    # join+agg rounds re-read a materialized edge list instead of
+    # re-running the upstream build k times (without this, every round
+    # re-joined the source tables — 0 reused exchanges, ~3x the wall time
+    # on the trade graph). The cache is the BARE (src, dst) list:
+    # attaching outdeg to the edges would force the upstream subtree to
+    # execute twice (once aggregated for the degree table, once for the
+    # cache itself — measured 1.7s of the 4.5s sf0.1 bench row), and
+    # outdeg is a per-SOURCE property anyway, so it rides the
+    # node-cardinality broadcast rank side below instead of E rows here.
+    # Pre-partitioning the cache by dst makes every round's groupBy(dst)
+    # aggregation partition-LOCAL: with ranks arriving by broadcast, a
+    # round moves ZERO bytes over the network (measured 38 MB/round -> 0
+    # at sf1.0). persist (not localCheckpoint) keeps the partitioning
+    # visible to the planner; the cache is released before returning.
     if broadcast_ranks:
-        ed = e.join(F.broadcast(deg), "src").repartition("dst").persist()
+        ed = e.repartition("dst").persist()
     else:
-        ed = e.join(deg, "src").localCheckpoint()  # (src, dst, outdeg)
+        ed = e.localCheckpoint()  # (src, dst)
+    # degree table computed FROM the cache (one cached pass, never the
+    # upstream subtree); node-cardinality, checkpointed once, re-read
+    # every round on the rank side.
+    deg = (
+        ed.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .select(F.col("src").alias("node"), "outdeg")
+        .localCheckpoint()
+    )
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
@@ -100,34 +109,45 @@ def pagerank_integer(
     )
     # n and the per-round base term are scalars: one tiny agg, crossed in
     # as a broadcast literal-free 1-row frame (the plan-audit-allowlisted
-    # shape used by text_tfidf and friends). The (node, n) anchor frame is
-    # checkpointed ONCE and re-read every round — it is what keeps
-    # zero-in-degree nodes in the output.
-    anchor = nodes.crossJoin(
-        F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
-    ).localCheckpoint()
+    # shape used by text_tfidf and friends). The (node, n, outdeg) anchor
+    # frame is checkpointed ONCE and re-read every round — it keeps
+    # zero-in-degree nodes in the output, and carrying outdeg as an
+    # anchor COLUMN (null for sinks) means the per-round contribution
+    # needs no extra node-side join (a per-round ranks x deg join planned
+    # as sort-merge and measured +40% on the sf0.1 bench row).
+    # repartition("node"): the incoming aggregation below comes out of
+    # groupBy(dst) hash-partitioned on the node key with the same
+    # partition count, so the per-round re-anchor left join is exchange-
+    # free BOTH sides (co-partitioned) — no per-round broadcast build job
+    # and zero shuffled bytes, measured against both alternatives.
+    anchor = (
+        nodes.join(F.broadcast(deg), "node", "left")
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n"))))
+        .repartition("node")
+        .localCheckpoint()
+    )
     ranks = anchor.select(
         "node",
         F.expr(f"CAST({int(scale)} AS BIGINT) div n").alias("rank"),
+        "outdeg",
     )
     for it in range(iters):
         # ranks is node-cardinality (orders of magnitude under the edge
-        # list); broadcast it so each round costs exactly ONE shuffle (the
-        # map-side-combined incoming aggregation) and the materialized
-        # edge list never moves. For billion-node graphs pass
-        # broadcast_ranks=False to fall back to a shuffle join.
-        rside = ranks.select(F.col("node").alias("src"), "rank")
+        # list); pre-divide by the carried outdeg and broadcast, so each
+        # round is a map-side edge join + a partition-local aggregation
+        # and the materialized edge list never moves. For billion-node
+        # graphs pass broadcast_ranks=False to fall back to a shuffle
+        # join.
+        rside = ranks.where(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("src"), F.expr("rank div outdeg").alias("c")
+        )
         if broadcast_ranks:
             rside = F.broadcast(rside)
-        contrib = ed.join(rside, "src").select(
-            "dst", F.expr("rank div outdeg").alias("c")
-        )
+        contrib = ed.join(rside, "src").select("dst", "c")
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        # co-partitioned with anchor (both HashPartitioning(node, P)):
+        # the left join plans with no exchange and no broadcast build
         inc_side = incoming.select(F.col("dst").alias("node"), "inc")
-        if broadcast_ranks:
-            # node-cardinality; a broadcast keeps the re-anchor join
-            # map-side so a round still moves zero shuffled bytes
-            inc_side = F.broadcast(inc_side)
         ranks = anchor.join(inc_side, "node", "left").select(
             "node",
             (
@@ -137,6 +157,7 @@ def pagerank_integer(
                     f" div {_DAMP_DEN}"
                 )
             ).alias("rank"),
+            "outdeg",
         )
         # materialize the (tiny) rank table every checkpoint_interval
         # rounds: chaining ALL k rounds lazily means every round's
@@ -185,23 +206,38 @@ def pagerank_personalized_integer(
     e = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # broadcast deg + dst-partitioned persisted edge list, for the same
-    # reasons as pagerank_integer: the edge list never shuffles for its
-    # own build, and every round's aggregation is partition-local
+    # bare dst-partitioned edge cache + degree table derived FROM the
+    # cache, for the same reasons as pagerank_integer: the upstream edge
+    # build executes exactly once, the edge list never shuffles after its
+    # build, and every round's aggregation is partition-local
     if broadcast_ranks:
-        ed = e.join(F.broadcast(deg), "src").repartition("dst").persist()
+        ed = e.repartition("dst").persist()
     else:
-        ed = e.join(deg, "src").localCheckpoint()
+        ed = e.localCheckpoint()
+    deg = (
+        ed.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .select(F.col("src").alias("node"), "outdeg")
+        .localCheckpoint()
+    )
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
         .distinct()
     )
     sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
-    marked = nodes.join(
-        F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
-    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    # the marked node frame carries outdeg (null for sinks) for the same
+    # reason as pagerank_integer's anchor: the per-round contribution
+    # pre-divides node-side with no extra join
+    marked = (
+        nodes.join(
+            F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
+        )
+        .join(F.broadcast(deg), "node", "left")
+        .select(
+            "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"), "outdeg"
+        )
+    )
     ranks = marked.crossJoin(
         F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns")))
     ).select(
@@ -210,20 +246,23 @@ def pagerank_personalized_integer(
         F.expr(f"CASE WHEN is_seed THEN CAST({int(scale)} AS BIGINT) div ns "
                "ELSE CAST(0 AS BIGINT) END").alias("rank"),
         "ns",
+        "outdeg",
     )
-    ranks = ranks.localCheckpoint()
-    marked = marked.localCheckpoint()  # node frame re-anchors every round
+    # repartition("node") co-partitions the marked frame with the
+    # per-round incoming aggregation (same rationale as pagerank_integer's
+    # anchor): the re-anchor join plans exchange-free
+    marked = marked.repartition("node").localCheckpoint()
+    ranks = ranks.repartition("node").localCheckpoint()
     for it in range(iters):
-        rside = ranks.select(F.col("node").alias("src"), "rank", "ns")
+        rside = ranks.where(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("src"), F.expr("rank div outdeg").alias("c")
+        )
         if broadcast_ranks:
             rside = F.broadcast(rside)
-        contrib = ed.join(rside, "src").select(
-            "dst", F.expr("rank div outdeg").alias("c"), "ns"
-        )
-        incoming = contrib.groupBy("dst", "ns").agg(F.sum("c").alias("inc"))
-        inc_side = incoming.select(F.col("dst").alias("node"), "inc", "ns")
-        if broadcast_ranks:
-            inc_side = F.broadcast(inc_side)
+        contrib = ed.join(rside, "src").select("dst", "c")
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        # co-partitioned with marked on the node key: exchange-free join
+        inc_side = incoming.select(F.col("dst").alias("node"), "inc")
         # a node with no in-edges this round simply drops out of `incoming`;
         # re-anchor on the marked node frame so seeds always restart. The
         # checkpoint cadence (same rationale + trade as pagerank_integer)
@@ -245,6 +284,7 @@ def pagerank_personalized_integer(
                     )
                 ).alias("rank"),
                 F.col("ns2").alias("ns"),
+                "outdeg",
             )
         )
         if (it + 1) % max(1, checkpoint_interval) == 0 or it == iters - 1:

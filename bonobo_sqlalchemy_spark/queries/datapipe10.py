@@ -1020,6 +1020,7 @@ def _ppr_seed_expand_oracle() -> str:
     "z_graph_ppr_seed_expand",
     oracle=_ppr_seed_expand_oracle(),
     tags=("graph", "similarity", "selection"),
+    bench=True,
 )
 def z_graph_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEED-SET EXPANSION for data selection: personalized PageRank over
