@@ -993,9 +993,9 @@ def z_graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ppr_seed_expand_oracle() -> str:
     from ..operators.graphalgo import pagerank_personalized_integer_sql
-    from .datapipe import _emb_lsh_oracle
+    from .datapipe import _emb_lsh_auto_oracle
 
-    pairs = _emb_lsh_oracle(threshold=0.15, block_on_label=False)
+    pairs = _emb_lsh_auto_oracle(threshold=0.15, block_on_label=False)
     edges_sql = f"""
       WITH prs AS ({pairs})
       SELECT id1 AS src, id2 AS dst FROM prs
@@ -1034,16 +1034,20 @@ def z_graph_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is already value-exact — seeded-hyperplane LSH buckets,
     rounded-cosine verification, integer PPR — so the composition is too.
-    Scale: candidate volume rides the LSH occupancy contract
-    (auto_bits_per_table in production; bits pinned at 4 here for the
-    static oracle), and the walk costs one broadcast join + one
-    aggregation per round."""
+    Scale: the similarity-edge stage runs the PRODUCTION auto-bits
+    default (r14; the pinned-bits-4 variant measured shuffle beta 2.02
+    on this composition — 1.6 GB at the 20k-vector sf1.0 decade — because
+    fixed-width buckets make the edge list quadratic), and the oracle
+    resolves the same bits from the same scalar-subquery count
+    (`_emb_lsh_auto_oracle`), so value-exactness survives the switch at
+    every scale factor. The walk costs one broadcast join + one
+    partition-local aggregation per round."""
     from ..operators import dedup as D
     from ..operators.graphalgo import pagerank_personalized_integer
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_dup_pairs(
-        e, threshold=0.15, bits_per_table=4, block_col=None
+        e, threshold=0.15, block_col=None
     ).select("id1", "id2")
     edges = pairs.select(
         F.explode(
