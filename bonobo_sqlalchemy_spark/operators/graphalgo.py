@@ -94,13 +94,13 @@ def pagerank_integer(
     else:
         ed = e.localCheckpoint()  # (src, dst)
     # degree table computed FROM the cache (one cached pass, never the
-    # upstream subtree); node-cardinality, checkpointed once, re-read
-    # every round on the rank side.
+    # upstream subtree); node-cardinality. Not checkpointed separately:
+    # its only consumer is the anchor build below, so it materializes
+    # inside the anchor's checkpoint job (one less job submission).
     deg = (
         ed.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .select(F.col("src").alias("node"), "outdeg")
-        .localCheckpoint()
     )
     nodes = (
         ed.select(F.col("src").alias("node"))
@@ -218,7 +218,6 @@ def pagerank_personalized_integer(
         ed.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .select(F.col("src").alias("node"), "outdeg")
-        .localCheckpoint()
     )
     nodes = (
         ed.select(F.col("src").alias("node"))
@@ -226,33 +225,34 @@ def pagerank_personalized_integer(
         .distinct()
     )
     sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
-    # the marked node frame carries outdeg (null for sinks) for the same
-    # reason as pagerank_integer's anchor: the per-round contribution
-    # pre-divides node-side with no extra join
+    # the marked node frame carries outdeg (null for sinks) AND the seed
+    # count, for the same reason as pagerank_integer's anchor: the
+    # per-round restart term and contribution divide node-side with no
+    # extra join and no per-round scalar crossJoin.
+    # repartition("node") co-partitions it with the per-round incoming
+    # aggregation: the re-anchor join plans exchange-free.
     marked = (
         nodes.join(
             F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
         )
         .join(F.broadcast(deg), "node", "left")
+        .crossJoin(F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns"))))
         .select(
-            "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"), "outdeg"
+            "node",
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            "outdeg",
+            "ns",
         )
+        .repartition("node")
+        .localCheckpoint()
     )
-    ranks = marked.crossJoin(
-        F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns")))
-    ).select(
+    ranks = marked.select(
         "node",
         "is_seed",
         F.expr(f"CASE WHEN is_seed THEN CAST({int(scale)} AS BIGINT) div ns "
                "ELSE CAST(0 AS BIGINT) END").alias("rank"),
-        "ns",
         "outdeg",
     )
-    # repartition("node") co-partitions the marked frame with the
-    # per-round incoming aggregation (same rationale as pagerank_integer's
-    # anchor): the re-anchor join plans exchange-free
-    marked = marked.repartition("node").localCheckpoint()
-    ranks = ranks.repartition("node").localCheckpoint()
     for it in range(iters):
         rside = ranks.where(F.col("outdeg").isNotNull()).select(
             F.col("node").alias("src"), F.expr("rank div outdeg").alias("c")
@@ -268,24 +268,19 @@ def pagerank_personalized_integer(
         # checkpoint cadence (same rationale + trade as pagerank_integer)
         # bounds lazy-chain re-execution at (interval-1) extra O(E) passes
         # per block.
-        ranks = (
-            marked.join(inc_side, "node", "left")
-            .crossJoin(F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns2"))))
-            .select(
-                "node",
-                "is_seed",
-                (
-                    F.expr(
-                        f"CASE WHEN is_seed THEN CAST(3 * {int(scale)} AS BIGINT) div (20 * ns2) "
-                        "ELSE CAST(0 AS BIGINT) END"
-                    )
-                    + F.expr(
-                        f"CAST({_DAMP_NUM} AS BIGINT) * coalesce(inc, CAST(0 AS BIGINT)) div {_DAMP_DEN}"
-                    )
-                ).alias("rank"),
-                F.col("ns2").alias("ns"),
-                "outdeg",
-            )
+        ranks = marked.join(inc_side, "node", "left").select(
+            "node",
+            "is_seed",
+            (
+                F.expr(
+                    f"CASE WHEN is_seed THEN CAST(3 * {int(scale)} AS BIGINT) div (20 * ns) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+                + F.expr(
+                    f"CAST({_DAMP_NUM} AS BIGINT) * coalesce(inc, CAST(0 AS BIGINT)) div {_DAMP_DEN}"
+                )
+            ).alias("rank"),
+            "outdeg",
         )
         if (it + 1) % max(1, checkpoint_interval) == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint()
