@@ -40,9 +40,19 @@ def pagerank_integer(
     dst_col: str = "dst",
     broadcast_ranks: bool = True,
     checkpoint_interval: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank: ``(node, rank)`` with ``rank`` the
     exact scaled-integer score after ``iters`` rounds.
+
+    ``weight_col`` (integer weights) makes the edge list a PRE-AGGREGATED
+    multigraph: an edge ``(s, d, w)`` is exactly ``w`` parallel ``(s, d)``
+    edges — ``incoming = sum(w * (rank_src div W_src))`` with ``W_src``
+    the weighted out-degree. Because the floor division happens per
+    SOURCE before the multiplication, this is bit-identical to feeding
+    the exploded multigraph (asserted in tests), while the edge cache
+    holds E_distinct rows instead of E_total — the form a 100 TB
+    transition graph should arrive in.
 
     ``edges`` is a directed edge list; nodes are everything that appears as
     a src or dst, and EVERY node appears in the output every round — a
@@ -72,13 +82,15 @@ def pagerank_integer(
     O(E) pass costs more than a job submission.
     """
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
     )
     # the edge set is loop-invariant: materialize it ONCE so the k
     # join+agg rounds re-read a materialized edge list instead of
     # re-running the upstream build k times (without this, every round
     # re-joined the source tables — 0 reused exchanges, ~3x the wall time
-    # on the trade graph). The cache is the BARE (src, dst) list:
+    # on the trade graph). The cache is the BARE (src, dst, w) list:
     # attaching outdeg to the edges would force the upstream subtree to
     # execute twice (once aggregated for the degree table, once for the
     # cache itself — measured 1.7s of the 4.5s sf0.1 bench row), and
@@ -99,7 +111,7 @@ def pagerank_integer(
     # inside the anchor's checkpoint job (one less job submission).
     deg = (
         ed.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .agg(F.sum("w").alias("outdeg"))
         .select(F.col("src").alias("node"), "outdeg")
     )
     nodes = (
@@ -139,11 +151,14 @@ def pagerank_integer(
         # graphs pass broadcast_ranks=False to fall back to a shuffle
         # join.
         rside = ranks.where(F.col("outdeg").isNotNull()).select(
-            F.col("node").alias("src"), F.expr("rank div outdeg").alias("c")
+            F.col("node").alias("src"), F.expr("rank div outdeg").alias("q")
         )
         if broadcast_ranks:
             rside = F.broadcast(rside)
-        contrib = ed.join(rside, "src").select("dst", "c")
+        # w * (rank div W_src): the per-source division precedes the
+        # weight multiplication, which is what makes the pre-aggregated
+        # form bit-identical to the exploded multigraph
+        contrib = ed.join(rside, "src").select("dst", F.expr("w * q").alias("c"))
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         # co-partitioned with anchor (both HashPartitioning(node, P)):
         # the left join plans with no exchange and no broadcast build
@@ -334,25 +349,31 @@ def pagerank_integer_sql(
     edges_sql: str,
     iters: int = 6,
     scale: int = 10**12,
+    weighted: bool = False,
 ) -> str:
     """DuckDB twin of :func:`pagerank_integer` as an unrolled CTE chain —
-    ``edges_sql`` must yield ``(src, dst)``. Because every operation is
-    integer, the GROUP BY sums need no ordering discipline; the chain is
-    bit-exact against the Spark plan by construction. Every round
-    re-anchors on the full node frame (LEFT JOIN + COALESCE), matching the
-    operator: zero-in-degree nodes hold exactly the base term."""
+    ``edges_sql`` must yield ``(src, dst)`` (or ``(src, dst, w)`` with
+    ``weighted=True`` — the pre-aggregated multigraph form, same
+    recurrence: ``inc = SUM(w * (rank // W_src))``). Because every
+    operation is integer, the GROUP BY sums need no ordering discipline;
+    the chain is bit-exact against the Spark plan by construction. Every
+    round re-anchors on the full node frame (LEFT JOIN + COALESCE),
+    matching the operator: zero-in-degree nodes hold exactly the base
+    term."""
+    wexpr = "CAST(w AS BIGINT)" if weighted else "CAST(1 AS BIGINT)"
     base = f"""
-    e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql})),
+    e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, {wexpr} AS w
+          FROM ({edges_sql})),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
-    ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, e.w, deg.outdeg FROM e JOIN deg USING (src)),
     r0 AS (SELECT node, CAST({int(scale)} AS BIGINT) // n AS rank FROM nodes, nn)"""
     steps = []
     for t in range(iters):
         steps.append(f"""
     i{t + 1} AS (
-      SELECT ed.dst AS node, SUM(r{t}.rank // ed.outdeg) AS inc
+      SELECT ed.dst AS node, SUM(ed.w * (r{t}.rank // ed.outdeg)) AS inc
       FROM ed JOIN r{t} ON r{t}.node = ed.src
       GROUP BY ed.dst
     ),

@@ -850,10 +850,12 @@ def _markov_oracle() -> str:
         FROM events
       )
       SELECT {_TYPE_ID_SQL.format(t='prev_type')} AS src,
-             {_TYPE_ID_SQL.format(t='event_type')} AS dst
+             {_TYPE_ID_SQL.format(t='event_type')} AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
       FROM lagged WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
     """
-    pr = pagerank_integer_sql(edges_sql, iters=6)
+    pr = pagerank_integer_sql(edges_sql, iters=6, weighted=True)
     return f"""
     WITH ranks AS ({pr}),
     names AS (SELECT DISTINCT event_type,
@@ -874,15 +876,21 @@ def _markov_oracle() -> str:
 )
 def z_events_markov_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary centrality of the event-type TRANSITION graph: per-user
-    LAG gives (prev_type -> type) edges — one edge per observed
-    transition, so repeated transitions ARE the integer weights — and
-    `pagerank_integer` runs unchanged on the multigraph (the same
-    operator serving the trade-graph query, demonstrating it is
-    weight-ready by construction). The damped stationary distribution is
-    the Markov-chain view of \"which event type do journeys concentrate
-    in?\". Node ids are md5-derived from the type string (engine-portable,
-    no driver-side vocabulary collect); VALUE-EXACT end to end — integer
-    micro-unit ranks, deterministic tie-broken positions.
+    LAG gives (prev_type -> type) transitions, PRE-AGGREGATED to
+    integer-weighted edges (one row per distinct transition pair,
+    ``w = COUNT(*)`` — r14), and `pagerank_integer(weight_col="w")` runs
+    the weighted recurrence ``inc = sum(w * (rank div W_src))``. Because
+    the per-source floor division precedes the weight multiplication,
+    this is BIT-IDENTICAL to feeding the exploded multigraph (asserted
+    in tests) while the loop-invariant edge cache holds one row per
+    distinct (prev, next) pair instead of one per observed transition —
+    at 100 TB that is the difference between caching the event log and
+    caching a vocabulary-squared table. The damped stationary
+    distribution is the Markov-chain view of \"which event type do
+    journeys concentrate in?\". Node ids are md5-derived from the type
+    string (engine-portable, no driver-side vocabulary collect);
+    VALUE-EXACT end to end — integer micro-unit ranks, deterministic
+    tie-broken positions.
 
     Dangling semantics (pinned, r13 ADVICE): this is a RAW directed
     transition graph, so a terminal event type (appears as dst, never as
@@ -903,10 +911,13 @@ def z_events_markov_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def type_id(c):
         return F.conv(F.substring(F.md5(F.col(c)), 1, 8), 16, 10).cast("bigint")
 
-    edges = lagged.where(F.col("prev_type").isNotNull()).select(
-        type_id("prev_type").alias("src"), type_id("event_type").alias("dst")
+    edges = (
+        lagged.where(F.col("prev_type").isNotNull())
+        .select(type_id("prev_type").alias("src"), type_id("event_type").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
-    ranks = pagerank_integer(edges, iters=6)
+    ranks = pagerank_integer(edges, iters=6, weight_col="w")
     names = e.select("event_type").distinct().select(
         "event_type", type_id("event_type").alias("node")
     )

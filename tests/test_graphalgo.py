@@ -90,6 +90,23 @@ def test_pagerank_shuffle_join_leg_matches_broadcast_leg(spark):
     assert a == b == _reference(edges, iters=4)
 
 
+def test_pagerank_weighted_equals_exploded_multigraph(spark):
+    """weight_col (r14): a pre-aggregated (src, dst, w) edge list is
+    exactly w parallel edges — bit-identical ranks, because the
+    per-source floor division precedes the weight multiplication. This is
+    the contract that lets z_events_markov_rank cache one row per
+    distinct transition instead of one per observed transition."""
+    multi = [(1, 2), (1, 2), (1, 2), (2, 1), (2, 3), (2, 3), (3, 1), (4, 1), (4, 1)]
+    from collections import Counter
+
+    agg = [(s, d, w) for (s, d), w in Counter(multi).items()]
+    dm = spark.createDataFrame(multi, "src long, dst long")
+    da = spark.createDataFrame(agg, "src long, dst long, w long")
+    rm = {r.node: r.rank for r in pagerank_integer(dm, iters=6).collect()}
+    ra = {r.node: r.rank for r in pagerank_integer(da, iters=6, weight_col="w").collect()}
+    assert rm == ra == _reference(multi, iters=6)
+
+
 def test_pagerank_partitioning_bit_exact(spark):
     edges = _sym([(i, (i * 7) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)])
     df = spark.createDataFrame(edges, "src long, dst long")
