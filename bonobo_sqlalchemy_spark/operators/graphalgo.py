@@ -384,3 +384,248 @@ def pagerank_integer_sql(
       FROM nodes LEFT JOIN i{t + 1} USING (node) CROSS JOIN nn
     )""")
     return "WITH" + ",".join([base] + steps) + f"\n    SELECT node, rank FROM r{iters}"
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    lcc_scale: int = 10**6,
+) -> DataFrame:
+    """Per-node triangle counts + exact local clustering coefficient
+    (scaled integer) over the UNDIRECTED graph induced by ``edges``
+    (either/both directions accepted; self-loops dropped, parallel edges
+    collapsed). Output: ``(node, tri, deg, lcc_micro)`` where ``tri`` is
+    the number of triangles the node participates in, ``deg`` its
+    undirected degree, and ``lcc_micro = (2*tri*lcc_scale) div
+    (deg*(deg-1))`` for ``deg >= 2`` else 0 — all BIGINT, so the result
+    is bit-identical under any partitioning and a DuckDB twin
+    (:func:`triangle_counts_sql`) reproduces it exactly.
+
+    The corpus-pipeline use is near-dup TRANSITIVITY auditing: if the
+    near-dup relation were perfectly transitive, every connected
+    component would be a clique (lcc 1.0 everywhere); low-lcc/high-degree
+    nodes are hub documents gluing unrelated clusters — exactly the rows
+    a threshold sweep should inspect before component-collapse dedup.
+
+    Scale design (the standard degree-orientation bound, Chiba-Nishizeki
+    / Cohen's MapReduce formulation): every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's ORIENTED out-degree is O(sqrt(E)) regardless of skew — a
+    celebrity node with 1e6 followers contributes no wedge unless both
+    endpoints rank above it. Wedge generation is a self-equi-join of the
+    oriented list on its source (total wedge volume sum(outdeg^2) =
+    O(E^1.5) worst-case instead of sum(deg^2), which is unbounded under
+    skew); closing is one equi-join of wedges against oriented edges on
+    the composite (lo, hi) key. Three shuffles total (degree agg, wedge
+    join, closing join), all on equi-keys, AQE-eligible; no collect, no
+    per-row Python. The orientation key packs (degree, node) into one
+    BIGINT ``deg * 2**32 + node`` — valid while node ids stay below
+    2**32, asserted cheaply by the caller's id space (doc ids / vec ids
+    here).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("x"), F.col(dst_col).cast("long").alias("y")
+    ).where(F.col("x") != F.col("y"))
+    und = e.select(
+        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+    ).distinct()
+    # materialized once: the degree aggregate and both orientation joins
+    # read it; without this the upstream pair generator (often an LSH
+    # pipeline) would execute three times.
+    und = und.localCheckpoint()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    k = deg.select(
+        "node", (F.col("d") * F.lit(1 << 32) + F.col("node")).alias("okey")
+    )
+    # degree table is node-cardinality (<= 2E rows of 16 bytes) — ride it
+    # in as a broadcast on both endpoint joins so the edge list never
+    # re-shuffles for orientation.
+    ek = und.join(
+        F.broadcast(k.select(F.col("node").alias("u"), F.col("okey").alias("ku"))), "u"
+    ).join(
+        F.broadcast(k.select(F.col("node").alias("v"), F.col("okey").alias("kv"))), "v"
+    )
+    lower = F.col("ku") < F.col("kv")
+    orient = ek.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lower, F.col("kv")).otherwise(F.col("ku")).alias("kt"),
+    ).localCheckpoint()  # three readers: two wedge sides + the closing set
+    a, b = orient.alias("a"), orient.alias("b")
+    wedges = (
+        a.join(b, "s")
+        .where(F.col("a.kt") < F.col("b.kt"))
+        .select(F.col("s"), F.col("a.t").alias("p"), F.col("b.t").alias("q"))
+    )
+    closing = orient.select(F.col("s").alias("p"), F.col("t").alias("q"))
+    tri = wedges.join(closing, ["p", "q"])  # one row per triangle (s, p, q)
+    per = (
+        tri.select(F.explode(F.array("s", "p", "q")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return deg.join(per, "node", "left").select(
+        "node",
+        F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("tri"),
+        F.col("d").cast("bigint").alias("deg"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr(
+                f"CAST(2 * coalesce(tri, 0) * {int(lcc_scale)} AS BIGINT)"
+                " div (d * (d - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("lcc_micro"),
+    )
+
+
+def triangle_counts_sql(edges_sql: str, lcc_scale: int = 10**6) -> str:
+    """DuckDB twin of :func:`triangle_counts` — same canonicalization,
+    same (degree, id) orientation key, same wedge/close joins; integer
+    arithmetic throughout, so the result is bit-identical."""
+    # multiply-referenced CTEs are MATERIALIZED: DuckDB would otherwise
+    # inline `und` (3 readers) and `ori` (3 readers) textually, re-running
+    # the upstream edge generator (often a whole LSH pipeline) once per
+    # reference — the same single-execution discipline as the Spark
+    # side's localCheckpoints.
+    return f"""
+    WITH e0 AS (SELECT CAST(src AS BIGINT) AS x, CAST(dst AS BIGINT) AS y
+                FROM ({edges_sql}) WHERE src <> dst),
+    und AS MATERIALIZED (SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v
+                         FROM e0 GROUP BY 1, 2),
+    dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+           GROUP BY 1),
+    kk AS (SELECT node, d * 4294967296 + node AS okey FROM dg),
+    ori AS MATERIALIZED (
+            SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS s,
+                   CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS t,
+                   CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END AS kt
+            FROM und JOIN kk ku ON ku.node = und.u JOIN kk kv ON kv.node = und.v),
+    wdg AS (SELECT a.s AS s, a.t AS p, b.t AS q
+            FROM ori a JOIN ori b ON a.s = b.s AND a.kt < b.kt),
+    tri AS (SELECT wdg.s, wdg.p, wdg.q
+            FROM wdg JOIN (SELECT s AS p, t AS q FROM ori) c USING (p, q)),
+    per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+            FROM (SELECT s AS node FROM tri UNION ALL
+                  SELECT p FROM tri UNION ALL
+                  SELECT q FROM tri)
+            GROUP BY 1)
+    SELECT dg.node,
+           CAST(COALESCE(per.tri, 0) AS BIGINT) AS tri,
+           dg.d AS deg,
+           CASE WHEN dg.d >= 2
+                THEN (2 * COALESCE(per.tri, 0) * {int(lcc_scale)}) // (dg.d * (dg.d - 1))
+                ELSE 0 END AS lcc_micro
+    FROM dg LEFT JOIN per USING (node)
+    """
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected graph induced by
+    ``edges``: repeat ``rounds`` times { drop every node of current
+    degree < ``k``, drop its incident edges }, then return the survivors
+    with their degree in the FINAL surviving subgraph —
+    ``(node, deg_final)``, all BIGINT.
+
+    A node can survive the last FILTER yet end below ``k`` when its
+    neighbours died in the same round — that is the defined fixed-round
+    semantics (same family as the fixed-iteration PageRank contract); at
+    the fixpoint (``rounds`` >= peel depth, asserted on fixtures by
+    comparing rounds R and R-1) the output IS the classical k-core.
+
+    Corpus-pipeline use: dense cores of the near-dup graph are the
+    mirrored/boilerplate clusters worth dropping at the SOURCE — the
+    k-core is the standard "densely interlinked subset" extractor (web
+    spam / boilerplate farms are high-core; organic near-dup pairs peel
+    away immediately).
+
+    Scale design: each round is one degree aggregation (map-side
+    combinable) + two semi-joins of the edge list against the surviving
+    node set. The node set rides a BROADCAST (node-cardinality, shrinks
+    every round); the edge list is filtered in place and
+    localCheckpoint'd per round, so round r+1 reads round r's O(E_r)
+    result instead of re-executing the whole chain — the same
+    bounded-re-execution discipline as `pagerank_integer`. No collect;
+    the loop is driver-side only in its (fixed) trip count.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("x"), F.col(dst_col).cast("long").alias("y")
+    ).where(F.col("x") != F.col("y"))
+    cur = (
+        e.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        dg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = dg.where(F.col("d") >= k).select("node")
+        cur = (
+            cur.join(
+                F.broadcast(keep.select(F.col("node").alias("u"))), "u", "semi"
+            )
+            .join(F.broadcast(keep.select(F.col("node").alias("v"))), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    final_deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_final"))
+    )
+    return final_deg
+
+
+def kcore_peel_sql(edges_sql: str, k: int = 3, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore_peel` — the same peel rounds unrolled
+    as a CTE chain (degree -> keep -> filtered edges per round)."""
+    # every e{r} has three readers (the degree union's two legs + the next
+    # round's filter); without MATERIALIZED DuckDB inlines the chain
+    # textually, exploding the upstream edge generator 3^rounds times
+    # (measured: the minhash-pair generator alone exhausts the fd limit
+    # at rounds=4). Same single-execution discipline as the Spark side's
+    # per-round localCheckpoints.
+    base = f"""
+    e0x AS (SELECT CAST(src AS BIGINT) AS x, CAST(dst AS BIGINT) AS y
+            FROM ({edges_sql}) WHERE src <> dst),
+    e0 AS MATERIALIZED (SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v
+                        FROM e0x GROUP BY 1, 2)"""
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+    d{r} AS (SELECT node, COUNT(*) AS d
+             FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+             GROUP BY 1),
+    k{r} AS (SELECT node FROM d{r} WHERE d >= {int(k)}),
+    e{r + 1} AS MATERIALIZED (SELECT e{r}.u, e{r}.v
+                 FROM e{r}
+                 JOIN k{r} a ON e{r}.u = a.node
+                 JOIN k{r} b ON e{r}.v = b.node)""")
+    return (
+        "WITH" + ",".join([base] + steps)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg_final
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY 1
+    """
+    )

@@ -62,6 +62,10 @@ NESTED_LOOP_OK = {
     "PageRank's 1/n initial rank and damping base) — constant broadcast, "
     "no quadratic term; every per-round join is a broadcast equi-join on "
     "src",
+    "z_sketch_kmv_setops": "group-pair expansion over the per-group theta "
+    "table (groups-cardinality, broadcast, ordering predicate) — the "
+    "corpus never enters the nested loop; everything downstream is "
+    "sketch-sized (groups² × k rows). Same shape as source_overlap_kmv.",
 }
 
 

