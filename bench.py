@@ -63,6 +63,13 @@ def main() -> None:
     # STARTING new rounds when exceeded — interleaving means every query
     # still has the same number of measurements, so stats stay comparable.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # Hard wall cap: the driver (and /verify) run bench.py under an
+    # external ~580 s timeout. The soft budget alone can overrun it — it
+    # only stops rounds from STARTING, so a round beginning at 479 s with
+    # a ~120 s warm pass ends past the kill. Predict the next round's
+    # cost from the last completed round and refuse to start a round the
+    # cap can't absorb (min 1 round always runs).
+    hard_cap_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_CAP", "550"))
     # Box-load indicator (round 9): in-bench numbers have repeatedly been
     # re-litigated against cross-round drift that SCALING.md's solo runs
     # later showed was machine load. Record the load average around the
@@ -74,9 +81,14 @@ def main() -> None:
         load1_start = None
     bench_t0 = time.perf_counter()
     rounds_done = 0
+    last_round_s = 0.0
     for _ in range(n_rounds):
-        if rounds_done >= 1 and time.perf_counter() - bench_t0 > budget_s:
+        elapsed = time.perf_counter() - bench_t0
+        if rounds_done >= 1 and (
+            elapsed > budget_s or elapsed + last_round_s > hard_cap_s
+        ):
             break
+        round_t0 = time.perf_counter()
         rounds_done += 1
         for name in names:
             if name in errors:
@@ -88,6 +100,7 @@ def main() -> None:
                 errors[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
                 continue
             runs[name].append(round(time.perf_counter() - t0, 3))
+        last_round_s = time.perf_counter() - round_t0
 
     timings: dict[str, object] = {}
     medians: dict[str, object] = {}

@@ -629,3 +629,123 @@ def kcore_peel_sql(edges_sql: str, k: int = 3, rounds: int = 4) -> str:
     GROUP BY 1
     """
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Clamped semi-supervised label propagation: seed nodes keep their
+    (integer) label forever; every round each node adopts the MODAL label
+    of its labeled in-neighbors, ties broken to the smallest label —
+    fully deterministic, so a DuckDB unrolled-CTE twin
+    (:func:`label_propagation_sql`) reproduces it exactly. Output:
+    ``(node, label)`` with ``label`` NULL for nodes no label reached
+    within ``rounds``.
+
+    This is the label-SPREADING selector ("extend my curated labels to
+    everything similar") that complements the PPR seed-set expansion: PPR
+    ranks proximity to one seed set; label propagation ASSIGNS among
+    competing seed sets. Raghavan et al. 2007 shape, restricted to fixed
+    rounds + clamped seeds for determinism (free-running LPA is
+    order-dependent; the clamped modal rule is not).
+
+    Scale design (same discipline as :func:`pagerank_integer`): the edge
+    list is loop-invariant — materialized once, pre-partitioned on dst so
+    every round's modal count is partition-local; the label frame is
+    node-cardinality and rides a broadcast into the edge join; the modal
+    pick folds into a second hash aggregation (max(struct(count,
+    -label)) — partial map-side, no rank window) — bounded by labels-per-node,
+    not corpus size; seeds are clamped by re-anchoring on a checkpointed
+    (node, seed_label) frame each round, which also keeps never-reached
+    nodes in the output. ``checkpoint_interval`` bounds lazy-chain
+    re-execution exactly as in the PageRank loops.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    ed = e.repartition("dst").persist()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # one label per seed node, deterministically (min) — callers passing a
+    # conflicting seed frame get the smallest label, not a race
+    sd = (
+        seeds.select(
+            F.col(node_col).cast("long").alias("node"),
+            F.col(label_col).cast("long").alias("seed_lbl"),
+        )
+        .groupBy("node")
+        .agg(F.min("seed_lbl").alias("seed_lbl"))
+    )
+    anchor = (
+        nodes.join(F.broadcast(sd), "node", "left")
+        .repartition("node")
+        .localCheckpoint()
+    )
+    labels = anchor.select("node", F.col("seed_lbl").alias("lbl"))
+    for it in range(rounds):
+        lsrc = labels.where(F.col("lbl").isNotNull()).select(
+            F.col("node").alias("src"), "lbl"
+        )
+        cnt = (
+            ed.join(F.broadcast(lsrc), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # modal pick as max(struct(c, -lbl)) — highest count, ties to the
+        # SMALLEST label — instead of a rank-window: stays in hash-agg
+        # land (partial max map-side), one sort fewer per round
+        pick = (
+            cnt.groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("prop_lbl"))
+        )
+        labels = anchor.join(pick, "node", "left").select(
+            "node", F.coalesce("seed_lbl", "prop_lbl").alias("lbl")
+        )
+        if (it + 1) % max(1, checkpoint_interval) == 0 or it == rounds - 1:
+            labels = labels.localCheckpoint()
+    out = labels.select("node", F.col("lbl").alias("label"))
+    ed.unpersist(blocking=False)
+    return out
+
+
+def label_propagation_sql(
+    edges_sql: str, seeds_sql: str, rounds: int = 4
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — the same clamped modal
+    recurrence unrolled; ``seeds_sql`` must yield ``(node, label)``.
+    The edge and anchor CTEs are MATERIALIZED (multiple readers across
+    the unrolled rounds — the kcore_peel_sql inlining lesson)."""
+    base = f"""
+    e AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+                       FROM ({edges_sql})),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    sd AS (SELECT CAST(node AS BIGINT) AS node, MIN(CAST(label AS BIGINT)) AS seed_lbl
+           FROM ({seeds_sql}) GROUP BY 1),
+    anc AS MATERIALIZED (SELECT n.node, sd.seed_lbl
+                         FROM nodes n LEFT JOIN sd USING (node)),
+    l0 AS (SELECT node, seed_lbl AS lbl FROM anc)"""
+    steps = []
+    for t in range(rounds):
+        steps.append(f"""
+    c{t} AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+             FROM e JOIN l{t} l ON l.node = e.src AND l.lbl IS NOT NULL
+             GROUP BY 1, 2),
+    p{t} AS (SELECT dst AS node, lbl FROM c{t}
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) = 1),
+    l{t + 1} AS (SELECT anc.node, COALESCE(anc.seed_lbl, p.lbl) AS lbl
+                 FROM anc LEFT JOIN p{t} p USING (node))""")
+    return (
+        "WITH" + ",".join([base] + steps)
+        + f"\n    SELECT node, lbl AS label FROM l{rounds}"
+    )

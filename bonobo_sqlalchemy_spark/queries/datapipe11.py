@@ -160,3 +160,89 @@ def z_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_cardinalities(
         ev, key_col="user_id", group_col="event_type", k=64
     ).orderBy("group_a", "group_b")
+
+
+def _labelprop_oracle() -> str:
+    from ..operators.graphalgo import label_propagation_sql
+    from .datapipe import _emb_lsh_auto_oracle
+
+    pairs = _emb_lsh_auto_oracle(threshold=0.15, block_on_label=False)
+    edges_sql = f"""
+      WITH prs AS ({pairs})
+      SELECT id1 AS src, id2 AS dst FROM prs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM prs
+    """
+    seeds_sql = "SELECT vec_id AS node, label FROM embeddings WHERE vec_id % 5 = 0"
+    lp = label_propagation_sql(edges_sql, seeds_sql, rounds=4)
+    return f"""
+    WITH lp AS ({lp})
+    SELECT e.vec_id,
+           CAST(lp.label AS BIGINT) AS pred_label,
+           CAST(e.label AS BIGINT) AS true_label,
+           CAST(CASE WHEN lp.label = e.label THEN 1 ELSE 0 END AS BIGINT) AS agree
+    FROM lp JOIN embeddings e ON e.vec_id = lp.node
+    WHERE e.vec_id % 5 <> 0 AND lp.label IS NOT NULL
+    ORDER BY e.vec_id
+    """
+
+
+@query(
+    "z_graph_labelprop",
+    oracle=_labelprop_oracle(),
+    tags=("graph", "similarity", "selection"),
+    bench=True,
+)
+def z_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL SPREADING over the embedding similarity
+    graph: clamp the known labels (the vec_id % 5 == 0 slice plays the
+    curated 20%), propagate 4 modal rounds along the auto-bits LSH
+    near-dup edges, and emit every non-seed vector a label reached, with
+    its hidden true label exposed so the spread's accuracy is
+    inspectable — the ASSIGNMENT counterpart to `z_graph_ppr_seed_expand`
+    (PPR ranks proximity to ONE seed set; label propagation arbitrates
+    among competing seed sets).
+
+    VALUE-EXACT end-to-end: seeded-hyperplane LSH buckets +
+    rounded-cosine verification (the production auto-bits default, same
+    edge stage as the PPR composition) and the deterministic clamped
+    modal rule (integer counts, ties to the smallest label), replayed by
+    the unrolled DuckDB CTE chain. Scale: edge list materialized once,
+    dst-partitioned; per-round label frame is node-cardinality on a
+    broadcast; the modal pick is a map-side-partial hash aggregation
+    over per-(node, label) counts,
+    bounded by labels-per-node."""
+    from ..operators import dedup as D
+    from ..operators.graphalgo import label_propagation
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(e, threshold=0.15, block_col=None).select(
+        "id1", "id2"
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+                F.struct(F.col("id2").alias("src"), F.col("id1").alias("dst")),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst")
+    seeds = e.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    lp = label_propagation(edges, seeds, rounds=4)
+    out = (
+        lp.where(F.col("label").isNotNull())
+        .join(
+            e.select("vec_id", F.col("label").alias("true_label")),
+            lp.node == F.col("vec_id"),
+        )
+        .where(F.col("vec_id") % 5 != 0)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("pred_label"),
+            F.col("true_label").cast("bigint").alias("true_label"),
+            (F.col("label") == F.col("true_label")).cast("bigint").alias("agree"),
+        )
+    )
+    return out.orderBy("vec_id")

@@ -379,3 +379,110 @@ def test_kcore_sql_twin_matches(spark):
     sql = kcore_peel_sql(f"SELECT * FROM (VALUES {values}) AS t(src, dst)", k=3, rounds=3)
     ref = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (round 14)
+# ---------------------------------------------------------------------------
+
+from bonobo_sqlalchemy_spark.operators.graphalgo import (  # noqa: E402
+    label_propagation,
+    label_propagation_sql,
+)
+
+
+def _lp_reference(edges, seeds, rounds):
+    """Pure-Python clamped modal recurrence (ties to smallest label)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seed = {}
+    for n, l in seeds:
+        seed[n] = min(seed.get(n, l), l)
+    lbl = {n: seed.get(n) for n in nodes}
+    for _ in range(rounds):
+        cnt = {}
+        for s, d in edges:
+            if lbl.get(s) is not None:
+                cnt.setdefault(d, {}).setdefault(lbl[s], 0)
+                cnt[d][lbl[s]] += 1
+        new = {}
+        for n in nodes:
+            if n in seed:
+                new[n] = seed[n]
+            elif n in cnt:
+                new[n] = min(
+                    (l for l, c in cnt[n].items() if c == max(cnt[n].values()))
+                )
+            else:
+                # recomputed from scratch each round, like the operator;
+                # labeled-ness is monotone (a labeled in-neighbor stays
+                # labeled), so an already-labeled node never lands here
+                new[n] = None
+        lbl = new
+    return lbl
+
+
+def test_labelprop_matches_python_reference(spark):
+    # two seed camps (labels 10 and 20) on a barbell graph; the bridge
+    # node 5 sees both camps — modal tie broken to the SMALLER label
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 5), (5, 6), (6, 7), (7, 8), (6, 8)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    seeds = [(1, 10), (8, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame(seeds, "node long, label long")
+    got = {
+        r.node: r.label
+        for r in label_propagation(df, sd, rounds=4).collect()
+    }
+    ref = _lp_reference(edges, seeds, 4)
+    assert got == ref
+    assert got[1] == 10 and got[8] == 20  # clamped
+    assert got[2] == 10 and got[3] == 10
+    assert got[7] == 20 and got[6] == 20
+
+
+def test_labelprop_tie_breaks_to_smallest_label(spark):
+    """A node with one neighbor of each label takes the smaller one."""
+    edges = [(1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1, 7), (2, 5)], "node long, label long")
+    got = {r.node: r.label for r in label_propagation(df, sd, rounds=1).collect()}
+    assert got[3] == 5
+
+
+def test_labelprop_unreached_nodes_stay_null(spark):
+    edges = [(1, 2), (3, 4)]  # component {3,4} has no seed
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1, 9)], "node long, label long")
+    got = {r.node: r.label for r in label_propagation(df, sd, rounds=3).collect()}
+    assert got[2] == 9 and got[1] == 9
+    assert got[3] is None and got[4] is None
+
+
+def test_labelprop_conflicting_seed_rows_resolve_to_min(spark):
+    edges = [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1, 8), (1, 3)], "node long, label long")
+    got = {r.node: r.label for r in label_propagation(df, sd, rounds=1).collect()}
+    assert got[1] == 3 and got[2] == 3
+
+
+def test_labelprop_sql_twin_matches(spark):
+    import duckdb
+
+    pairs = [((i * 7) % 19, (i * 5 + 2) % 19) for i in range(40)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    seeds = [(0, 100), (7, 200), (13, 300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame(seeds, "node long, label long")
+    got = sorted(
+        (r.node, r.label) for r in label_propagation(df, sd, rounds=4).collect()
+    )
+    ev = ", ".join(f"({a}, {b})" for a, b in edges)
+    sv = ", ".join(f"({n}, {l})" for n, l in seeds)
+    sql = label_propagation_sql(
+        f"SELECT * FROM (VALUES {ev}) AS t(src, dst)",
+        f"SELECT * FROM (VALUES {sv}) AS s(node, label)",
+        rounds=4,
+    )
+    ref = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == ref
