@@ -281,3 +281,85 @@ def test_profile_matches_pandas_model_on_random_frames(spark):
         nonnull = pdf[c].dropna()
         assert got[c].min_value == str(nonnull.min())
         assert got[c].max_value == str(nonnull.max())
+
+
+# ---------------------------------------------------------------------------
+# Graph operators vs pure-Python models (round 14)
+# ---------------------------------------------------------------------------
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_strategy)
+def test_triangle_counts_match_model_on_random_graphs(spark, edges):
+    """Degree-oriented counting equals brute-force adjacency intersection
+    on arbitrary small graphs (duplicates, self-loops, both directions)."""
+    from bonobo_sqlalchemy_spark.operators.graphalgo import triangle_counts
+    from tests.test_graphalgo import _tri_reference
+
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    if not und:
+        return  # empty graph: nothing to compare
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.tri, r.deg, r.lcc_micro) for r in triangle_counts(df).collect()
+    }
+    assert got == _tri_reference(edges)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=edge_strategy,
+    k=st.integers(min_value=1, max_value=4),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_kcore_matches_model_on_random_graphs(spark, edges, k, rounds):
+    from bonobo_sqlalchemy_spark.operators.graphalgo import kcore_peel
+    from tests.test_graphalgo import _kcore_reference
+
+    simple = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    if not simple:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg_final for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    assert got == _kcore_reference(edges, k, rounds)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=edge_strategy,
+    seeds=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_labelprop_matches_model_on_random_graphs(spark, edges, seeds, rounds):
+    from bonobo_sqlalchemy_spark.operators.graphalgo import label_propagation
+    from tests.test_graphalgo import _lp_reference
+
+    if not edges:
+        return
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    seeds = [(n, l) for n, l in seeds if n in nodes]
+    if not seeds:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame(seeds, "node long, label long")
+    got = {
+        r.node: r.label
+        for r in label_propagation(df, sd, rounds=rounds).collect()
+    }
+    assert got == _lp_reference(edges, seeds, rounds)
