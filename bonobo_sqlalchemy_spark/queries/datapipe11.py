@@ -100,6 +100,7 @@ def _kcore_oracle() -> str:
     "z_graph_kcore",
     oracle=_kcore_oracle(),
     tags=("graph", "dedup"),
+    bench=True,
 )
 def z_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-duplication-core extraction: 2-core of the MinHash near-dup

@@ -69,3 +69,24 @@ def test_corpus_search_example_runs(spark, capsys):
     # the semantic leg demos the production loop: day-0 table build,
     # day-1 delta upsert through the loaded codebook, table-probe
     assert "incrementally-maintained IVF leg" in out
+
+
+def test_corpus_graph_audit_example_runs(spark, capsys):
+    """Smoke test for the graph-audit example: runs end-to-end at sf0.001
+    and prints all three audit sections."""
+    examples = str(Path(__file__).resolve().parent.parent / "examples")
+    if examples not in sys.path:
+        sys.path.insert(0, examples)
+    mod = importlib.import_module("corpus_graph_audit")
+
+    argv_save = sys.argv
+    sys.argv = ["corpus_graph_audit.py", "/root/testdata/sf0.001"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv_save
+    out = capsys.readouterr().out
+    assert "transitivity audit" in out
+    assert "2-core" in out
+    assert "label spread" in out
+    assert "graph audit complete" in out
