@@ -484,6 +484,47 @@ def z_stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCMS_POS = "CAST(('0x' || substr(md5({r} || '|' || {k}), 1, 8)) AS BIGINT) % 1024"
 
 
+def _user_stream_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as SIX mtime-ordered single-column parquet
+    slices (one micro-batch per file under maxFilesPerTrigger=1) — the
+    shared replay harness for the streaming sketch folds. Cached via the
+    code-version-aware artifact cache keyed on the source file identity."""
+    import os
+    import shutil
+
+    from ..cache import artifact_path, ensure_artifact
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+
+    def _stage(stage_dir: str) -> None:
+        os.makedirs(stage_dir, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("user_key"),
+            (F.col("event_id") % 6).alias("sl"),
+        )
+        for i in range(6):
+            tmp = os.path.join(stage_dir, f"_tmp{i}")
+            (
+                ev.where(F.col("sl") == i)
+                .select("user_key")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stage_dir, f"b{i:02d}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            t_ns = st.st_mtime_ns + i * 10**9
+            os.utime(dst, ns=(t_ns, t_ns))
+            shutil.rmtree(tmp)
+
+    return ensure_artifact(
+        artifact_path("scms", f"{src}:{st.st_size}:{st.st_mtime_ns}:slices6"),
+        _stage,
+    )
+
+
 @query(
     "z_stream_cms_users",
     oracle=f"""
@@ -525,42 +566,10 @@ def z_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     because counter linearity makes the six-batch fold identical to one
     batch build over all events, which the oracle replays (md5-derived
     positions, integer counters, one-sided overcount included)."""
-    import os
-    import shutil
-
-    from ..cache import artifact_path, ensure_artifact
     from ..operators.sketch import cms_estimate
     from ..streaming.sketches import cms_from_cells, cms_stream_fold
 
-    src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-
-    def _stage(stage_dir: str) -> None:
-        os.makedirs(stage_dir, exist_ok=True)
-        ev = load_table(spark, sf_dir, "events").select(
-            F.col("user_id").cast("string").alias("user_key"),
-            (F.col("event_id") % 6).alias("sl"),
-        )
-        for i in range(6):
-            tmp = os.path.join(stage_dir, f"_tmp{i}")
-            (
-                ev.where(F.col("sl") == i)
-                .select("user_key")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            dst = os.path.join(stage_dir, f"b{i:02d}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
-            t_ns = st.st_mtime_ns + i * 10**9
-            os.utime(dst, ns=(t_ns, t_ns))
-            shutil.rmtree(tmp)
-
-    watch = ensure_artifact(
-        artifact_path("scms", f"{src}:{st.st_size}:{st.st_mtime_ns}:slices6"),
-        _stage,
-    )
+    watch = _user_stream_slices(spark, sf_dir)
     stream = (
         spark.readStream.schema("user_key string")
         .option("maxFilesPerTrigger", 1)
@@ -596,3 +605,61 @@ def z_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("freq")).alias("overcount"),
         "pos",
     ).orderBy("pos")
+
+
+@query(
+    "z_stream_kmv_distinct",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT) AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT hv FROM (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM fp
+      ) WHERE rn <= 64
+    ),
+    tr AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+           FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                     ELSE (63 * {1 << 40}) // MAX(hv) END AS BIGINT) AS est_distinct,
+           tr.true_distinct
+    FROM sk, tr GROUP BY tr.true_distinct
+    """,
+    tags=("streaming", "sketch"),
+)
+def z_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-batch streaming KMV fold: the same six mtime-ordered
+    micro-batch replay as `z_stream_cms_users` (shared staged slices),
+    folded into ONE bottom-64 theta sketch via `foreachBatch`
+    (`streaming/sketches.py::kmv_stream_fold`) — each trigger computes
+    its batch's bottom-k DISTRIBUTED (TakeOrderedAndProject) and moves
+    at most k integers to the driver; bottom-k mergeability makes the
+    six-batch fold EXACTLY equal to one bottom-k over all events, which
+    the oracle replays. Output: one row ``(k_used, est_distinct,
+    true_distinct)`` — the distinct-user estimate with its ground truth
+    beside it (exact when unfull; the BIGINT floor estimator engages at
+    sf0.01+, where users > k)."""
+    from ..streaming.sketches import kmv_distinct_estimate, kmv_stream_fold
+
+    watch = _user_stream_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("user_key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+    )
+    sink, state, batches = kmv_stream_fold(stream, "user_key", k=64)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    run_to_completion(q)
+    assert len(batches) >= 6, f"expected >= 6 micro-batches, got {len(batches)}"
+    k_used, est = kmv_distinct_estimate(state["vals"], k=64)
+    truth = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    return truth.select(
+        F.lit(int(k_used)).cast("bigint").alias("k_used"),
+        F.lit(int(est)).cast("bigint").alias("est_distinct"),
+        "true_distinct",
+    )

@@ -551,3 +551,52 @@ def cms_from_cells(spark, cells: dict, depth: int, width: int) -> DataFrame:
     return spark.createDataFrame(
         rows, "row int, pos bigint, cnt bigint, depth int, width bigint"
     )
+
+
+def kmv_stream_fold(stream: DataFrame, key_col: str, k: int = 64):
+    """Fold a stream into a bottom-k KMV/theta sketch via ``foreachBatch``:
+    each micro-batch computes its own bottom-k DISTRIBUTED (distinct
+    40-bit md5 fingerprints → ``orderBy(hv).limit(k)``, a
+    TakeOrderedAndProject — partition-local top-k then one k-row
+    reduction), and the driver merges ≤ k values per trigger into the
+    running bottom-k. Mergeability (bottom-k of a union == bottom-k of
+    concatenated bottom-k's, asserted batch-side in tests/test_sketch.py)
+    makes the fold EXACTLY equal to one bottom-k over the concatenated
+    feed, so per-trigger driver transfer is bounded by ``k`` — never the
+    feed.
+
+    Returns ``(sink, state, batches)``: pass ``sink`` to
+    ``writer.foreachBatch``; afterwards ``state["vals"]`` holds the
+    folded bottom-k hash values (ascending) and ``batches`` the
+    per-batch sketch sizes (length = micro-batches processed)."""
+    from ..operators.sketch import _kmv_hash
+
+    state: dict[str, list[int]] = {"vals": []}
+    batches: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(_kmv_hash(F.col(key_col)).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+            .collect()
+        )
+        merged = sorted(set(state["vals"]) | {r.hv for r in rows})
+        state["vals"] = merged[:k]
+        batches.append(len(rows))
+
+    return sink, state, batches
+
+
+def kmv_distinct_estimate(vals: list[int], k: int) -> tuple[int, int]:
+    """KMV distinct-count estimate from a folded bottom-k: ``(k_used,
+    est)`` — exact count when the sketch is unfull, else the classical
+    ``((k-1) * M) div theta`` with theta the k-th smallest value
+    (BIGINT floor arithmetic, the `operators/sketch.py` estimator)."""
+    from ..operators.sketch import _KMV_M
+
+    n = len(vals)
+    if n < k:
+        return n, n
+    return n, ((k - 1) * _KMV_M) // vals[-1]

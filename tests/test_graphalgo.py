@@ -486,3 +486,18 @@ def test_labelprop_sql_twin_matches(spark):
     )
     ref = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == ref
+
+
+def test_kcore_registered_fixture_reaches_fixpoint(spark):
+    """The z_graph_kcore docstring's claim, asserted on the real fixture:
+    4 peel rounds over the sf0.001 minhash near-dup graph equal 3 rounds
+    — the registered rounds=4 output IS the classical 2-core there."""
+    from bonobo_sqlalchemy_spark.operators.dedup import minhash_lsh_pairs
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8, threshold=0.5)
+    edges = pairs.selectExpr("id1 as src", "id2 as dst").localCheckpoint()
+    r3 = sorted((r.node, r.deg_final) for r in kcore_peel(edges, k=2, rounds=3).collect())
+    r4 = sorted((r.node, r.deg_final) for r in kcore_peel(edges, k=2, rounds=4).collect())
+    assert r3 == r4 and len(r4) > 0

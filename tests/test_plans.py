@@ -131,6 +131,12 @@ NO_CARTESIAN_EXEMPT = {
     # the exact-cosine baseline leg's 1-row query-vector broadcast — both
     # documented constant build sides; fusion joins are candidate-sized
     "search_hybrid_rrf",
+    # group-pair expansion over the per-group THETA table (groups², data-
+    # independent, broadcast, ordering predicate); the corpus enters only
+    # the distinct+bottom-k sketch stage and every later stage is
+    # sketch-sized — the source_overlap_kmv shape
+    # (operators/sketch.kmv_set_cardinalities)
+    "z_sketch_kmv_setops",
 }
 
 

@@ -224,3 +224,48 @@ def test_kmv_theta_branch_engages_on_mixed_sizes(spark):
     assert abs(out.est_union - 2000) <= 1200  # 4-sigma at k=64 is ~50%
     assert abs(max(out.est_a, out.est_b) - 2000) <= 1200  # full side estimates
     assert min(out.est_a, out.est_b) == 40  # unfull side stays exact
+
+
+def test_kmv_stream_fold_equals_batch_bottomk(spark):
+    """Folding per-batch bottom-k's through the streaming sink yields the
+    IDENTICAL sketch (and therefore the identical distinct estimate) as
+    one bottom-k over the concatenated feed — the mergeability contract
+    the six-micro-batch replay query relies on."""
+    from bonobo_sqlalchemy_spark.operators.sketch import _kmv_hash
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        kmv_distinct_estimate,
+        kmv_stream_fold,
+    )
+
+    all_keys = [f"u{i * 13 % 500}" for i in range(700)]
+    batches_in = [all_keys[i::5] for i in range(5)]  # 5 uneven slices
+    sink, state, seen = kmv_stream_fold(None, "k", k=32)  # stream unused by sink
+    for bid, keys in enumerate(batches_in):
+        sink(spark.createDataFrame([(x,) for x in keys], "k string"), bid)
+    assert len(seen) == 5
+    full = (
+        spark.createDataFrame([(x,) for x in all_keys], "k string")
+        .select(_kmv_hash(F.col("k")).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(32)
+        .collect()
+    )
+    assert state["vals"] == [r.hv for r in full]
+    k_used, est = kmv_distinct_estimate(state["vals"], 32)
+    true = len(set(all_keys))
+    assert k_used == 32
+    assert abs(est - true) <= 4 / (31**0.5) * true  # 4 sigma
+
+
+def test_kmv_distinct_estimate_exact_when_unfull(spark):
+    from bonobo_sqlalchemy_spark.streaming.sketches import (
+        kmv_distinct_estimate,
+        kmv_stream_fold,
+    )
+
+    sink, state, seen = kmv_stream_fold(None, "k", k=64)
+    sink(spark.createDataFrame([(f"u{i}",) for i in range(20)], "k string"), 0)
+    sink(spark.createDataFrame([(f"u{i}",) for i in range(10, 30)], "k string"), 1)
+    k_used, est = kmv_distinct_estimate(state["vals"], 64)
+    assert (k_used, est) == (30, 30)
