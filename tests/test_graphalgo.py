@@ -501,3 +501,24 @@ def test_kcore_registered_fixture_reaches_fixpoint(spark):
     r3 = sorted((r.node, r.deg_final) for r in kcore_peel(edges, k=2, rounds=3).collect())
     r4 = sorted((r.node, r.deg_final) for r in kcore_peel(edges, k=2, rounds=4).collect())
     assert r3 == r4 and len(r4) > 0
+
+
+def test_triangles_empty_and_selfloop_only_graphs(spark):
+    """Degenerate inputs: no edges (schema-stable empty output) and a
+    self-loop-only graph (canonicalizes to empty)."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = triangle_counts(empty)
+    assert out.columns == ["node", "tri", "deg", "lcc_micro"]
+    assert out.count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert triangle_counts(loops).count() == 0
+    assert kcore_peel(loops, k=1, rounds=2).count() == 0
+
+
+def test_labelprop_empty_seed_frame_yields_all_null(spark):
+    from bonobo_sqlalchemy_spark.operators.graphalgo import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    sd = spark.createDataFrame([], "node long, label long")
+    got = {r.node: r.label for r in label_propagation(edges, sd, rounds=2).collect()}
+    assert got == {1: None, 2: None}

@@ -269,3 +269,13 @@ def test_kmv_distinct_estimate_exact_when_unfull(spark):
     sink(spark.createDataFrame([(f"u{i}",) for i in range(10, 30)], "k string"), 1)
     k_used, est = kmv_distinct_estimate(state["vals"], 64)
     assert (k_used, est) == (30, 30)
+
+
+def test_kmv_single_group_yields_no_pairs(spark):
+    out = kmv_set_cardinalities(
+        _gk(spark, [("only", f"u{i}") for i in range(10)]), "key", "g", k=8
+    )
+    assert out.columns == [
+        "group_a", "group_b", "est_a", "est_b", "est_union", "est_inter"
+    ]
+    assert out.count() == 0
