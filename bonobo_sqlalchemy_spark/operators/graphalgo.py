@@ -420,9 +420,11 @@ def triangle_counts(
     the composite (lo, hi) key. Three shuffles total (degree agg, wedge
     join, closing join), all on equi-keys, AQE-eligible; no collect, no
     per-row Python. The orientation key packs (degree, node) into one
-    BIGINT ``deg * 2**32 + node`` — valid while node ids stay below
-    2**32, asserted cheaply by the caller's id space (doc ids / vec ids
-    here).
+    BIGINT ``deg * 2**32 + node`` — valid while node ids stay in
+    ``[0, 2**32)``, GUARDED in-plan: an out-of-range id raises from the
+    node-cardinality degree frame before any wedge is built (a silent
+    mis-order would corrupt Spark and the DuckDB twin identically, so
+    oracle parity could never catch it).
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("x"), F.col(dst_col).cast("long").alias("y")
@@ -440,8 +442,27 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # The packing is only an order-embedding of (d, node) while ids sit in
+    # [0, 2^32); outside it the orientation silently corrupts AND the DuckDB
+    # twin corrupts identically (shared packing), so oracle parity cannot
+    # catch it — guard in-plan instead (ADVICE r14): one codegen CASE per
+    # NODE row (not per edge), raising before any wedge is built.
+    id_ok = (F.col("node") >= 0) & (F.col("node") < F.lit(1 << 32))
     k = deg.select(
-        "node", (F.col("d") * F.lit(1 << 32) + F.col("node")).alias("okey")
+        "node",
+        F.when(id_ok, F.col("d") * F.lit(1 << 32) + F.col("node"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "triangle_counts: node id outside [0, 2^32) breaks the"
+                        " (deg, id) packing; remap ids first: "
+                    ),
+                    F.col("node").cast("string"),
+                )
+            )
+        )
+        .alias("okey"),
     )
     # degree table is node-cardinality (<= 2E rows of 16 bytes) — ride it
     # in as a broadcast on both endpoint joins so the edge list never
@@ -535,6 +556,8 @@ def kcore_peel(
     rounds: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_keep: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling over the undirected graph induced by
     ``edges``: repeat ``rounds`` times { drop every node of current
@@ -556,12 +579,22 @@ def kcore_peel(
 
     Scale design: each round is one degree aggregation (map-side
     combinable) + two semi-joins of the edge list against the surviving
-    node set. The node set rides a BROADCAST (node-cardinality, shrinks
-    every round); the edge list is filtered in place and
-    localCheckpoint'd per round, so round r+1 reads round r's O(E_r)
-    result instead of re-executing the whole chain — the same
-    bounded-re-execution discipline as `pagerank_integer`. No collect;
-    the loop is driver-side only in its (fixed) trip count.
+    node set. The node set rides a BROADCAST by default
+    (node-cardinality, shrinks every round); past ~1e8 surviving nodes
+    pass ``broadcast_keep=False`` to run the same two semi-joins as
+    shuffle joins instead — bit-identical output (the semi-join is
+    set-semantic either way), O(E_r) shuffled per round, the same
+    escape hatch `pagerank_integer` exposes via ``broadcast_ranks``.
+    The edge list is filtered in place and localCheckpoint'd per round,
+    so round r+1 reads round r's O(E_r) result instead of re-executing
+    the whole chain — the same bounded-re-execution discipline as
+    `pagerank_integer`. No collect beyond one scalar count per round:
+    a round that would drop ZERO nodes is the fixpoint — every later
+    round is a no-op, so the loop exits early and ``rounds`` is a CAP
+    on work, not a cost (the per-round count is the same cheap action
+    the `connected_components` loop uses; it rides the degree
+    aggregate that the round computes anyway). ``stats`` (optional
+    dict) records ``rounds_run`` for tests/audits.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("x"), F.col(dst_col).cast("long").alias("y")
@@ -571,6 +604,7 @@ def kcore_peel(
         .distinct()
         .localCheckpoint()
     )
+    rounds_run = 0
     for _ in range(rounds):
         dg = (
             cur.select(F.col("u").alias("node"))
@@ -578,15 +612,29 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # fixpoint probe: one tiny 2-scalar agg over the node-cardinality
+        # degree frame (computed this round regardless). All nodes already
+        # >= k -> nothing peels now or ever after; stop.
+        probe = dg.agg(
+            F.count(F.lit(1)).alias("n_cur"),
+            F.sum((F.col("d") >= k).cast("long")).alias("n_keep"),
+        ).first()
+        if probe.n_cur == 0 or probe.n_keep == probe.n_cur:
+            break
+        rounds_run += 1
         keep = dg.where(F.col("d") >= k).select("node")
+        ku = keep.select(F.col("node").alias("u"))
+        kv = keep.select(F.col("node").alias("v"))
+        if broadcast_keep:
+            ku, kv = F.broadcast(ku), F.broadcast(kv)
         cur = (
-            cur.join(
-                F.broadcast(keep.select(F.col("node").alias("u"))), "u", "semi"
-            )
-            .join(F.broadcast(keep.select(F.col("node").alias("v"))), "v", "semi")
+            cur.join(ku, "u", "semi")
+            .join(kv, "v", "semi")
             .select("u", "v")
             .localCheckpoint()
         )
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
     final_deg = (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))
@@ -640,6 +688,7 @@ def label_propagation(
     node_col: str = "node",
     label_col: str = "label",
     checkpoint_interval: int = 2,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Clamped semi-supervised label propagation: seed nodes keep their
     (integer) label forever; every round each node adopts the MODAL label
@@ -659,7 +708,11 @@ def label_propagation(
     Scale design (same discipline as :func:`pagerank_integer`): the edge
     list is loop-invariant — materialized once, pre-partitioned on dst so
     every round's modal count is partition-local; the label frame is
-    node-cardinality and rides a broadcast into the edge join; the modal
+    node-cardinality and rides a broadcast into the edge join (past ~1e8
+    nodes pass ``broadcast_labels=False``: the per-round label join runs
+    as a shuffle join against the checkpointed edge list instead —
+    bit-identical output, O(E) shuffled per round, the same fallback
+    contract as ``pagerank_integer(broadcast_ranks=False)``); the modal
     pick folds into a second hash aggregation (max(struct(count,
     -label)) — partial map-side, no rank window) — bounded by labels-per-node,
     not corpus size; seeds are clamped by re-anchoring on a checkpointed
@@ -670,7 +723,11 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
-    ed = e.repartition("dst").persist()
+    # broadcast leg: dst-partitioned cache makes the per-round modal count
+    # partition-local (rounds move ~0 bytes). Fallback leg: bare checkpoint
+    # — the per-round join shuffles on src anyway, so pre-partitioning on
+    # dst would only add an extra exchange (mirrors pagerank_integer).
+    ed = e.repartition("dst").persist() if broadcast_labels else e.localCheckpoint()
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
@@ -696,8 +753,10 @@ def label_propagation(
         lsrc = labels.where(F.col("lbl").isNotNull()).select(
             F.col("node").alias("src"), "lbl"
         )
+        if broadcast_labels:
+            lsrc = F.broadcast(lsrc)
         cnt = (
-            ed.join(F.broadcast(lsrc), "src")
+            ed.join(lsrc, "src")
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -715,7 +774,8 @@ def label_propagation(
         if (it + 1) % max(1, checkpoint_interval) == 0 or it == rounds - 1:
             labels = labels.localCheckpoint()
     out = labels.select("node", F.col("lbl").alias("label"))
-    ed.unpersist(blocking=False)
+    if broadcast_labels:
+        ed.unpersist(blocking=False)
     return out
 
 

@@ -622,11 +622,14 @@ def z_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tr AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
            FROM events)
-    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
-           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+    -- no GROUP BY + scalar subquery: exactly ONE output row even when
+    -- events is empty (k_used=0, est=0, true_distinct=0), matching the
+    -- Spark side's degenerate-input contract (ADVICE r14)
+    SELECT CAST(COUNT(hv) AS BIGINT) AS k_used,
+           CAST(CASE WHEN COUNT(hv) < 64 THEN COUNT(hv)
                      ELSE (63 * {1 << 40}) // MAX(hv) END AS BIGINT) AS est_distinct,
-           tr.true_distinct
-    FROM sk, tr GROUP BY tr.true_distinct
+           (SELECT true_distinct FROM tr) AS true_distinct
+    FROM sk
     """,
     tags=("streaming", "sketch"),
 )

@@ -522,3 +522,85 @@ def test_labelprop_empty_seed_frame_yields_all_null(spark):
     sd = spark.createDataFrame([], "node long, label long")
     got = {r.node: r.label for r in label_propagation(edges, sd, rounds=2).collect()}
     assert got == {1: None, 2: None}
+
+
+# ---------------------------------------------------------------------------
+# Round 15: shuffle-fallback legs, k-core early exit, id-packing guard
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_shuffle_join_leg_matches_broadcast_leg(spark):
+    """broadcast_keep=False (the billion-node fallback) runs the same
+    peel through shuffle semi-joins — output must be bit-identical."""
+    pairs = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        + [(4, 5), (5, 6)]
+        + [(7, 8), (8, 9), (7, 9)]
+    )
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    a = sorted((r.node, r.deg_final) for r in kcore_peel(df, k=2, rounds=4).collect())
+    b = sorted(
+        (r.node, r.deg_final)
+        for r in kcore_peel(df, k=2, rounds=4, broadcast_keep=False).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_kcore_early_exit_tracks_peel_depth(spark):
+    """A shallow fixture (one pendant node; fixpoint after round 1) under a
+    huge rounds CAP must stop after detecting the fixpoint — rounds is a
+    cap, not a cost (r14 verdict item 6)."""
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4)]  # triangle + pendant 4
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    stats: dict = {}
+    got = {
+        r.node: r.deg_final
+        for r in kcore_peel(df, k=2, rounds=50, stats=stats).collect()
+    }
+    assert got == _kcore_reference(pairs, 2, 50) == {1: 2, 2: 2, 3: 2}
+    assert stats["rounds_run"] == 1  # peel depth, nowhere near the cap
+    # already-at-fixpoint input: zero filter rounds
+    clique = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    stats2: dict = {}
+    kcore_peel(clique, k=2, rounds=50, stats=stats2).collect()
+    assert stats2["rounds_run"] == 0
+
+
+def test_labelprop_shuffle_join_leg_matches_broadcast_leg(spark):
+    """broadcast_labels=False runs the per-round label join as a shuffle
+    join — the clamped modal recurrence must give identical labels."""
+    edges = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (2, 6)]),
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1, 10), (7, 20)], "node long, label long")
+    a = sorted(
+        (r.node, r.label) for r in label_propagation(edges, seeds, rounds=4).collect()
+    )
+    b = sorted(
+        (r.node, r.label)
+        for r in label_propagation(
+            edges, seeds, rounds=4, broadcast_labels=False
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_triangles_rejects_out_of_range_node_ids(spark):
+    """The (deg, id) BIGINT packing silently mis-orders for ids outside
+    [0, 2^32) — and the DuckDB twin shares the packing, so parity could
+    never catch it. The in-plan guard must raise instead (ADVICE r14)."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [(1, 2), (2, 1 << 33), (1 << 33, 1)], "src long, dst long"
+    )
+    with pytest.raises(Exception) as ei:
+        triangle_counts(big).collect()
+    assert "packing" in str(ei.value)
+    neg = spark.createDataFrame([(1, -2), (-2, 3)], "src long, dst long")
+    with pytest.raises(Exception) as ei2:
+        triangle_counts(neg).collect()
+    assert "packing" in str(ei2.value)

@@ -170,6 +170,7 @@ def test_kmv_sketch_is_mergeable(spark):
     bottom-k's: computing the pair table over pre-sketched shards yields
     the IDENTICAL result as over the raw input — the property that lets
     per-shard sketches fold without revisiting shards."""
+    import hashlib
     import random
 
     rnd = random.Random(7)
@@ -180,15 +181,31 @@ def test_kmv_sketch_is_mergeable(spark):
         tuple(r)
         for r in kmv_set_cardinalities(_gk(spark, rows), "key", "g", k=32).collect()
     )
-    # shard, pre-reduce each shard to its per-group bottom-32 hashes by
-    # round-tripping through the operator's own fingerprint: dedupe rows
-    # per shard first (any subset containing the k smallest keys works)
+
+    # Pre-REDUCE each shard to its per-group bottom-32 sketch (python twin
+    # of _kmv_hash: 40-bit int from the first 10 md5 hex chars), keeping
+    # only the 32 keys with the smallest fingerprints per (shard, group) —
+    # a genuine lossy sketch, NOT the raw shard. Feeding the concatenated
+    # sketches back through the operator must reproduce the full-input
+    # result exactly: bottom-k(union) == bottom-k(concat of bottom-k's).
+    def py_fp(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:10], 16)
+
     shards = [rows[0::2], rows[1::2]]
-    merged_rows = [r for s in shards for r in s]
+    sketch_rows = []
+    for s in shards:
+        per_group: dict[str, set[str]] = {}
+        for g, key in s:
+            per_group.setdefault(g, set()).add(key)
+        for g, keys in per_group.items():
+            bottom = sorted(keys, key=py_fp)[:32]
+            sketch_rows += [(g, key) for key in bottom]
+    # the sketches really dropped keys (the merge is not a trivial concat)
+    assert len({k for _, k in sketch_rows}) < len({k for _, k in rows})
     merged = sorted(
         tuple(r)
         for r in kmv_set_cardinalities(
-            _gk(spark, merged_rows), "key", "g", k=32
+            _gk(spark, sketch_rows), "key", "g", k=32
         ).collect()
     )
     assert full == merged
