@@ -29,14 +29,26 @@ from .base import query
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency (explode -> two-phase
     count -> global top-k; the rank tie-breaks on the token for
-    determinism)."""
+    determinism).
+
+    The top-k is `orderBy().limit(50)` — TakeOrderedAndProject, per-
+    partition heaps, never a global sort — and the rank window runs OVER
+    THE 50 SURVIVORS only. Ranking the full vocab table through an
+    unpartitioned window first (the previous shape) would sort 1e8+ rows
+    on a single partition at 100 TB (r14 verdict item 4; the scale-safe
+    idiom of `z_sketch_cms_tokens` / `z_stream_kmv_distinct`)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    w = W.orderBy(F.col("freq").desc(), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 50)
+        counts.orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("freq").desc(), F.col("token")))
+            .cast("bigint"),
+        )
     )
 
 

@@ -315,3 +315,97 @@ def test_containment_shares_jaccard_plan_shape(spark):
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+#: Unpartitioned global-sort windows whose INPUT is provably bounded but
+#: carries no Limit node in-plan — each entry must name the bound.
+UNPARTITIONED_WINDOW_EXEMPT: dict[str, str] = {
+    # the pos window ranks the PageRank output of the event-type transition
+    # graph: one row per DISTINCT event_type (the type vocabulary — tens to
+    # thousands of rows at any corpus size), never the event log itself; a
+    # limit would drop types the query's contract says to rank in full
+    "z_events_markov_rank": "event-type vocabulary cardinality",
+}
+
+
+def _toplevel_bracket_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` group contents on one plan line — WindowExec
+    prints ``Window [exprs], [partitionSpec], [orderSpec]`` and OMITS an
+    empty spec, so an unpartitioned-but-ordered window shows two groups
+    with sort directions in the second, while a partition-only window
+    shows two groups with bare expressions in the second."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+            depth = max(0, depth)
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+_BOUNDED_BELOW = (
+    "TakeOrderedAndProject",  # orderBy().limit(k) — the repo's top-k idiom
+    "GlobalLimit",
+    "CollectLimit",
+    "WindowGroupLimit",       # rank-limit pushdown bounds per-group rows
+    "LocalTableScan",         # literal frame
+)
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    """An unpartitioned Window sorts its ENTIRE input on one task — fine
+    over the <=k survivors of a TakeOrderedAndProject, fatal over a
+    corpus-sized table (1e8+ vocab rows on one partition at 100 TB — the
+    text_vocab_topk lesson, r14 verdict item 4). Gate: every unpartitioned
+    WindowExec in every registered query must sit above a bounding limit
+    node, or the query must be exempted with the bound named."""
+    offenders, broke = [], []
+    for name in REGISTRY:
+        if name in UNPARTITIONED_WINDOW_EXEMPT or name.startswith(
+            EXECUTES_ON_CALL_PREFIXES
+        ) or "alias" in REGISTRY[name].tags:
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as exc:
+            broke.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.lstrip(" :+-")
+            if not stripped.startswith("Window "):
+                continue
+            groups = _toplevel_bracket_groups(stripped)
+            # 3 groups = partitioned (low-card gate's turf). 2 groups whose
+            # second carries no sort direction = partition-only running agg
+            # (partitioned, order spec omitted) — also not this gate's shape.
+            if len(groups) != 2 or not re.search(r"\b(ASC|DESC)\b", groups[1]):
+                continue
+            indent = len(line) - len(stripped)
+            subtree = []
+            for below in lines[i + 1:]:
+                s2 = below.lstrip(" :+-")
+                if len(below) - len(s2) <= indent:
+                    break
+                subtree.append(below)
+            if not any(m in b for b in subtree for m in _BOUNDED_BELOW):
+                offenders.append(name)
+                break
+    assert not broke, f"queries no longer plan-constructible: {broke}"
+    assert not offenders, (
+        "unpartitioned Window over unbounded input in: "
+        f"{offenders} — use orderBy().limit(k) (TakeOrderedAndProject) "
+        "below the window, or exempt with the input bound named"
+    )
