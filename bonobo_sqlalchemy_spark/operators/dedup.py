@@ -391,6 +391,71 @@ def auto_simhash_blocks(
     return k
 
 
+def _simhash_band_geometry(k: int, max_hamming: int):
+    """Shared banding geometry: per-block bit widths (64 split into ``k``
+    contiguous blocks, remainder spread over the first blocks) and the
+    ``(k - d)``-subsets used as candidate keys."""
+    import itertools
+
+    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+    combos = list(itertools.combinations(range(k), k - max_hamming))
+    return widths, offsets, combos
+
+
+def simhash_clustered_probe(
+    sample_sigs: DataFrame,
+    max_hamming: int,
+    n_blocks: int,
+) -> tuple[int, float]:
+    """Measure banding collision mass on a SAMPLE of signatures vs the
+    uniform-hash model's prediction — the clustered-regime detector behind
+    :func:`simhash_pairs`'s auto default (r14 verdict item 2).
+
+    ``sample_sigs`` is a small ``(id, blk, sig)`` frame (~2k rows). Returns
+    ``(measured, predicted)`` where ``measured`` is the banded collision
+    mass Σ over (blk, band, key) buckets of C(occupancy, 2), and
+    ``predicted`` is what uniformly-random 64-bit signatures would put in
+    the same buckets: Σ over bands of (same-blk pair count) / 2^band_width.
+    Both are PAIR counts over the sample, so their RATIO is invariant to
+    the sample fraction (both scale ~f²) and to the corpus size (with the
+    occupancy rule holding 2^width ≈ N/target, chance mass per sampled
+    pair is ~target/2N while clustered mass per sampled pair is the
+    corpus's per-doc duplicate density — both N-normalized the same way).
+    Calibration (SCALING.md band-width appendix, measured round 14, N=50k,
+    d=8, k=10): clustered fixture 152.9M measured vs 8.7M uniform ≈ 17.6×;
+    uniform control ≈ 1×.
+
+    Cost: one tiny two-stage aggregation over sample-size × C(k, d) rows —
+    no corpus pass; the caller samples before signature computation.
+    """
+    k = max(max_hamming + 1, min(n_blocks, 64))
+    widths, _, combos = _simhash_band_geometry(k, max_hamming)
+    buckets = simhash_buckets(sample_sigs, max_hamming, k)
+    occ = buckets.groupBy("blk", "bidx", "bval").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    measured_row = occ.agg(
+        F.sum(F.expr("c * (c - 1)") / 2).cast("bigint").alias("m")
+    ).first()
+    measured = int(measured_row.m or 0)
+    # chance model: same-blk sample pairs spread uniformly over each band's
+    # 2^width key space (block widths differ when 64 % k != 0 — use each
+    # combo's exact guaranteed width)
+    blk_counts = [
+        r.c
+        for r in sample_sigs.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    same_blk_pairs = sum(c * (c - 1) / 2 for c in blk_counts)
+    predicted = sum(
+        same_blk_pairs / float(2 ** sum(widths[b] for b in combo))
+        for combo in combos
+    )
+    return measured, predicted
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -445,15 +510,10 @@ def simhash_buckets(
     banding as the special case). Exposed separately so the scaling audit
     can measure bucket occupancy / candidate volume per ``n_blocks``."""
     k = max(max_hamming + 1, min(n_blocks, 64))
-    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
-    offsets = [sum(widths[:i]) for i in range(k)]
+    widths, offsets, combos = _simhash_band_geometry(k, max_hamming)
 
     def block_val(sig, i):
         return F.shiftright(sig, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
-
-    import itertools
-
-    combos = list(itertools.combinations(range(k), k - max_hamming))
 
     def key_val(sig, combo):
         acc = block_val(sig, combo[0])
@@ -482,6 +542,8 @@ def simhash_pairs(
     max_hamming: int = 12,
     n_blocks: int | None = None,
     target_occupancy: int = 160,
+    clustered_guard_ratio: float = 4.0,
+    probe_sample_target: int = 2000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit sketch, hamming <= t, within a block.
 
@@ -498,17 +560,60 @@ def simhash_pairs(
     linear as the corpus grows. The DEFAULT (``n_blocks=None``) spends one
     cheap count to pick the occupancy-targeting value
     (:func:`auto_simhash_blocks`); the measured sweep is in SCALING.md's
-    simhash band-width appendix. (On a corpus where near-everything is
-    near-duplicate — like the small-vocab test fixture — any banding
-    degenerates to all pairs plus key overhead; its win is on realistic
-    corpora where similar pairs are sparse.) Because the final hamming
-    verify is exact and the guarantee is exact, the OUTPUT is
-    banding-independent — ``n_blocks`` moves cost, never values.
+    simhash band-width appendix. Because the final hamming verify is
+    exact and the guarantee is exact, the OUTPUT is banding-independent —
+    ``n_blocks`` moves cost, never values.
+
+    **Clustered-regime guard (r15):** the occupancy rule's win
+    (`C(k,d)·N·target` linear candidates) assumes signatures spread like
+    uniform hashes. On a near-dup-DENSE corpus the collider mass is
+    correlated pairs that share every band regardless of key width, so
+    wider keys only multiply key-row volume — measured 17.8s/123 MB at
+    the auto k=10 vs 13.1s/52 MB at classic k=9 on the round-14 sf1.0
+    fixture. When the auto rule picks a non-classic ``k``, one sampled
+    occupancy probe (~``probe_sample_target`` docs, no corpus pass —
+    :func:`simhash_clustered_probe`) compares measured banding collision
+    mass to the uniform model's prediction; measured >
+    ``clustered_guard_ratio`` × predicted falls back to classic
+    ``k = d + 1`` (decision logged at INFO). The sampled ratio is
+    corpus-size and sample-fraction invariant (see the probe docstring);
+    the calibration points are ≈17.6× (clustered fixture) vs ≈1×
+    (uniform control).
     """
     if n_blocks is None:
+        n_rows = df.count()
         n_blocks = auto_simhash_blocks(
-            df.count(), max_hamming, target_occupancy=target_occupancy
+            n_rows, max_hamming, target_occupancy=target_occupancy
         )
+        if n_blocks > max_hamming + 1 and probe_sample_target > 0:
+            # deterministic ~probe_sample_target-doc sample: md5-derived
+            # residue on the id, no rand() (same run -> same decision)
+            stride = max(1, n_rows // probe_sample_target)
+            samp = df.where(
+                F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                % stride
+                == 0
+            )
+            sigs = simhash_signatures(
+                samp, text_col=text_col, id_col=id_col, block_col=block_col
+            )
+            measured, predicted = simhash_clustered_probe(
+                sigs, max_hamming, n_blocks
+            )
+            # floor keeps a near-empty sample from flapping the decision
+            if measured > clustered_guard_ratio * max(predicted, 32.0):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "simhash auto-banding: clustered regime detected "
+                    "(sampled collision mass %d > %.0fx uniform prediction "
+                    "%.1f at k=%d); falling back to classic k=%d",
+                    measured, clustered_guard_ratio, predicted, n_blocks,
+                    max_hamming + 1,
+                )
+                n_blocks = max_hamming + 1
     base = simhash_signatures(df, text_col=text_col, id_col=id_col, block_col=block_col)
     buckets = simhash_buckets(base, max_hamming, n_blocks)
     # shuffle_hash keeps the self-join symmetric: a broadcast build side

@@ -1225,3 +1225,78 @@ def test_png_sub8bit_grayscale_scales_to_full_range():
     )
     img = np.asarray(M.decode_image(p))
     assert img[0, :, 0].tolist() == [0, 85, 170, 255]
+
+
+# ---------------------------------------------------------------------------
+# Round 15: clustered-regime guard on the simhash auto-banding default
+# ---------------------------------------------------------------------------
+
+
+def _sig_frame(spark, sigs):
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    return spark.createDataFrame(
+        [(i, 1, to_signed(s)) for i, s in enumerate(sigs)],
+        "id long, blk int, sig long",
+    )
+
+
+def test_simhash_probe_uniform_signatures_ratio_near_one(spark):
+    """Uniformly-random 64-bit signatures must measure ~the uniform model's
+    predicted collision mass (ratio well under the guard threshold), so the
+    occupancy rule keeps its wide-key pick on diverse corpora."""
+    import random
+
+    rnd = random.Random(11)
+    sigs = [rnd.getrandbits(64) for _ in range(2000)]
+    measured, predicted = D.simhash_clustered_probe(
+        _sig_frame(spark, sigs), max_hamming=8, n_blocks=10
+    )
+    assert predicted > 100  # the model expects real chance mass at k=10
+    assert measured < 2.0 * predicted  # nowhere near the 4x guard
+
+
+def test_simhash_probe_clustered_signatures_ratio_blows_past_guard(spark):
+    """Near-dup-dense signatures (50 copies of each base, <=2 bits flipped)
+    collide in every band regardless of key width — measured mass must
+    exceed the uniform prediction by far more than the 4x guard ratio."""
+    import random
+
+    rnd = random.Random(13)
+    sigs = []
+    for _ in range(40):
+        base = rnd.getrandbits(64)
+        for _ in range(50):
+            s = base
+            for _ in range(rnd.randrange(3)):
+                s ^= 1 << rnd.randrange(64)
+            sigs.append(s)
+    measured, predicted = D.simhash_clustered_probe(
+        _sig_frame(spark, sigs), max_hamming=8, n_blocks=10
+    )
+    assert measured > 10 * max(predicted, 32.0)
+
+
+def test_simhash_guard_falls_back_to_classic_banding_on_dense_corpus(
+    docs, caplog
+):
+    """End-to-end wiring: on the near-dup-dense driver fixture, forcing the
+    occupancy rule past classic banding (target_occupancy=1) must trip the
+    sampled probe, log the decision, and fall back to k = d+1 — with the
+    pair set untouched (banding moves cost, never values)."""
+    import logging
+
+    with caplog.at_level(
+        logging.INFO, logger="bonobo_sqlalchemy_spark.operators.dedup"
+    ):
+        guarded = {
+            (r.id1, r.id2, r.hamming)
+            for r in D.simhash_pairs(
+                docs, max_hamming=8, target_occupancy=1
+            ).collect()
+        }
+    assert any("clustered regime detected" in m for m in caplog.messages)
+    classic = {
+        (r.id1, r.id2, r.hamming)
+        for r in D.simhash_pairs(docs, max_hamming=8, n_blocks=9).collect()
+    }
+    assert guarded == classic and guarded

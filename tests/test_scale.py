@@ -342,3 +342,57 @@ def test_embedding_near_dup_auto_bits_default_engages(spark):
     }
     expected = {(2 * i, 2 * i + 1) for i in range(40)}
     assert len(expected - found) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Round 15: planted-cluster embedding fixture (sf1_generate) — geometry and
+# operator recall, so the fixture change cannot silently weaken the
+# operators' test value (r14 verdict item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_planted_cluster_fixture_geometry_and_operator_recall(spark):
+    """The sf1.0 embedding generator must yield the geometry its docstring
+    promises — within-cluster cosine >> 0.4, every cross-cluster cosine
+    below the 0.15 query threshold — and `embedding_near_dup_pairs` at the
+    production auto-bits default must recover the planted pair set with
+    ~perfect recall and zero cross-cluster hallucinations. Asserted on a
+    small instance of the same helper (same construction, n scaled down)."""
+    import numpy as np
+
+    from sf1_generate import planted_cluster_embeddings
+    from bonobo_sqlalchemy_spark.operators.dedup import embedding_near_dup_pairs
+
+    n, n_clusters = 600, 32
+    vecs, labels, cids = planted_cluster_embeddings(
+        n, n_clusters=n_clusters, seed=99
+    )
+    gram = vecs @ vecs.T
+    same = cids[:, None] == cids[None, :]
+    off_diag = ~np.eye(n, dtype=bool)
+    assert gram[same & off_diag].min() > 0.9          # planted pairs: near-dup
+    assert gram[~same].max() < 0.15                   # cross: below threshold
+    # labels are cluster-correlated (cluster -> label is a function)
+    assert all(
+        len({int(l) for l in labels[cids == c]}) == 1 for c in range(n_clusters)
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.15, block_col=None
+        ).collect()
+    }
+    want = {
+        (int(min(i, j)), int(max(i, j)))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cids[i] == cids[j]
+    }
+    assert not (got - want), "cross-cluster hallucinated pairs"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, f"planted-pair recall {recall:.4f}"
