@@ -220,37 +220,43 @@ def containment_pairs(
     ).where(F.col("containment") >= threshold)
 
 
-def minhash_lsh_pairs(
+def minhash_index_frames(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
     max_shingle_df: int | None = None,
-) -> DataFrame:
-    """MinHash+LSH candidate pairs, verified with exact Jaccard.
+    materialize: bool = True,
+):
+    """The three persistable minhash-index frames of a corpus slice:
+    ``(ex, sig, buckets)`` — exploded distinct shingles ``(id, g)``, the
+    signature aggregate ``(id, n_sh, m0..)``, and band-bucket keys
+    ``(id, bucket)``.
 
-    Candidate generation: docs sharing any of ``bands`` band-keys meet in a
-    band-bucket join (shuffle on band key — no all-pairs). Verification
-    computes exact Jaccard on the candidates only. With 32 perms / 8 bands
-    (4 rows per band) the S-curve midpoint sits near 0.5 similarity.
-    ``max_shingle_df`` applies stop-shingle filtering (see `_cap_shingles`).
+    Every hash is md5-derived from row content alone (shingle hash, perm
+    params, band key), so the frames are CORPUS-INDEPENDENT: an index
+    built over a slice composes with an index built over a disjoint slice
+    — union of slice indexes == index of the union. That property is what
+    makes a persisted near-dup edge artifact maintainable incrementally
+    (:func:`minhash_edges_extend`) with bit-identical results to a
+    from-scratch build (``max_shingle_df`` must be None for composability:
+    a document-frequency cap is a corpus-level statistic).
+
+    ``materialize=True`` localCheckpoints ``ex`` and ``sig`` exactly as
+    :func:`minhash_lsh_pairs` always has (three+ readers each; exchange
+    reuse does not cover them — without the checkpoints the documents
+    scan + split + explode subtree ran 6x per query). The cluster-scale
+    analog is persisting these frames to storage, which is precisely what
+    the edge-artifact cache does.
     """
     rows = num_perm // bands
-    # Shared exploded distinct-shingle plan (codegen; see _exploded_shingles),
-    # MATERIALIZED once: three consumers read it (the signature aggregate and
-    # both sides of the verification shingle-fetch), and exchange reuse does
-    # not cover them — without the checkpoint the documents scan + split +
-    # explode subtree ran 6x per query. One localCheckpoint per call (fresh
-    # across invocations/scale factors); the cluster-scale analog is
-    # persisting the shingle stage to storage.
-    ex = (
-        _cap_shingles(_exploded_shingles(df, text_col, id_col, n, None), max_shingle_df)
-        .drop("blk")
-        .localCheckpoint()
-    )
+    ex = _cap_shingles(
+        _exploded_shingles(df, text_col, id_col, n, None), max_shingle_df
+    ).drop("blk")
+    if materialize:
+        ex = ex.localCheckpoint()
 
     # Signature via explode + hash-aggregate, NOT per-row array lambdas:
     # nested higher-order functions run interpreted (~8us/element measured —
@@ -284,7 +290,9 @@ def minhash_lsh_pairs(
             )
             for i, (a, b) in enumerate(params)
         ]
-    ).localCheckpoint()
+    )
+    if materialize:
+        sig = sig.localCheckpoint()
     # Band key = first 15 md5 hex chars of 'band:lane0:...:laneR' as one
     # 60-bit long: a single long key instead of a concat_ws string — smaller
     # codegen, narrower shuffle, a long equi-join key — and (unlike
@@ -313,25 +321,17 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = sig.select("id", F.explode(band_keys).alias("bucket"))
-    # shuffle_hash: letting AQE broadcast one side would re-run the whole
-    # 32-MIN signature aggregate to build the broadcast relation (no
-    # exchange sharing across join strategies) — measured ~1.6x slower
-    # steady-state at sf0.1 than the symmetric hash join.
-    a, b = buckets.alias("a"), buckets.hint("shuffle_hash").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    # Exact-Jaccard verification of candidates only, over the exploded form:
-    # count common shingles per candidate pair (two co-partitioned joins —
-    # never materializes shingle arrays), then |A∪B| = n1 + n2 - common.
-    # Pairs with zero common shingles drop out of the join; their Jaccard is
-    # 0 < threshold, so nothing is lost.
-    sizes = sig.select("id", "n_sh")
+    return ex, sig, buckets
+
+
+def _verify_jaccard(
+    cand: DataFrame, ex: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over the exploded
+    shingle form: count common shingles per pair (two co-partitioned joins
+    — never materializes shingle arrays), then |A∪B| = n1 + n2 - common.
+    Pairs with zero common shingles drop out of the join; their Jaccard is
+    0 < threshold, so nothing is lost."""
     e1 = ex.select(F.col("id").alias("id1"), "g")
     e2 = ex.select(F.col("id").alias("id2"), "g")
     common = (
@@ -354,6 +354,141 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs, verified with exact Jaccard.
+
+    Candidate generation: docs sharing any of ``bands`` band-keys meet in a
+    band-bucket join (shuffle on band key — no all-pairs). Verification
+    computes exact Jaccard on the candidates only. With 32 perms / 8 bands
+    (4 rows per band) the S-curve midpoint sits near 0.5 similarity.
+    ``max_shingle_df`` applies stop-shingle filtering (see `_cap_shingles`).
+    """
+    ex, sig, buckets = minhash_index_frames(
+        df, text_col, id_col, n, num_perm, bands, max_shingle_df, materialize=True
+    )
+    # shuffle_hash: letting AQE broadcast one side would re-run the whole
+    # 32-MIN signature aggregate to build the broadcast relation (no
+    # exchange sharing across join strategies) — measured ~1.6x slower
+    # steady-state at sf0.1 than the symmetric hash join.
+    a, b = buckets.alias("a"), buckets.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    return _verify_jaccard(cand, ex, sig.select("id", "n_sh"), threshold)
+
+
+def minhash_edges_extend(
+    spark,
+    index_path: str,
+    delta_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Extend a PERSISTED near-dup edge index with a delta batch: returns
+    the full-corpus edge set ``(id1, id2, jaccard)`` — bit-identical to a
+    from-scratch :func:`minhash_lsh_pairs` over base ∪ delta (asserted by
+    the registered query's full-recompute oracle).
+
+    ``index_path`` holds the base corpus's four frames, written by
+    :func:`minhash_index_write`: ``edges/ buckets/ shingles/ sizes/``.
+    Only the delta pays signature cost; candidate generation joins the
+    delta's band buckets against base ∪ delta buckets (every NEW pair
+    touches a delta doc — base×base pairs are already in ``edges/``), and
+    exact-Jaccard verification fetches shingles for both sides from the
+    union of the stored shingle frame and the delta's. Hash
+    corpus-independence (see :func:`minhash_index_frames`) is what makes
+    the composition exact; ``max_shingle_df`` is deliberately not
+    supported here (a df-cap is a corpus-level statistic, so capped
+    indexes do not compose).
+
+    Scale: at 100 TB the stored ``shingles/``/``buckets/`` frames would be
+    bucketed by ``id``/``bucket`` so the delta joins are bucket-local; the
+    delta-side work is O(|delta|) signatures + candidate volume, never a
+    corpus re-scan.
+    """
+    dex, dsig, dbuckets = minhash_index_frames(
+        delta_df, text_col, id_col, n, num_perm, bands, None, materialize=True
+    )
+    base_edges = spark.read.parquet(f"{index_path}/edges")
+    base_buckets = spark.read.parquet(f"{index_path}/buckets")
+    base_ex = spark.read.parquet(f"{index_path}/shingles")
+    base_sizes = spark.read.parquet(f"{index_path}/sizes")
+    all_buckets = base_buckets.unionByName(dbuckets)
+    a, b = dbuckets.alias("a"), all_buckets.hint("shuffle_hash").alias("b")
+    # delta side × everything; normalize the pair orientation (a delta id
+    # may be smaller OR larger than its base partner)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    ex_all = base_ex.unionByName(dex.select("id", "g"))
+    sizes_all = base_sizes.unionByName(dsig.select("id", "n_sh"))
+    new_edges = _verify_jaccard(cand, ex_all, sizes_all, threshold)
+    # disjoint by construction: every new edge touches a delta id, every
+    # stored edge is base×base
+    return base_edges.unionByName(new_edges)
+
+
+def minhash_index_write(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> None:
+    """Materialize the persisted near-dup edge index of a corpus slice:
+    ``edges/`` (verified pairs within the slice), ``buckets/``,
+    ``shingles/``, ``sizes/`` — the artifact :func:`minhash_edges_extend`
+    maintains incrementally. Pure parquet: atomic-publish/versioning is
+    the caller's job (``cache.ensure_artifact``)."""
+    ex, sig, buckets = minhash_index_frames(
+        df, text_col, id_col, n, num_perm, bands, None, materialize=True
+    )
+    a, b = buckets.alias("a"), buckets.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    edges = _verify_jaccard(cand, ex, sig.select("id", "n_sh"), threshold)
+    edges.write.mode("overwrite").parquet(f"{path}/edges")
+    buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    ex.select("id", "g").write.mode("overwrite").parquet(f"{path}/shingles")
+    sig.select("id", "n_sh").write.mode("overwrite").parquet(f"{path}/sizes")
 
 
 def auto_simhash_blocks(

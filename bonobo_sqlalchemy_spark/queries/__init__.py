@@ -26,6 +26,7 @@ from . import datapipe8  # noqa: E402,F401
 from . import datapipe9  # noqa: E402,F401
 from . import datapipe10  # noqa: E402,F401
 from . import datapipe11  # noqa: E402,F401
+from . import datapipe12  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
 
 # Driver-gate window aliases: the driver's hard correctness check covers the
