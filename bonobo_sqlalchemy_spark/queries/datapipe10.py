@@ -1045,22 +1045,30 @@ def z_graph_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is already value-exact — seeded-hyperplane LSH buckets,
     rounded-cosine verification, integer PPR — so the composition is too.
-    Scale: the similarity graph is the SHARED cached artifact (r15 —
-    `datapipe12.embedding_edge_index_cached`, the same edge list
-    `z_graph_labelprop` walks; the r14 rows each rebuilt the identical
-    LSH stage inline). The stored pairs run the PRODUCTION auto-bits
-    default (the pinned-bits-4 variant measured shuffle beta 2.02 on
-    this composition — 1.6 GB at the 20k-vector sf1.0 decade — because
+    Scale: the similarity-edge stage runs the PRODUCTION auto-bits
+    default (r14; the pinned-bits-4 variant measured shuffle beta 2.02
+    on this composition — 1.6 GB at the 20k-vector sf1.0 decade — because
     fixed-width buckets make the edge list quadratic), and the oracle
     resolves the same bits from the same scalar-subquery count
-    (`_emb_lsh_auto_oracle`), so value-exactness survives both the
-    auto-bits switch and the cache at every scale factor. The walk costs
-    one broadcast join + one partition-local aggregation per round."""
+    (`_emb_lsh_auto_oracle`), so value-exactness survives the switch at
+    every scale factor. The walk costs one broadcast join + one
+    partition-local aggregation per round. (Every invocation computes
+    the edges from the parquet input — no cross-run artifact.)"""
+    from ..operators import dedup as D
     from ..operators.graphalgo import pagerank_personalized_integer
-    from .datapipe12 import symmetrized_cached_embedding_edges
 
     e = load_table(spark, sf_dir, "embeddings")
-    edges = symmetrized_cached_embedding_edges(spark, sf_dir)
+    pairs = D.embedding_near_dup_pairs(
+        e, threshold=0.15, block_col=None
+    ).select("id1", "id2")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+                F.struct(F.col("id2").alias("src"), F.col("id1").alias("dst")),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst")
     seeds = e.where(F.col("label") == 3).select(F.col("vec_id").alias("node"))
     ranks = pagerank_personalized_integer(edges, seeds, iters=6)
     labeled = ranks.join(e.select("vec_id", "label"), ranks.node == F.col("vec_id"))

@@ -71,23 +71,22 @@ def z_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg and low lcc_micro is a hub gluing unrelated clusters through the
     threshold — inspect before union-find dedup.
 
-    Scale: the edge list is the SHARED persisted artifact (r15 —
-    `datapipe12.neardup_edge_index_cached`; the r14 graph rows each
-    rebuilt the same LSH stage inline, and `dedup_minhash_lsh` already
-    benches that stage on its own). The triangle stage orients every
-    edge from its lower-(degree, id) endpoint, bounding per-node wedge
-    fan-out at O(sqrt(E)) under ANY degree skew, then closes wedges with
-    one composite-key equi-join. VALUE-EXACT: the stored pairs are the
-    md5-deterministic minhash set (a cached edge list is
-    indistinguishable from an inline build), and the integer-only
-    triangle/lcc arithmetic is replayed exactly by the DuckDB twin."""
+    Scale: the pair stage is the LSH band-bucket join (no all-pairs); the
+    triangle stage orients every edge from its lower-(degree, id)
+    endpoint, bounding per-node wedge fan-out at O(sqrt(E)) under ANY
+    degree skew, then closes wedges with one composite-key equi-join.
+    VALUE-EXACT: the md5-deterministic minhash pairs and the
+    integer-only triangle/lcc arithmetic are both replayed exactly by
+    the DuckDB twin. (Every invocation computes the edge list from the
+    parquet input — the persisted-edge-artifact mode lives in
+    `z_graph_audit_saved`, whose declared semantic is the stored-index
+    walk; this row measures the full inline pipeline.)"""
+    from ..operators import dedup as D
     from ..operators.graphalgo import triangle_counts
-    from .datapipe12 import neardup_edge_index_cached
 
-    path = neardup_edge_index_cached(spark, sf_dir)
-    edges = spark.read.parquet(f"{path}/edges").select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8, threshold=0.5)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return triangle_counts(edges).orderBy("node")
 
 
@@ -117,15 +116,15 @@ def z_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot. Fixed-round semantics with the fixpoint asserted on the
     fixture in tests (rounds 4 == rounds 3) and detected at runtime (the
     r15 early-exit makes ``rounds`` a cap, not a cost); VALUE-EXACT via
-    the unrolled peel-round CTE chain. The edge list is the SHARED
-    persisted artifact (r15 — see `z_graph_triangles`)."""
+    the unrolled peel-round CTE chain. (Inline edge build per invocation
+    — see `z_graph_triangles`; the stored-edge walk is
+    `z_graph_audit_saved`'s declared semantic.)"""
+    from ..operators import dedup as D
     from ..operators.graphalgo import kcore_peel
-    from .datapipe12 import neardup_edge_index_cached
 
-    path = neardup_edge_index_cached(spark, sf_dir)
-    edges = spark.read.parquet(f"{path}/edges").select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8, threshold=0.5)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     return kcore_peel(edges, k=2, rounds=4).orderBy("node")
 
 
@@ -215,21 +214,28 @@ def z_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-cosine verification (the production auto-bits default, same
     edge stage as the PPR composition) and the deterministic clamped
     modal rule (integer counts, ties to the smallest label), replayed by
-    the unrolled DuckDB CTE chain. Scale: the similarity graph is the
-    SHARED cached artifact (r15 — `datapipe12.embedding_edge_index_cached`;
-    the r14 rows each rebuilt the same LSH edge stage inline, ~2× the
-    whole composition's cost; the edge stage's own cost stays measured by
-    `z_dedup_embedding_auto`), and a cached deterministic edge list keeps
-    the oracle bit-exact. Edge list materialized once, dst-partitioned;
-    per-round label frame is node-cardinality on a broadcast
-    (`broadcast_labels=False` for the measured billion-node shuffle leg);
-    the modal pick is a map-side-partial hash aggregation over
-    per-(node, label) counts, bounded by labels-per-node."""
+    the unrolled DuckDB CTE chain. Scale: edge list materialized once,
+    dst-partitioned; per-round label frame is node-cardinality on a
+    broadcast (`broadcast_labels=False` for the measured billion-node
+    shuffle leg); the modal pick is a map-side-partial hash aggregation
+    over per-(node, label) counts, bounded by labels-per-node. (Every
+    invocation computes the similarity edges from the parquet input —
+    no cross-run artifact.)"""
+    from ..operators import dedup as D
     from ..operators.graphalgo import label_propagation
-    from .datapipe12 import symmetrized_cached_embedding_edges
 
     e = load_table(spark, sf_dir, "embeddings")
-    edges = symmetrized_cached_embedding_edges(spark, sf_dir)
+    pairs = D.embedding_near_dup_pairs(e, threshold=0.15, block_col=None).select(
+        "id1", "id2"
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+                F.struct(F.col("id2").alias("src"), F.col("id1").alias("dst")),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst")
     seeds = e.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("node"), "label"
     )
