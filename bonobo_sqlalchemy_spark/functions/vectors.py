@@ -33,6 +33,84 @@ def _c(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _list_matrix(arr, dtype=np.float64):
+    """(n, dim) numpy matrix from an Arrow ``list<numeric>`` array with ONE
+    vectorized buffer copy instead of one Python conversion per row.
+
+    An Arrow list column is a contiguous values buffer plus an offsets
+    array (guide §4.2): when there are no nulls and every list has the
+    same length, ``flatten()`` hands back the values for exactly the
+    logical slice and a single ``astype(...).reshape(...)`` produces the
+    matrix — for a 1M-row candidate batch this replaces 1M per-row
+    ``np.asarray`` calls (the measured dominant cost of the r14 verify
+    stage). Ragged or null-bearing inputs fall back to the per-row path,
+    so behavior is unchanged — the fast path is an identical-value
+    shortcut, never a semantic change.
+    """
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        if arr.null_count == 0:
+            flat = arr.flatten()
+            vals = flat.to_numpy(zero_copy_only=False)
+            if vals.size and vals.size % n == 0:
+                m = vals.size // n
+                offs = getattr(arr, "offsets", None)
+                uniform = True
+                if offs is not None:
+                    o = offs.to_numpy(zero_copy_only=False)
+                    uniform = bool(((o[1:] - o[:-1]) == m).all())
+                if uniform:
+                    return vals.astype(dtype, copy=False).reshape(n, m)
+    except Exception:  # pragma: no cover - fall back to the slow exact path
+        pass
+    return np.vstack([np.asarray(v, dtype=dtype) for v in arr.to_pylist()])
+
+
+def pairwise_cosine_arrow(df, v1_col: str, v2_col: str, out_col: str = "cosine", digits: int = 6):
+    """Candidate-pair exact-cosine verification as ONE ``mapInArrow`` pass:
+    drops the two vector columns and appends ``out_col`` (double), keeping
+    every other input column.
+
+    Value-identical to ``cosine_rounded_arrow`` (same float64 einsum, same
+    round-to-``digits``), but the vectors cross the Python boundary as raw
+    Arrow buffers (`_list_matrix`) instead of per-row object conversion —
+    measured ~4x on the 1.28M-pair embedding verify at sf0.1. Being a map
+    node rather than an expression, it also cannot be duplicated by
+    filter-pushdown, so the ``asNondeterministic`` workaround that
+    ``cosine_rounded_arrow`` needs does not apply.
+    """
+    from pyspark.sql.types import DoubleType
+
+    keep = [f for f in df.schema.fields if f.name not in (v1_col, v2_col)]
+    out_schema = StructType(list(keep) + [StructField(out_col, DoubleType())])
+    names = [f.name for f in keep] + [out_col]
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            A = _list_matrix(b.column(b.schema.get_field_index(v1_col)))
+            B = _list_matrix(b.column(b.schema.get_field_index(v2_col)))
+            if len(A):
+                dots = np.einsum("ij,ij->i", A, B)
+                na = np.einsum("ij,ij->i", A, A)
+                nb = np.einsum("ij,ij->i", B, B)
+                cos = np.round(dots / np.sqrt(na * nb), digits)
+            else:
+                cos = np.empty(0, dtype=np.float64)
+            cols = [b.column(b.schema.get_field_index(f.name)) for f in keep]
+            cols.append(pa.array(cos, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return df.mapInArrow(_fn, out_schema)
+
+
 def dot(a: str | Column, b: str | Column) -> Column:
     prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
@@ -151,20 +229,31 @@ def hyperplane_table_keys(
     )
     keep = [f for f in src.schema.fields if f.name != "_v"]
     out_schema = StructType(list(keep) + [StructField(out_col, ArrayType(LongType()))])
+    names = [f.name for f in keep] + [out_col]
 
     def _keys(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["_v"])
-            if len(pdf):
-                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-                bits = (X @ W >= 0).astype(np.int64)  # (n, n_tables*b)
-                keys = bits.reshape(len(pdf), n_tables, bits_per_table) @ weights
-                out[out_col] = list(keys)
-            else:
-                out[out_col] = []
-            yield out
+        import pyarrow as pa
 
-    return src.mapInPandas(_keys, out_schema)
+        for b in batches:
+            n = b.num_rows
+            if n:
+                X = _list_matrix(b.column(b.schema.get_field_index("_v")))
+                bits = (X @ W >= 0).astype(np.int64)  # (n, n_tables*b)
+                keys = bits.reshape(n, n_tables, bits_per_table) @ weights
+                offs = pa.array(
+                    np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32),
+                    pa.int32(),
+                )
+                kcol = pa.ListArray.from_arrays(
+                    offs, pa.array(keys.ravel(), pa.int64())
+                )
+            else:
+                kcol = pa.array([], pa.list_(pa.int64()))
+            cols = [b.column(b.schema.get_field_index(f.name)) for f in keep]
+            cols.append(kcol)
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return src.mapInArrow(_keys, out_schema)
 
 
 def hyperplane_buckets(
@@ -246,23 +335,35 @@ def matrix_dots(
     from pyspark.sql.types import ArrayType, DoubleType
 
     M = np.array(matrix, dtype=np.float64)  # (k, dim)
+    nk = M.shape[0]
     src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
     keep = [f for f in src.schema.fields if f.name != "_v"]
     out_schema = StructType(
         list(keep) + [StructField(out_col, ArrayType(DoubleType()))]
     )
+    names = [f.name for f in keep] + [out_col]
 
     def _dots(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["_v"])
-            if len(pdf):
-                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-                out[out_col] = list(X @ M.T)
-            else:
-                out[out_col] = []
-            yield out
+        import pyarrow as pa
 
-    return src.mapInPandas(_dots, out_schema)
+        for b in batches:
+            n = b.num_rows
+            if n:
+                X = _list_matrix(b.column(b.schema.get_field_index("_v")))
+                D = X @ M.T  # (n, k)
+                offs = pa.array(
+                    np.arange(0, (n + 1) * nk, nk, dtype=np.int32), pa.int32()
+                )
+                dcol = pa.ListArray.from_arrays(
+                    offs, pa.array(D.ravel(), pa.float64())
+                )
+            else:
+                dcol = pa.array([], pa.list_(pa.float64()))
+            cols = [b.column(b.schema.get_field_index(f.name)) for f in keep]
+            cols.append(dcol)
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return src.mapInArrow(_dots, out_schema)
 
 
 def seeded_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

@@ -884,15 +884,19 @@ def embedding_near_dup_pairs(
     )
     # Exact-cosine verification: join the two vectors back by id (the
     # vectors never ride through the bucket shuffle) and score each
-    # candidate pair in one Arrow-vectorized numpy batch — a narrow map
-    # over the candidate set, vs. a 64x component-aligned join + agg.
+    # candidate pair in one zero-copy Arrow batch (r15 —
+    # `V.pairwise_cosine_arrow`: the vectors cross the Python boundary as
+    # raw list buffers instead of 2x one Python object per pair, measured
+    # ~4x on the 1.28M-candidate sf0.1 verify; values identical).
     v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
-    cos = V.cosine_rounded_arrow()
     return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .select("id1", "id2", cos("v1", "v2").alias("cosine"))
+        V.pairwise_cosine_arrow(
+            cand.join(v1, "id1").join(v2, "id2").select("id1", "id2", "v1", "v2"),
+            "v1",
+            "v2",
+            out_col="cosine",
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -1217,12 +1221,18 @@ def semantic_dedup_pairs(
         n_clusters = max(n_clusters, -(-n_rows // target_cluster_size))
     codebook = ivf_train_or_init(df, vec_col, id_col, n_clusters, train_iters)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # materialize the routing pass ONCE (r15): downstream it has three
+    # readers (both candidate self-join sides + the hot-cluster sizes agg
+    # when capped), and without the checkpoint each reader re-ran the
+    # Arrow matmul over the corpus — 3 MapInPandas nodes in the final
+    # executed plan, measured. Doc-cardinality, two narrow columns.
     assigned = (
         V.matrix_dots(base, "v", "id", codebook, out_id="id")
         .select(
             "id",
             F.expr("array_position(dots, array_max(dots))").cast("int").alias("cluster"),
         )
+        .localCheckpoint()
     )
     if max_cluster_size is not None:
         sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
@@ -1253,14 +1263,20 @@ def semantic_dedup_pairs(
         F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), F.col("a.cluster").alias("cluster")
     )
     # Exact verification: vectors join back by id (they never ride the
-    # cluster shuffle); one Arrow cosine batch over the candidate pairs.
+    # cluster shuffle); one zero-copy Arrow cosine pass over the candidate
+    # pairs (r15 — see `embedding_near_dup_pairs`; values identical).
     v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
-    cos = V.cosine_rounded_arrow()
     return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .select("id1", "id2", cos("v1", "v2").alias("cosine"), "cluster")
+        V.pairwise_cosine_arrow(
+            cand.join(v1, "id1")
+            .join(v2, "id2")
+            .select("id1", "id2", "cluster", "v1", "v2"),
+            "v1",
+            "v2",
+            out_col="cosine",
+        )
+        .select("id1", "id2", "cosine", "cluster")
         .where(F.col("cosine") >= threshold)
     )
 

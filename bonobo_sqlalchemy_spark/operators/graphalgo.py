@@ -105,36 +105,45 @@ def pagerank_integer(
         ed = e.repartition("dst").persist()
     else:
         ed = e.localCheckpoint()  # (src, dst)
-    # degree table computed FROM the cache (one cached pass, never the
-    # upstream subtree); node-cardinality. Not checkpointed separately:
-    # its only consumer is the anchor build below, so it materializes
-    # inside the anchor's checkpoint job (one less job submission).
-    deg = (
-        ed.groupBy("src")
-        .agg(F.sum("w").alias("outdeg"))
-        .select(F.col("src").alias("node"), "outdeg")
-    )
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # Fused node+degree anchor (r15): ONE exploded map-combined
+    # aggregation replaces [union + distinct (2E-row shuffle)] + [degree
+    # agg (E-row shuffle)] + [broadcast join] — the r14 shape's three
+    # setup stages were ~1s of the 4.8s sf0.1 bench row (per-job
+    # breakdown in OPTIMIZATION_r15.md). SUM over an all-null group is
+    # NULL, so a node that never appears as a source (a sink) carries
+    # outdeg NULL — exactly the semantics the old left join produced;
+    # every output value is bit-identical (asserted by the unchanged
+    # reference/oracle tests).
+    nd = ed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), F.col("w").alias("w_out")),
+                F.struct(
+                    F.col("dst").alias("node"),
+                    F.lit(None).cast("long").alias("w_out"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.node", "x.w_out")
+    deg_nodes = nd.groupBy("node").agg(F.sum("w_out").alias("outdeg"))
     # n and the per-round base term are scalars: one tiny agg, crossed in
     # as a broadcast literal-free 1-row frame (the plan-audit-allowlisted
-    # shape used by text_tfidf and friends). The (node, n, outdeg) anchor
-    # frame is checkpointed ONCE and re-read every round — it keeps
-    # zero-in-degree nodes in the output, and carrying outdeg as an
-    # anchor COLUMN (null for sinks) means the per-round contribution
-    # needs no extra node-side join (a per-round ranks x deg join planned
-    # as sort-merge and measured +40% on the sf0.1 bench row).
+    # shape used by text_tfidf and friends); its build reuses the fused
+    # aggregation's exchange (AQE). The (node, n, outdeg) anchor frame is
+    # checkpointed ONCE and re-read every round — it keeps zero-in-degree
+    # nodes in the output, and carrying outdeg as an anchor COLUMN (null
+    # for sinks) means the per-round contribution needs no extra
+    # node-side join (a per-round ranks x deg join planned as sort-merge
+    # and measured +40% on the sf0.1 bench row).
     # repartition("node"): the incoming aggregation below comes out of
     # groupBy(dst) hash-partitioned on the node key with the same
     # partition count, so the per-round re-anchor left join is exchange-
     # free BOTH sides (co-partitioned) — no per-round broadcast build job
     # and zero shuffled bytes, measured against both alternatives.
     anchor = (
-        nodes.join(F.broadcast(deg), "node", "left")
-        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n"))))
+        deg_nodes.crossJoin(
+            F.broadcast(deg_nodes.agg(F.count(F.lit(1)).alias("n")))
+        )
         .repartition("node")
         .localCheckpoint()
     )
@@ -229,16 +238,24 @@ def pagerank_personalized_integer(
         ed = e.repartition("dst").persist()
     else:
         ed = e.localCheckpoint()
-    deg = (
-        ed.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .select(F.col("src").alias("node"), "outdeg")
-    )
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # Fused node+degree frame (r15, same construction and rationale as
+    # pagerank_integer's anchor): one exploded map-combined aggregation
+    # instead of union+distinct+degree-agg+join; SUM over all-null = NULL
+    # marks sinks exactly as the old left join did.
+    nd = ed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("node"), F.lit(1).cast("long").alias("w_out")
+                ),
+                F.struct(
+                    F.col("dst").alias("node"),
+                    F.lit(None).cast("long").alias("w_out"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.node", "x.w_out")
+    deg_nodes = nd.groupBy("node").agg(F.sum("w_out").alias("outdeg"))
     sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
     # the marked node frame carries outdeg (null for sinks) AND the seed
     # count, for the same reason as pagerank_integer's anchor: the
@@ -247,10 +264,9 @@ def pagerank_personalized_integer(
     # repartition("node") co-partitions it with the per-round incoming
     # aggregation: the re-anchor join plans exchange-free.
     marked = (
-        nodes.join(
+        deg_nodes.join(
             F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
         )
-        .join(F.broadcast(deg), "node", "left")
         .crossJoin(F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns"))))
         .select(
             "node",
@@ -728,10 +744,11 @@ def label_propagation(
     # — the per-round join shuffles on src anyway, so pre-partitioning on
     # dst would only add an extra exchange (mirrors pagerank_integer).
     ed = e.repartition("dst").persist() if broadcast_labels else e.localCheckpoint()
+    # node set in ONE pass over the edge cache (explode both endpoints,
+    # map-side-partial distinct) instead of a two-leg union — r15, same
+    # rationale as the fused pagerank anchor
     nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
+        ed.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
     )
     # one label per seed node, deterministically (min) — callers passing a
     # conflicting seed frame get the smallest label, not a race

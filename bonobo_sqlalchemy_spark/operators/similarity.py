@@ -33,10 +33,8 @@ def cosine_topk(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        V.cosine_rounded_arrow()("qv", "cv").alias("sim"),
+    scored = V.pairwise_cosine_arrow(
+        pairs.select("query_id", "neighbor_id", "qv", "cv"), "qv", "cv", out_col="sim"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -481,10 +479,8 @@ def ivf_topk_preassigned(
         .dropDuplicates(["query_id", "neighbor_id"])
         .join(F.broadcast(q), "query_id")
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        V.cosine_rounded_arrow()("qv", "cv").alias("sim"),
+    scored = V.pairwise_cosine_arrow(
+        cand.select("query_id", "neighbor_id", "qv", "cv"), "qv", "cv", out_col="sim"
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -579,8 +575,8 @@ def ivf_topk(
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", V.cosine_rounded_arrow()("qv", "cv").alias("sim")
+    scored = V.pairwise_cosine_arrow(
+        cand.select("query_id", "neighbor_id", "qv", "cv"), "qv", "cv", out_col="sim"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -641,10 +637,13 @@ def lsh_topk(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = (
+    scored = V.pairwise_cosine_arrow(
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", V.cosine_rounded_arrow()("qv", "cv").alias("sim"))
+        .select("query_id", "neighbor_id", "qv", "cv"),
+        "qv",
+        "cv",
+        out_col="sim",
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -863,10 +862,13 @@ def _exact_rerank_adc(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = (
+    scored = V.pairwise_cosine_arrow(
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", V.cosine_rounded_arrow()("qv", "cv").alias("sim"))
+        .select("query_id", "neighbor_id", "qv", "cv"),
+        "qv",
+        "cv",
+        out_col="sim",
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -215,10 +215,16 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.selection import grouped_deciles
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the token stream ONCE (r15): it feeds the vocabulary
+    # aggregation AND the per-document fluency join, and without the
+    # checkpoint each consumer re-scanned + re-exploded the corpus (the
+    # final executed plan carried 8 documents scans; OPTIMIZATION_r15.md).
+    # Cluster-scale analog: persist the tokenized frame for the multi-pass
+    # scoring stage, the same discipline as the minhash shingle frame.
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
-    )
+    ).localCheckpoint()
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     fluency = (
         scalar_attach(toks.join(vocab, "tok"), vocab.agg(F.sum("c").alias("n")))
@@ -238,7 +244,10 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
         ).alias("dedup_keep"),
     )
-    base = dedup.join(fluency, "doc_id").join(dsir, "doc_id")
+    # doc-cardinality signal table, TWO readers inside grouped_deciles
+    # (the boundary aggregation + the decile attach join): checkpoint so
+    # the dedup-window/fluency/DSIR subtrees execute once, not twice (r15)
+    base = dedup.join(fluency, "doc_id").join(dsir, "doc_id").localCheckpoint()
     out = grouped_deciles(
         base,
         [("s", "quality_decile"), ("dsir_logw", "dsir_decile")],

@@ -19,11 +19,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 4
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    argv, args, runs = sys.argv[1:], [], 4
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--runs"):
+            if "=" in argv[i]:
+                runs = int(argv[i].split("=", 1)[1])
+            else:
+                i += 1
+                runs = int(argv[i])
+        else:
+            args.append(argv[i])
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from bonobo_sqlalchemy_spark.queries import REGISTRY
     from bonobo_sqlalchemy_spark.session import get_spark
