@@ -282,12 +282,13 @@ def minhash_index_frames(
     # both band-bucket join sides and the two size lookups — so it
     # materializes too; at 32 lanes x 8 bytes it is ~1/30th the shingle
     # stage's size.
+    # F.expr() strings — one py4j call per lane instead of ~6 nested
+    # Column-API calls (the r15 driver-side build-time fix, see
+    # simhash_signatures); expressions and values are identical.
     sig = h.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(H._MERSENNE_P)).alias(
-                f"m{i}"
-            )
+            F.expr(f"min(({a} * h + {b}) % {H._MERSENNE_P})").alias(f"m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
@@ -300,27 +301,16 @@ def minhash_index_frames(
     # Collisions across distinct lane tuples are 2^-60-rare and harmless:
     # they only add candidates, and every candidate is verified with exact
     # Jaccard below.
-    band_keys = F.array(
-        *[
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(bnd)),
-                            *[F.col(f"m{bnd * rows + r}") for r in range(rows)],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            for bnd in range(bands)
-        ]
+    band_sql = ", ".join(
+        "CAST(conv(substring(md5(concat_ws(':', '{b}', {lanes})), 1, 15),"
+        " 16, 10) AS BIGINT)".format(
+            b=bnd, lanes=", ".join(f"m{bnd * rows + r}" for r in range(rows))
+        )
+        for bnd in range(bands)
     )
-    buckets = sig.select("id", F.explode(band_keys).alias("bucket"))
+    buckets = sig.select(
+        "id", F.explode(F.expr(f"array({band_sql})")).alias("bucket")
+    )
     return ex, sig, buckets
 
 
@@ -609,30 +599,41 @@ def simhash_signatures(
     policy, operators/sampling.py)."""
     hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
-    ex = df.select(
+    # One exchange by id up front (ids are unique, so this is a rebalance):
+    # without it the 64-accumulator partial aggregation runs inside the
+    # single scan task of a one-file corpus slice (measured 0.79s on one
+    # core at sf0.1) — the same parallelization `_exploded_shingles`
+    # documents for the minhash path. AQE coalesces it on small inputs.
+    src = df.select(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        F.explode(T.words(text_col)).alias("tok"),
+        F.col(text_col).alias("__text"),
+    ).repartition("id")
+    ex = src.select(
+        "id", "blk", F.explode(T.words("__text")).alias("tok")
     ).select("id", "blk", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+    # The 64 majority-vote aggregates and the 64-term signature assembly
+    # are built as F.expr() SQL strings: ONE py4j round trip per
+    # expression instead of ~8 nested Column-API calls each — the Column
+    # form spent ~1.7s PER QUERY BUILD in driver-side py4j chatter
+    # (measured r15; the plan and values are identical).
     votes = ex.groupBy("id", "blk").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {bit}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"v{bit}")
             for bit in range(64)
         ]
     )
-    sig_expr = None
-    for bit in range(64):
-        term = F.when(
-            F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig_expr = term if sig_expr is None else sig_expr + term
+    sig_sql = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN shiftleft(CAST(1 AS BIGINT), {bit})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(64)
+    )
     # Both self-join sides read this one aggregate; its exchange is reused
     # (AQE), so no checkpoint barrier is needed for a 1-row-per-doc frame.
-    return votes.select("id", "blk", sig_expr.alias("sig"))
+    return votes.select("id", "blk", F.expr(sig_sql).alias("sig"))
 
 
 def simhash_buckets(
