@@ -853,7 +853,13 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.col(vec_col).alias("v"),
-    )
+    # One exchange by id up front (ids are unique, so this is a rebalance):
+    # the Arrow matmul signature pass otherwise inherits the scan's split
+    # layout and a one-file corpus slice runs it on 1-2 tasks (measured
+    # 0.88s of the sf0.1 edge stage serialized on 2 cores) — the same
+    # parallelization `_exploded_shingles` documents for the shingle path.
+    # AQE coalesces the exchange on small inputs.
+    ).repartition("id")
     # Per-table bucket keys come out of the Arrow matmul pass as packed
     # longs (one numpy reshape-matmul — no bit-string materialization, no
     # per-row substring slicing in the plan); posexplode yields one

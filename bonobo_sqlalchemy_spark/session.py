@@ -69,6 +69,17 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
         )
+        # AQE coalescing floor (default 1m). With parallelismFirst (default)
+        # the coalesce target is max(stage_bytes / parallelism, this floor),
+        # so the floor only binds for stages under parallelism x floor total
+        # bytes — at production scale a no-op, but locally it serialized
+        # CPU-dense small frames (text shingles, vector batches: ~2-6 MB of
+        # bytes carrying seconds of compute) onto 1-3 cores. 64k keeps such
+        # stages core-parallel; measured -0.4s on the embedding-graph rows.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
     )
     # Put any locally-cached JDBC driver jars on the classpath so the live
     # JDBC read path works without per-caller config. No-op when absent or
