@@ -268,8 +268,16 @@ def bpe_token_counts(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from ..partitioning import rebalance_narrow_input
+
     ranks = {pair: i for i, pair in enumerate(merges)}
-    src = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # The encode pass is pure CPU (rank-greedy merges per distinct word);
+    # rebalance a narrow one-file corpus so it runs core-parallel instead
+    # of inside the single scan task. No-op (no exchange) at scale.
+    src = rebalance_narrow_input(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")),
+        "_id",
+    )
     out_schema = StructType(
         [
             StructField(id_col, src.schema.fields[0].dataType),

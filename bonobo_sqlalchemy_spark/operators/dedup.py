@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ..functions import vectors as V
+from ..partitioning import rebalance_narrow_input
 
 
 def exact_dedup(
@@ -66,14 +67,16 @@ def _exploded_shingles(
             F.split(F.trim(F.col(text_col)), " +").alias("w"),
         )
         .where(F.size("w") >= n)
-        # One exchange by id up front (a rebalance — ids are unique). Every
-        # per-document step after it — shingle explode, the dedupe to
-        # distinct shingles, shingle-set sizes, the MinHash signature agg —
-        # requires only clustering by id, which hashpartitioning(id)
-        # satisfies, so the whole per-doc pipeline runs shuffle-free and
-        # core-parallel even when the corpus arrives as one fat scan task.
-        .repartition("id")
     )
+    # One exchange by id up front (a rebalance — ids are unique) WHEN the
+    # corpus arrives as one fat scan task: every per-document step after it
+    # — shingle explode, the dedupe to distinct shingles, shingle-set
+    # sizes, the MinHash signature agg — requires only clustering by id,
+    # which hashpartitioning(id) satisfies, so the per-doc pipeline runs
+    # core-parallel. At scale the scan fans out on its own and the helper
+    # adds NO exchange — the signature agg's map-side partials shuffle
+    # instead, which moves far fewer bytes than the raw text (r15).
+    w = rebalance_narrow_input(w, "id")
     pos = w.select(
         "id",
         "blk",
@@ -599,16 +602,19 @@ def simhash_signatures(
     policy, operators/sampling.py)."""
     hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint")
-    # One exchange by id up front (ids are unique, so this is a rebalance):
-    # without it the 64-accumulator partial aggregation runs inside the
-    # single scan task of a one-file corpus slice (measured 0.79s on one
-    # core at sf0.1) — the same parallelization `_exploded_shingles`
-    # documents for the minhash path. AQE coalesces it on small inputs.
-    src = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        F.col(text_col).alias("__text"),
-    ).repartition("id")
+    # Rebalance by id WHEN the corpus arrives as one fat scan task: without
+    # it the 64-accumulator partial aggregation runs inside the single scan
+    # task of a one-file corpus slice (measured 0.79s on one core at
+    # sf0.1). At scale the scan fans out on its own and no exchange is
+    # added (`partitioning.rebalance_narrow_input`).
+    src = rebalance_narrow_input(
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.col(text_col).alias("__text"),
+        ),
+        "id",
+    )
     ex = src.select(
         "id", "blk", F.explode(T.words("__text")).alias("tok")
     ).select("id", "blk", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
@@ -849,17 +855,20 @@ def embedding_near_dup_pairs(
     if bits_per_table is None:
         bits_per_table = auto_bits_per_table(df.count())
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        F.col(vec_col).alias("v"),
-    # One exchange by id up front (ids are unique, so this is a rebalance):
-    # the Arrow matmul signature pass otherwise inherits the scan's split
+    # Rebalance by id WHEN the corpus arrives as too few scan tasks: the
+    # Arrow matmul signature pass otherwise inherits the scan's split
     # layout and a one-file corpus slice runs it on 1-2 tasks (measured
-    # 0.88s of the sf0.1 edge stage serialized on 2 cores) — the same
-    # parallelization `_exploded_shingles` documents for the shingle path.
-    # AQE coalesces the exchange on small inputs.
-    ).repartition("id")
+    # 0.88s of the sf0.1 edge stage serialized on 2 cores). At scale the
+    # scan fans out on its own and no exchange is added
+    # (`partitioning.rebalance_narrow_input`).
+    base = rebalance_narrow_input(
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.col(vec_col).alias("v"),
+        ),
+        "id",
+    )
     # Per-table bucket keys come out of the Arrow matmul pass as packed
     # longs (one numpy reshape-matmul — no bit-string materialization, no
     # per-row substring slicing in the plan); posexplode yields one
@@ -1095,10 +1104,11 @@ def duplicate_span_stats(
     arr = F.when(
         F.length(t) == F.lit(0), F.array().cast("array<string>")
     ).otherwise(F.split(t, " +"))
-    w = (
-        df.select(F.col(id_col).alias("id"), arr.alias("w"))
-        .withColumn("n", F.size("w"))
-        .repartition("id")
+    w = rebalance_narrow_input(
+        df.select(F.col(id_col).alias("id"), arr.alias("w")).withColumn(
+            "n", F.size("w")
+        ),
+        "id",
     )
     occ = w.where(F.col("n") >= gram).select(
         "id",

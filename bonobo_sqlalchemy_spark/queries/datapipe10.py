@@ -809,9 +809,16 @@ def z_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays. The probe side shuffles at key cardinality only; the sketch
     rides a broadcast."""
     from ..operators.sketch import cms_build, cms_estimate
+    from ..partitioning import rebalance_narrow_input
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    # The token explode + map-side partial sketch agg is CPU-dense and
+    # otherwise runs inside the single scan task of a one-file corpus
+    # (measured 1.11s on one core at sf0.1); rebalance fans it out and is
+    # a no-op (no exchange) at scale.
+    tok = rebalance_narrow_input(d.select("doc_id", "text"), "doc_id").select(
+        F.explode(F.split(F.trim("text"), " +")).alias("token")
+    )
     sketch = cms_build(tok, "token", depth=4, width=2048)
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     from pyspark.sql import Window as W
