@@ -40,10 +40,21 @@ from .scale import scalar_attach
 
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, tok): lowercased whitespace tokens, empties dropped."""
-    return docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " +")).alias("tok"),
+    """(id, tok): lowercased whitespace tokens, empties dropped.
+
+    The explode is CPU-dense; a narrow one-file corpus is rebalanced
+    first so it fans out instead of running inside the single scan task
+    (no-op, no exchange, at scale — `partitioning.rebalance_narrow_input`).
+    """
+    from ..partitioning import rebalance_narrow_input
+
+    src = rebalance_narrow_input(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+    )
+    return src.select(
+        "__id",
+        F.explode(F.split(F.lower(F.trim(F.col("__t"))), " +")).alias("tok"),
     ).where(F.col("tok") != "")
 
 

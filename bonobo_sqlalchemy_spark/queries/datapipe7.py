@@ -221,10 +221,18 @@ def z_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final executed plan carried 8 documents scans; OPTIMIZATION_r15.md).
     # Cluster-scale analog: persist the tokenized frame for the multi-pass
     # scoring stage, the same discipline as the minhash shingle frame.
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
-    ).localCheckpoint()
+    from ..partitioning import rebalance_narrow_input
+
+    # rebalance before the explode so the checkpoint materialization runs
+    # core-parallel instead of inside the single scan task (no-op at scale)
+    toks = (
+        rebalance_narrow_input(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), " +")).alias("tok"),
+        )
+        .localCheckpoint()
+    )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     fluency = (
         scalar_attach(toks.join(vocab, "tok"), vocab.agg(F.sum("c").alias("n")))
