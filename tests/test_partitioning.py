@@ -27,12 +27,38 @@ def _has_repartition(df) -> bool:
     return "RepartitionByExpression" in plan or "Repartition" in plan
 
 
-def test_narrow_parquet_scan_is_rebalanced(spark):
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+def test_narrow_parquet_scan_is_rebalanced(spark, tmp_path):
+    # A private copy of the fixture, NOT the shared /root/testdata path:
+    # other test modules cache() frames over the shared file, and cache
+    # substitution makes inputFiles() on any later plan over that file
+    # return [] — which the helper conservatively treats as "no file
+    # input" (pass through). The contract under test is the narrow-FILE
+    # leg, so probe it on a file nothing else caches.
+    p = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF}/documents.parquet").coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
     out = rebalance_narrow_input(docs.select("doc_id", "text"), "doc_id")
     assert _has_repartition(out), "one-small-file scan must get the exchange"
     # and values are untouched
     assert out.count() == docs.count()
+
+
+def test_cache_substituted_frame_passes_through(spark):
+    """Cache substitution hides the file relation from inputFiles(); the
+    helper must treat that as no-file-input and add NO exchange (the
+    cached layout is whatever the persist chose — not ours to second-
+    guess from file metadata that no longer drives the scan)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cached = docs.cache()
+    try:
+        cached.count()
+        probe = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        out = rebalance_narrow_input(probe, "doc_id")
+        assert not _has_repartition(out)
+    finally:
+        cached.unpersist()
 
 
 def test_in_memory_frame_is_unchanged(spark):
