@@ -74,30 +74,26 @@ def kmeans_codebook(
     # assignment (the objective would DROP with training).
     codebook = [_unit([float(x) for x in row[0]]) for row in init]
     for _ in range(max(0, iters)):
-        dots = V.matrix_dots(corpus, vec_col, id_col, codebook, out_id="_cid")
-        assigned = (
-            corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_v"))
-            .join(
-                dots.select(
-                    "_cid",
-                    F.expr(
-                        "array_position(dots, array_max(dots))"
-                    ).cast("int").alias("_cell"),
-                ),
-                "_cid",
-            )
-        )
+        # Fused assignment (r15): `ivf_assign` computes the argmax cell in
+        # the same Arrow pass that holds the vector, so the per-iteration
+        # corpus-by-id join of the old matrix_dots form — a full corpus
+        # shuffle (or a broadcast that re-executed the Python stage) at ANY
+        # scale — disappears. numpy's first-argmax on the identical
+        # ``X @ M.T`` dots is exactly the old array_position(array_max)
+        # rule (see ivf_assign's contract), so assignments are
+        # bit-identical.
+        assigned = ivf_assign(corpus, codebook, vec_col, id_col)
         # mean per (cell, dim): one shuffle keyed (cell, pos) — k*dim groups
         sums = (
-            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
+            assigned.select("cell", F.posexplode(vec_col).alias("_pos", "_x"))
+            .groupBy("cell", "_pos")
             .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
             .collect()
         )
         new_book = [list(c) for c in codebook]  # empty cells keep centroids
         by_cell: dict[int, dict[int, float]] = {}
         for r in sums:
-            by_cell.setdefault(r._cell - 1, {})[r._pos] = r._m
+            by_cell.setdefault(r.cell, {})[r._pos] = r._m
         for cell, dims in by_cell.items():
             for pos, m in dims.items():
                 new_book[cell][pos] = m
@@ -140,12 +136,14 @@ def ivf_cell_assignments(
             out_id, F.posexplode("dots").alias("cell", "dot")
         )
 
-    w_assign = W.partitionBy("cid").orderBy(F.col("dot").desc(), F.col("cell"))
-    corpus_cells = (
-        cell_dots(corpus, "cid")
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select(F.col("cid").alias("neighbor_id"), "cell")
+    # Corpus side (r15): the fused argmax pass — numpy first-argmax on the
+    # identical ``X @ M.T`` dots is exactly the old
+    # ``row_number() over (dot desc, cell asc) = 1`` rule, with no
+    # N*n_cells-row explode, no corpus-wide window shuffle and no sort
+    # (see ivf_assign's contract; the window form survives below only for
+    # the query side, whose frame is query-set-sized).
+    corpus_cells = ivf_assign(corpus, codebook, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
     )
     w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
     query_cells = (
@@ -196,7 +194,12 @@ def ivf_assign(
     cell asc)`` tie rule on bit-identical dots, so the two assignment
     paths agree everywhere). Unlike `ivf_cell_assignments` this carries
     the vector through, producing the self-contained row an assignment
-    TABLE stores — no corpus re-join, no shuffle, no window."""
+    TABLE stores — no corpus re-join, no shuffle, no window. r15: the
+    pass is ``mapInArrow`` over the zero-copy ``_list_matrix`` extraction
+    (the same boundary the other vector passes use) — the old
+    ``mapInPandas`` + per-row ``np.vstack`` form paid one Python object
+    conversion per vector on BOTH sides of the boundary; the float64
+    values and the argmax are unchanged."""
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -205,22 +208,22 @@ def ivf_assign(
     out_schema = StructType(
         list(src.schema.fields) + [StructField("cell", IntegerType())]
     )
+    names = [f.name for f in src.schema.fields] + ["cell"]
 
     def _assign(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            out = pdf.copy()
-            if len(pdf):
-                X = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                out["cell"] = (X @ M.T).argmax(axis=1).astype("int32")
+        for b in batches:
+            if b.num_rows:
+                X = V._list_matrix(b.column(b.schema.get_field_index(vec_col)))
+                cells = (X @ M.T).argmax(axis=1).astype("int32")
             else:
-                out["cell"] = pd.Series([], dtype="int32")
-            yield out
+                cells = np.empty(0, dtype="int32")
+            cols = [b.column(i) for i in range(b.num_columns)]
+            cols.append(pa.array(cells, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(cols, names)
 
-    return src.mapInPandas(_assign, out_schema)
+    return src.mapInArrow(_assign, out_schema)
 
 
 def ivf_index_write(
@@ -561,18 +564,36 @@ def ivf_topk(
     """
     if codebook is None:
         codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, train_iters)
-    corpus_cells, query_cells = ivf_cell_assignments(
-        corpus, queries, codebook, vec_col, id_col, n_probe
+    # r15: probe over the fused assign pass. The old inline form assigned
+    # cells via an N*n_cells explode + window (a corpus-wide shuffle +
+    # sort) and then re-joined the corpus by id to fetch vectors (a second
+    # corpus shuffle); `ivf_assign` carries the vector through the same
+    # Arrow pass that computes the argmax cell, so both exchanges
+    # disappear. Unlike `ivf_topk_preassigned` (whose stored assignment
+    # table could in principle carry duplicates) there is no dropDuplicates
+    # exchange either: a fresh assignment has exactly ONE cell per corpus
+    # row and `query_cells` is distinct (query, cell) rows, so each
+    # (query, neighbor) pair surfaces at most once by construction.
+    # Same dots, same tie rules, same re-rank — output identical.
+    cells = V.matrix_dots(
+        queries, vec_col, id_col, codebook, out_id="qid"
+    ).select("qid", F.posexplode("dots").alias("cell", "dot"))
+    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    query_cells = (
+        cells.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("qid").alias("query_id"), "cell")
     )
-
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
     cand = (
-        corpus_cells.join(F.broadcast(query_cells), "cell")
+        ivf_assign(corpus, codebook, vec_col, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "cv")
+        .join(F.broadcast(query_cells), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", "cv")
         .join(F.broadcast(q), "query_id")
     )
     scored = V.pairwise_cosine_arrow(
@@ -694,11 +715,13 @@ def pq_codebooks(
         for s in range(m)
     ]  # m x ksub x dsub
     for _ in range(max(0, iters)):
-        coded = pq_encode(corpus, books, vec_col, id_col, out_id="_cid")
+        # Fused encode (r15): keep_vec=True carries the raw vector through
+        # the SAME Arrow pass that computes the codes, so the old
+        # per-iteration corpus-by-id join (a corpus shuffle, or a broadcast
+        # re-executing the Python encode stage, at any scale) is gone. The
+        # codes themselves are the identical einsum/argmin computation.
+        src = pq_encode(corpus, books, vec_col, id_col, out_id="_cid", keep_vec=True)
         # one N*dim-row codegen explode; groups = m*ksub*dsub (tiny result)
-        src = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_v")).join(
-            coded, "_cid"
-        )
         sums = (
             src.select("codes", F.posexplode("_v").alias("_pos", "_x"))
             .select(
@@ -724,35 +747,113 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_id: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """``(id, codes)`` rows: per-subspace nearest-centroid codes (one fused
-    Arrow pass; codebooks ship in the closure, ``m`` ints per vector)."""
+    Arrow pass; codebooks ship in the closure, ``m`` ints per vector).
+    ``keep_vec=True`` additionally carries the raw vector through as
+    ``_v`` — the fused form the Lloyd update consumes, so training never
+    re-joins the corpus to its own encode output (r15). Zero-copy Arrow
+    boundary (``_list_matrix`` in, offsets-built list array out; the kept
+    vector column is an untouched Arrow pass-through)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     B = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = B.shape
     src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
-    out_schema = StructType(
-        [src.schema.fields[0], StructField("codes", ArrayType(IntegerType()))]
-    )
+    fields = [src.schema.fields[0], StructField("codes", ArrayType(IntegerType()))]
+    if keep_vec:
+        fields.insert(1, src.schema.fields[1])
+    out_schema = StructType(fields)
+    names = [f.name for f in fields]
 
     def _enc(batches):
-        for pdf in batches:
-            out = pdf.drop(columns=["_v"])
-            if len(pdf):
-                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-                Xs = X.reshape(len(pdf), m, dsub)  # (B, m, dsub)
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n:
+                X = V._list_matrix(b.column(b.schema.get_field_index("_v")))
+                Xs = X.reshape(n, m, dsub)  # (B, m, dsub)
                 # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over ksub
                 dots = np.einsum("bmd,mkd->bmk", Xs, B)
                 cn = (B * B).sum(axis=2)  # (m, ksub)
                 codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)  # (B, m)
-                out["codes"] = [c.astype("int32").tolist() for c in codes]
+                offs = pa.array(
+                    np.arange(0, (n + 1) * m, m, dtype=np.int32), pa.int32()
+                )
+                ccol = pa.ListArray.from_arrays(
+                    offs, pa.array(codes.astype("int32").ravel(), pa.int32())
+                )
             else:
-                out["codes"] = []
-            yield out
+                ccol = pa.array([], pa.list_(pa.int32()))
+            cols = [b.column(b.schema.get_field_index(f)) for f in names[:-1]]
+            cols.append(ccol)
+            yield pa.RecordBatch.from_arrays(cols, names)
 
-    return src.mapInPandas(_enc, out_schema)
+    return src.mapInArrow(_enc, out_schema)
+
+
+def _assign_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """``(out_id, cell, codes)``: coarse argmax cell AND per-subspace PQ
+    codes from ONE Arrow pass (r15). The cell is :func:`ivf_assign`'s
+    exact computation (``(X @ M.T).argmax`` — numpy first-argmax == the
+    window tie rule on bit-identical dots) and the codes are
+    :func:`pq_encode`'s exact einsum/argmin, so the fused output matches
+    the two separate passes row-for-row with no corpus-by-id join to glue
+    them back together. Zero-copy Arrow boundary on both sides
+    (``_list_matrix`` in, offsets-built list array out — guide §4.2)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    M = np.array(codebook, dtype=np.float64)  # (k, dim)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+    out_schema = StructType(
+        [
+            src.schema.fields[0],
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+    names = [out_id, "cell", "codes"]
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n:
+                X = V._list_matrix(b.column(b.schema.get_field_index("_v")))
+                cells = (X @ M.T).argmax(axis=1).astype("int32")
+                Xs = X.reshape(n, m, dsub)  # (B, m, dsub)
+                dots = np.einsum("bmd,mkd->bmk", Xs, B)
+                cn = (B * B).sum(axis=2)  # (m, ksub)
+                codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)  # (B, m)
+                offs = pa.array(
+                    np.arange(0, (n + 1) * m, m, dtype=np.int32), pa.int32()
+                )
+                ccol = pa.ListArray.from_arrays(
+                    offs, pa.array(codes.astype("int32").ravel(), pa.int32())
+                )
+                cellcol = pa.array(cells, type=pa.int32())
+            else:
+                ccol = pa.array([], pa.list_(pa.int32()))
+                cellcol = pa.array([], pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index(out_id)), cellcol, ccol], names
+            )
+
+    return src.mapInArrow(_fn, out_schema)
 
 
 def pq_topk(
@@ -930,14 +1031,30 @@ def ivfpq_topk(
         codebook = ivf_train_or_init(corpus, vec_col, id_col, n_cells, coarse_iters)
     if books is None:
         books = pq_codebooks(corpus, vec_col, id_col, m, ksub, pq_iters, dim)
-    corpus_cells, query_cells = ivf_cell_assignments(
-        corpus, queries, codebook, vec_col, id_col, n_probe
+    # Query probe sets: query-set-sized window (same construction as
+    # ivfpq_topk_precoded). The corpus side no longer routes through
+    # ivf_cell_assignments — see coded_fn below.
+    cells = V.matrix_dots(
+        queries, vec_col, id_col, codebook, out_id="qid"
+    ).select("qid", F.posexplode("dots").alias("cell", "dot"))
+    w_probe = W.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    query_cells = (
+        cells.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("qid").alias("query_id"), "cell")
     )
 
     def coded_fn(probed_cells):
+        # r15: ONE fused Arrow pass computes the coarse argmax cell AND the
+        # PQ codes (identical dots/argmax and einsum/argmin as the separate
+        # ivf_assign / pq_encode passes — same numpy expressions on the
+        # same float64 operands), replacing encode + corpus-by-id join with
+        # a join-free map. The old shape shuffled the full code table by id
+        # at any scale; this one shuffles nothing.
         return (
-            pq_encode(corpus, books, vec_col, id_col, out_id="neighbor_id")
-            .join(corpus_cells, "neighbor_id")
+            _assign_encode(
+                corpus, codebook, books, vec_col, id_col, out_id="neighbor_id"
+            )
             # At scale: codes stored bucketed by cell -> partition pruning
             # (that stored layout IS ivfpq_topk_precoded).
             .where(F.col("cell").isin(probed_cells))
