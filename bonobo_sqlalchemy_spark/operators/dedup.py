@@ -14,7 +14,11 @@ Five strategies, from exact to fuzzy, each designed for the 100 TB posture:
 - **embedding cosine**: near-dup pairs over `array<float>` vectors, blocked
   by a grouping key (label here; an LSH bucket at scale).
 
-All return DataFrames and never collect to the driver.
+All return DataFrames and never collect corpus-scale data to the driver
+(one bounded exception: `embedding_near_dup_pairs`' gathered verify pulls
+the vector table when — and only when — it fits the same 64 MB budget a
+broadcast-join build side would put on the driver anyway; above the budget
+it stays on the join-attach path).
 """
 
 from __future__ import annotations
@@ -852,8 +856,10 @@ def embedding_near_dup_pairs(
     fixture deliberately pins ``bits_per_table=4`` so its static SQL
     oracle stays deterministic.
     """
+    n_rows = None  # known only on the auto-bits path; gates the gathered verify
     if bits_per_table is None:
-        bits_per_table = auto_bits_per_table(df.count())
+        n_rows = df.count()
+        bits_per_table = auto_bits_per_table(n_rows)
     planes = V.seeded_planes(bits_per_table * n_tables, dim, seed)
     # Rebalance by id WHEN the corpus arrives as too few scan tasks: the
     # Arrow matmul signature pass otherwise inherits the scan's split
@@ -898,12 +904,27 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    # Exact-cosine verification: join the two vectors back by id (the
-    # vectors never ride through the bucket shuffle) and score each
-    # candidate pair in one zero-copy Arrow batch (r15 —
-    # `V.pairwise_cosine_arrow`: the vectors cross the Python boundary as
-    # raw list buffers instead of 2x one Python object per pair, measured
-    # ~4x on the 1.28M-candidate sf0.1 verify; values identical).
+    # Exact-cosine verification. Two value-identical forms (same float64
+    # einsum, same round-6), chosen by the broadcast-join budget:
+    #
+    # - GATHERED (r15, guide §8 "decide with small rows"): when the corpus
+    #   vector table fits the broadcast budget the verify ships ONLY the
+    #   (id1, id2) pairs into the Arrow pass and gathers operand rows from
+    #   one closure-shipped matrix — the join-attach form duplicated both
+    #   64-dim vectors per candidate pair, ~1.3 GB across the Python
+    #   boundary for the 1.28M-pair sf0.1 verify vs ~15 MB of id pairs.
+    #   The driver-side footprint is the SAME bound a broadcast-join build
+    #   side already puts on the driver (n_rows is already known here from
+    #   the auto-bits count — no extra job).
+    # - JOIN-ATTACH above the budget (or when n_rows is unknown, i.e.
+    #   pinned-bits callers): vectors attach by id join and cross as raw
+    #   Arrow list buffers (`V.pairwise_cosine_arrow`).
+    gather_budget = 64 * 1024 * 1024  # == session autoBroadcastJoinThreshold
+    if n_rows is not None and n_rows * dim * 8 <= gather_budget:
+        vec_rows = base.select("id", "v").collect()  # bounded: <= budget
+        return V.pairwise_cosine_gather(
+            cand, vec_rows, "id1", "id2", out_col="cosine"
+        ).where(F.col("cosine") >= threshold)
     v1 = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (

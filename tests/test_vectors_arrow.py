@@ -55,6 +55,49 @@ def test_pairwise_cosine_empty_input(spark, pairs_df):
     assert out.collect() == []
 
 
+def test_pairwise_cosine_gather_bit_equal_to_join_form(spark):
+    """The gathered verify (id pairs + closure matrix, guide §8) must be
+    BIT-equal to the join-attach verify — same float64 einsum on the same
+    vector values, only the transport differs."""
+    rng = np.random.default_rng(11)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(60)]
+    vdf = spark.createDataFrame(vecs, "id long, v array<double>")
+    pairs = [(a, b) for a in range(0, 60, 3) for b in range(a + 1, 60, 7)]
+    pdf = spark.createDataFrame(pairs, "id1 long, id2 long")
+    via_gather = {
+        (r.id1, r.id2): r.cosine
+        for r in V.pairwise_cosine_gather(pdf, vecs, "id1", "id2").collect()
+    }
+    v1 = vdf.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = vdf.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    via_join = {
+        (r.id1, r.id2): r.cosine
+        for r in V.pairwise_cosine_arrow(
+            pdf.join(v1, "id1").join(v2, "id2").select("id1", "id2", "v1", "v2"),
+            "v1",
+            "v2",
+        ).collect()
+    }
+    assert via_gather == via_join  # bit-identical doubles, not approx
+
+
+def test_pairwise_cosine_gather_empty_and_unsorted_rows(spark):
+    rng = np.random.default_rng(12)
+    vecs = [(i, rng.normal(size=4).tolist()) for i in (5, 1, 9, 3)]  # unsorted ids
+    pdf = spark.createDataFrame([(1, 9), (3, 5)], "id1 long, id2 long")
+    out = V.pairwise_cosine_gather(pdf, vecs, "id1", "id2").collect()
+    assert len(out) == 2
+    by_id = {i: np.asarray(v) for i, v in vecs}
+    for r in out:
+        a, b = by_id[r.id1], by_id[r.id2]
+        want = round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+        assert r.cosine == want
+    empty = V.pairwise_cosine_gather(
+        pdf.where(F.lit(False)), vecs, "id1", "id2"
+    ).collect()
+    assert empty == []
+
+
 def test_list_matrix_refuses_silent_reshape_on_ragged_rows():
     import pyarrow as pa
 
