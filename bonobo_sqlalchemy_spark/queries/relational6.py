@@ -42,13 +42,28 @@ _PS = """
 """
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession, sf_dir: str, partition_by_partkey: bool = False
+) -> DataFrame:
     """lineitem -> part-supplier pairs with unit-cost MIN and quantity sum.
 
     MIN over identical IEEE divisions is bit-deterministic in both engines;
     the quantity sum uses the exact-decimal policy from ``base.py``.
-    """
+
+    ``partition_by_partkey=True`` establishes HashPartitioning(l_partkey)
+    BEFORE the aggregation (guide §2.4: two operations keyed the same way
+    share one exchange). Partitioning by the group-key SUBSET satisfies the
+    aggregation's clustered distribution, and a downstream window
+    partitioned by ``ps_partkey`` then needs no second exchange — one
+    shuffle of raw pair rows instead of [agg exchange on (pk, sk)] + [window
+    exchange on pk]. In TPC-H each (part, supp) pair carries only ~1-2
+    lineitems, so the partial aggregation the plain form gets before its
+    exchange saves almost nothing — two nearly-identically-sized shuffles
+    collapse to one at any scale. Values are unchanged (same groups, same
+    MIN/decimal-SUM inputs)."""
     li = load_table(spark, sf_dir, "lineitem")
+    if partition_by_partkey:
+        li = li.repartition(F.col("l_partkey"))
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -95,7 +110,10 @@ def z_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    ps = _partsupp(spark, sf_dir)
+    # partition_by_partkey: the window below is keyed on ps_partkey — with
+    # the partitioning established before the aggregation, agg AND window
+    # ride ONE exchange (plan: 2 hash exchanges -> 1; see _partsupp).
+    ps = _partsupp(spark, sf_dir, partition_by_partkey=True)
     ranked = ps.withColumn(
         "min_cost", F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
     )
