@@ -126,30 +126,32 @@ def pagerank_integer(
         ).alias("x")
     ).select("x.node", "x.w_out")
     deg_nodes = nd.groupBy("node").agg(F.sum("w_out").alias("outdeg"))
-    # n and the per-round base term are scalars: one tiny agg, crossed in
-    # as a broadcast literal-free 1-row frame (the plan-audit-allowlisted
-    # shape used by text_tfidf and friends); its build reuses the fused
-    # aggregation's exchange (AQE). The (node, n, outdeg) anchor frame is
-    # checkpointed ONCE and re-read every round — it keeps zero-in-degree
-    # nodes in the output, and carrying outdeg as an anchor COLUMN (null
-    # for sinks) means the per-round contribution needs no extra
-    # node-side join (a per-round ranks x deg join planned as sort-merge
-    # and measured +40% on the sf0.1 bench row).
+    # The (node, outdeg) anchor frame is checkpointed ONCE and re-read
+    # every round — it keeps zero-in-degree nodes in the output, and
+    # carrying outdeg as an anchor COLUMN (null for sinks) means the
+    # per-round contribution needs no extra node-side join (a per-round
+    # ranks x deg join planned as sort-merge and measured +40% on the
+    # sf0.1 bench row).
     # repartition("node"): the incoming aggregation below comes out of
     # groupBy(dst) hash-partitioned on the node key with the same
     # partition count, so the per-round re-anchor left join is exchange-
     # free BOTH sides (co-partitioned) — no per-round broadcast build job
     # and zero shuffled bytes, measured against both alternatives.
-    anchor = (
-        deg_nodes.crossJoin(
-            F.broadcast(deg_nodes.agg(F.count(F.lit(1)).alias("n")))
-        )
-        .repartition("node")
-        .localCheckpoint()
-    )
+    anchor = deg_nodes.repartition("node").localCheckpoint()
+    # n and the per-round base term are DRIVER scalars folded in as
+    # literals (r15). The previous 1-row crossJoin broadcast cost a
+    # separate broadcast-build job that re-ran the whole exploded degree
+    # aggregation over the edge cache — exchange reuse does not span
+    # jobs, so the anchor's heaviest pass executed TWICE (0.41s + 0.43s
+    # of the sf0.1 row). The count below reads the CHECKPOINTED anchor
+    # (node-cardinality, no recompute); Python // on non-negative ints
+    # is exactly BIGINT div, so every rank is bit-identical.
+    n = anchor.count()
+    base_term = (3 * int(scale)) // (20 * n) if n else 0
+    init_rank = int(scale) // n if n else 0
     ranks = anchor.select(
         "node",
-        F.expr(f"CAST({int(scale)} AS BIGINT) div n").alias("rank"),
+        F.lit(init_rank).cast("long").alias("rank"),
         "outdeg",
     )
     for it in range(iters):
@@ -175,7 +177,7 @@ def pagerank_integer(
         ranks = anchor.join(inc_side, "node", "left").select(
             "node",
             (
-                F.expr(f"CAST(3 * {int(scale)} AS BIGINT) div (20 * n)")
+                F.lit(base_term).cast("long")
                 + F.expr(
                     f"CAST({_DAMP_NUM} AS BIGINT) * coalesce(inc, CAST(0 AS BIGINT))"
                     f" div {_DAMP_DEN}"
@@ -257,31 +259,39 @@ def pagerank_personalized_integer(
     ).select("x.node", "x.w_out")
     deg_nodes = nd.groupBy("node").agg(F.sum("w_out").alias("outdeg"))
     sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
-    # the marked node frame carries outdeg (null for sinks) AND the seed
-    # count, for the same reason as pagerank_integer's anchor: the
-    # per-round restart term and contribution divide node-side with no
-    # extra join and no per-round scalar crossJoin.
+    # the marked node frame carries outdeg (null for sinks), for the same
+    # reason as pagerank_integer's anchor: the per-round restart term and
+    # contribution divide node-side with no extra join.
     # repartition("node") co-partitions it with the per-round incoming
     # aggregation: the re-anchor join plans exchange-free.
     marked = (
         deg_nodes.join(
             F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
         )
-        .crossJoin(F.broadcast(sd.agg(F.count(F.lit(1)).alias("ns"))))
         .select(
             "node",
             F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
             "outdeg",
-            "ns",
         )
         .repartition("node")
         .localCheckpoint()
     )
+    # |S| as a DRIVER scalar folded in as literals (r15, mirrors
+    # pagerank_integer): the 1-row crossJoin broadcast cost a separate
+    # build job. NOTE the count is over sd, NOT over marked's seed rows —
+    # a seed absent from the graph still belongs in the restart
+    # denominator (the textbook contract, unchanged). Python // ==
+    # BIGINT div on non-negative ints, so ranks are bit-identical.
+    ns = sd.count()
+    seed_base = (3 * int(scale)) // (20 * ns) if ns else 0
+    seed_init = int(scale) // ns if ns else 0
     ranks = marked.select(
         "node",
         "is_seed",
-        F.expr(f"CASE WHEN is_seed THEN CAST({int(scale)} AS BIGINT) div ns "
-               "ELSE CAST(0 AS BIGINT) END").alias("rank"),
+        F.expr(
+            f"CASE WHEN is_seed THEN CAST({seed_init} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("rank"),
         "outdeg",
     )
     for it in range(iters):
@@ -304,7 +314,7 @@ def pagerank_personalized_integer(
             "is_seed",
             (
                 F.expr(
-                    f"CASE WHEN is_seed THEN CAST(3 * {int(scale)} AS BIGINT) div (20 * ns) "
+                    f"CASE WHEN is_seed THEN CAST({seed_base} AS BIGINT) "
                     "ELSE CAST(0 AS BIGINT) END"
                 )
                 + F.expr(
