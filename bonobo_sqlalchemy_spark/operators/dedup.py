@@ -64,23 +64,25 @@ def _exploded_shingles(
     an empty shingle set and are dropped (they can never pair).
     """
     blk = [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]
-    w = (
-        df.select(
-            F.col(id_col).alias("id"),
-            *blk,
-            F.split(F.trim(F.col(text_col)), " +").alias("w"),
-        )
-        .where(F.size("w") >= n)
-    )
     # One exchange by id up front (a rebalance — ids are unique) WHEN the
     # corpus arrives as one fat scan task: every per-document step after it
-    # — shingle explode, the dedupe to distinct shingles, shingle-set
-    # sizes, the MinHash signature agg — requires only clustering by id,
-    # which hashpartitioning(id) satisfies, so the per-doc pipeline runs
-    # core-parallel. At scale the scan fans out on its own and the helper
-    # adds NO exchange — the signature agg's map-side partials shuffle
-    # instead, which moves far fewer bytes than the raw text (r15).
-    w = rebalance_narrow_input(w, "id")
+    # — the trim+split tokenize, shingle explode, the dedupe to distinct
+    # shingles, shingle-set sizes, the MinHash signature agg — requires
+    # only clustering by id, which hashpartitioning(id) satisfies, so the
+    # per-doc pipeline runs core-parallel. The exchange ships the RAW text
+    # (fewer bytes than the split word arrays) and the CPU-dense tokenize
+    # runs above it — below it, the split was pinned inside the one-task
+    # scan stage (0.30s single-task at sf0.1, r15). At scale the scan fans
+    # out on its own and the helper adds NO exchange, leaving tokenize in
+    # the scan stage exactly as before.
+    w = (
+        rebalance_narrow_input(
+            df.select(F.col(id_col).alias("id"), *blk, F.col(text_col).alias("__t")),
+            "id",
+        )
+        .select("id", "blk", F.split(F.trim(F.col("__t")), " +").alias("w"))
+        .where(F.size("w") >= n)
+    )
     pos = w.select(
         "id",
         "blk",
@@ -1121,16 +1123,18 @@ def duplicate_span_stats(
     fully-defined row (a NULL ``n_tokens`` would break downstream
     thresholds like the flagship pipeline's ``dup_ratio < 0.5`` gate).
     """
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    # Rebalance ships the RAW text and tokenizes ABOVE the exchange (r15,
+    # same restructure as _exploded_shingles): below it, the trim+split
+    # ran inside the one-task scan stage of a one-file corpus. No-op (no
+    # exchange, tokenize stays in the scan) at scale.
+    src = rebalance_narrow_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")), "id"
+    )
+    t = F.trim(F.coalesce(F.col("__t"), F.lit("")))
     arr = F.when(
         F.length(t) == F.lit(0), F.array().cast("array<string>")
     ).otherwise(F.split(t, " +"))
-    w = rebalance_narrow_input(
-        df.select(F.col(id_col).alias("id"), arr.alias("w")).withColumn(
-            "n", F.size("w")
-        ),
-        "id",
-    )
+    w = src.select("id", arr.alias("w")).withColumn("n", F.size("w"))
     occ = w.where(F.col("n") >= gram).select(
         "id",
         F.explode(F.sequence(F.lit(0), F.col("n") - F.lit(gram))).alias("pos"),
