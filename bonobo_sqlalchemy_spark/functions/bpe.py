@@ -54,9 +54,12 @@ from pyspark.sql import functions as F
 #: next word — word boundaries are hard BPE boundaries).
 EOW = "</w>"
 
-_PAIRS_EXPR = (
-    "transform(slice(syms, 1, size(syms)-1), (s, i) -> struct(s AS a, syms[i+1] AS b))"
-)
+#: Adjacent-pair extraction for the trainer. posexplode of the
+#: first-(n-1) slice + a 0-based array index stays inside whole-stage
+#: codegen; the previous ``transform(..., (s, i) -> struct(...))`` lambda
+#: ran INTERPRETED (~8µs/element — the same trap the shingle path
+#: documents), which made every round's pair-count job CPU-bound on one
+#: task. Same (a, b, freq) multiset, so counts and merges are identical.
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -147,8 +150,13 @@ def bpe_train(
         # Top pair counts: explode adjacent pairs weighted by freq, hash-agg,
         # TakeOrdered a driver-safe slice (4x the batch covers overlap skips).
         top = (
-            syms.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-            .groupBy("p.a", "p.b")
+            syms.select(
+                "freq",
+                "syms",
+                F.posexplode(F.expr("slice(syms, 1, size(syms)-1)")).alias("i", "a"),
+            )
+            .select("freq", "a", F.expr("syms[i+1]").alias("b"))
+            .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))
             .where(F.col("cnt") >= min_freq)
             .orderBy(F.col("cnt").desc(), "a", "b")
