@@ -179,6 +179,13 @@ def bpe_train(
         if not batch:
             break
         merges.extend(batch)
+        if len(merges) >= n_merges:
+            # Merge table complete: nothing downstream reads the symbol
+            # table (only `merges`/`alphabet` are returned), so the final
+            # round's apply pass + checkpoint — one Arrow job and one
+            # materialization job over the vocabulary — would compute a
+            # frame with no consumer. Skip it.
+            break
         # localCheckpoint truncates the per-round lineage (same pattern as
         # connected_components' label-propagation rounds in dedup.py).
         syms = _apply_merges_batch(syms, batch).localCheckpoint()

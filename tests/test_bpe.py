@@ -72,6 +72,28 @@ def test_batched_training_roundtrips_and_is_deterministic(spark):
         assert all(t == bpe.EOW or t for t in toks)
 
 
+def test_final_round_skips_the_apply_pass(spark, monkeypatch):
+    """Once the merge table is complete, the symbol table has no consumer:
+    the trainer must NOT pay the final round's apply+checkpoint jobs (r15
+    optimization), and skipping them must not change the merge table."""
+    docs = spark.createDataFrame([(CORPUS,)], "text string")
+    want = bpe.bpe_train(docs, n_merges=8, merges_per_round=4)
+
+    calls = []
+    real_apply = bpe._apply_merges_batch
+
+    def counting_apply(syms_df, merges):
+        calls.append(list(merges))
+        return real_apply(syms_df, merges)
+
+    monkeypatch.setattr(bpe, "_apply_merges_batch", counting_apply)
+    got = bpe.bpe_train(docs, n_merges=8, merges_per_round=4)
+    assert got == want and len(got) == 8
+    # 8 merges in rounds of 4 = 2 pick rounds; only the FIRST batch is ever
+    # applied (the second completes the table, so its apply is skipped).
+    assert len(calls) == 1 and calls[0] == want[:4]
+
+
 def test_token_counts_contract_on_documents(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").limit(200).cache()
     merges = bpe.bpe_train(docs, n_merges=16, merges_per_round=8)
