@@ -21,9 +21,9 @@ extension surface (SURVEY §2.4).
   operator is one token shuffle + one broadcast join + one per-doc sum.
 - **BM25**: classic Robertson/Sparck-Jones ranking over the corpus for a
   driver-supplied term list. df/idf and avgdl are term-table- and
-  scalar-sized; per-doc scores come from one tf aggregation over tokens
-  matching the (broadcast) term list — the corpus is scanned once,
-  filtered down to query terms before any shuffle.
+  scalar-sized; tf and dl both derive from ONE doc-cardinality token
+  aggregation (query terms keep their own group, everything else folds
+  into a NULL group), so the corpus is scanned and shuffled exactly once.
 - **Threshold sweep**: for a scored + weak-labeled corpus, emit the full
   precision/recall operating table — one row per distinct score with
   cumulative TP/FP via a window over the (distinct-score-sized) ordered
@@ -36,7 +36,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from .scale import scalar_attach
 
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -156,32 +155,45 @@ def bm25_topk(
     ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
     ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
 
-    Plan shape: tokens are filtered to the (broadcast) term list BEFORE
-    the tf aggregation, so the shuffle carries only query-term hits; dl
-    comes from the same single corpus scan (Spark reuses the exchange);
-    df and avgdl are term-count- and scalar-sized. Scores round to 6dp
-    and ties break on id — deterministic against the oracle."""
-    spark = docs.sparkSession
-    term_df = spark.createDataFrame([(t.lower(),) for t in terms], "tok string")
+    Plan shape (r15): ONE corpus pass. The token stream aggregates once
+    per ``(doc, query-term-or-NULL)`` — every non-query token falls into
+    the NULL group, so the aggregate stays doc-cardinality — and is
+    localCheckpoint'd; ``dl`` (= sum of the group counts per doc), ``tf``
+    (= the non-NULL rows, no further aggregation) and ``df`` all derive
+    from that one materialization. The previous shape re-ran the corpus
+    token aggregation up to 4x: once per broadcast-build job (the 1-row
+    corpus stats, the term-df table) and once per final-plan leg, because
+    exchange reuse does not span jobs. ``n_docs``/``avgdl`` fold in as
+    driver literals from a 1-row bounded aggregate over the checkpoint
+    (the pagerank scalar-anchor pattern — not a data collect). Scores
+    round to 6dp and ties break on id — deterministic against the
+    oracle, and bit-identical to the old shape (same IEEE expression over
+    the same values)."""
+    tl = [t.lower() for t in terms]
     toks = _tokens(docs, text_col, id_col)
-    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
-    n_and_avg = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    per = (
+        toks.groupBy(
+            "__id", F.when(F.col("tok").isin(tl), F.col("tok")).alias("qtok")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    tf = (
-        toks.join(F.broadcast(term_df), "tok")
-        .groupBy("__id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    dl = per.groupBy("__id").agg(F.sum("c").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs = F.lit(stats.n_docs).cast("bigint")
+    avgdl = F.lit(stats.avgdl).cast("double")
+    tf = per.where(F.col("qtok").isNotNull()).select(
+        "__id", F.col("qtok").alias("tok"), F.col("c").alias("tf")
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = scalar_attach(
-        tf.join(F.broadcast(df_t), "tok").join(dl, "__id"), n_and_avg
-    )
+    scored = tf.join(F.broadcast(df_t), "tok").join(dl, "__id")
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     return (
         scored.select("__id", (idf * F.col("tf") * (k1 + 1) / denom).alias("part"))
         .groupBy("__id")

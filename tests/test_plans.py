@@ -93,10 +93,6 @@ NO_CARTESIAN_EXEMPT = {
     # (the unigram denominator reused for quality scoring) — same
     # scalar-subquery shape as z_text_unigram_logprob, constant build side
     "z_sample_by_quality",
-    # 1-row (n_docs, avgdl) corpus-stats aggregate broadcast into the
-    # query-term tf rows (BM25's scalar subquery) — constant build side
-    # via operators/scale.scalar_attach
-    "z_text_bm25_topk",
     # 1-row total-token-count broadcast into the token stream (the unigram
     # score feeding the sweep) — same shape as z_text_unigram_logprob
     "z_quality_threshold_sweep",
@@ -127,9 +123,9 @@ NO_CARTESIAN_EXEMPT = {
     # itself (sources^2 rows, data-independent); everything data-sized is
     # equi-joined (operators/profile.source_overlap_kmv)
     "profile_source_overlap",
-    # hybrid retrieval: BM25's 1-row (n_docs, avgdl) scalar broadcast plus
-    # the exact-cosine baseline leg's 1-row query-vector broadcast — both
-    # documented constant build sides; fusion joins are candidate-sized
+    # hybrid retrieval: the exact-cosine baseline leg's 1-row query-vector
+    # broadcast (BM25's scalar subquery folded to driver literals in r15)
+    # — documented constant build side; fusion joins are candidate-sized
     "search_hybrid_rrf",
     # group-pair expansion over the per-group THETA table (groups², data-
     # independent, broadcast, ordering predicate); the corpus enters only

@@ -82,6 +82,20 @@ def test_bm25_ranking_semantics(spark):
     assert scores[2] > scores[3]
 
 
+def test_bm25_is_one_corpus_pass(spark, sf_small):
+    """r15: tf, dl and df all derive from ONE checkpointed token
+    aggregation, so the returned plan reads the materialized checkpoint
+    (Scan ExistingRDD) and never re-scans the corpus — the old shape
+    re-ran the token aggregation in every broadcast-build job."""
+    from bonobo_sqlalchemy_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = bm25_topk(docs, ["spark", "sort", "window"], k=10)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+
+
 def test_threshold_sweep_math_hand_fixture(spark):
     """4 docs at 3 distinct scores: sweep rows must carry exact cumulative
     counts and precision/recall for 'keep score >= threshold'."""
