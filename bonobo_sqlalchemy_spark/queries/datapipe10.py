@@ -727,8 +727,16 @@ def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation order are irrelevant and the DuckDB unrolled CTE chain
     reproduces each of the 6 rounds bit-for-bit."""
     from ..operators.graphalgo import pagerank_integer
+    from ..partitioning import rebalance_narrow_input
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # The edge build (broadcast join + partial distinct) otherwise runs
+    # inside the row-group-bounded lineitem scan tasks (3 at sf0.1) — fan
+    # the narrow scan out first; a no-op exchange-free pass-through at
+    # scale (r15, same pattern as the shingle tokenizers).
+    li = rebalance_narrow_input(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey",
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -971,8 +979,13 @@ def z_graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     even with zero inflow); VALUE-EXACT via the unrolled personalized CTE
     chain."""
     from ..operators.graphalgo import pagerank_personalized_integer
+    from ..partitioning import rebalance_narrow_input
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Same narrow-scan fan-out as z_graph_pagerank (no-op at scale).
+    li = rebalance_narrow_input(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey",
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
