@@ -193,8 +193,16 @@ def pagerank_integer(
         # work O(E) exactly once but costs one job per round, which is
         # ~80% of the sf0.1 bench row; the interval bounds re-execution
         # at (interval-1) extra O(E) passes per block instead.
+        # INTERMEDIATE checkpoints are LAZY (r15): the next round's
+        # broadcast build computes every partition of the rank frame
+        # anyway, so the checkpoint saves during that job instead of
+        # paying its own materialization job — same re-execution bound,
+        # one job fewer per checkpoint. The FINAL checkpoint stays eager:
+        # it must materialize before the edge cache is unpersisted below
+        # (a lazy final frame would re-derive the edges from source at
+        # the caller's first action).
         if (it + 1) % max(1, checkpoint_interval) == 0 or it == iters - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=(it == iters - 1))
     out = ranks.select("node", "rank")
     if broadcast_ranks:
         # the final ranks are checkpoint-materialized; the edge cache is
@@ -323,8 +331,9 @@ def pagerank_personalized_integer(
             ).alias("rank"),
             "outdeg",
         )
+        # lazy intermediate / eager final, as in pagerank_integer (r15)
         if (it + 1) % max(1, checkpoint_interval) == 0 or it == iters - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=(it == iters - 1))
     out = ranks.select("node", "rank")
     if broadcast_ranks:
         ed.unpersist(blocking=False)
@@ -798,8 +807,9 @@ def label_propagation(
         labels = anchor.join(pick, "node", "left").select(
             "node", F.coalesce("seed_lbl", "prop_lbl").alias("lbl")
         )
+        # lazy intermediate / eager final, as in pagerank_integer (r15)
         if (it + 1) % max(1, checkpoint_interval) == 0 or it == rounds - 1:
-            labels = labels.localCheckpoint()
+            labels = labels.localCheckpoint(eager=(it == rounds - 1))
     out = labels.select("node", F.col("lbl").alias("label"))
     if broadcast_labels:
         ed.unpersist(blocking=False)
